@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the test harness (local[N]) while keeping
+every setting cluster-safe: nothing here assumes single-JVM execution.
+
+Scale notes (100 TB design intent):
+- AQE on: runtime partition coalescing + skew-join splitting replace any
+  hand-tuned static shuffle count on a real cluster.
+- shuffle.partitions defaults to the local core count for the harness; on a
+  1000-executor cluster this is overridden by AQE's coalescing anyway.
+- Arrow on: every pandas-UDF boundary is Arrow-batched, never per-row pickle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "orc_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the session. ``cpus`` defaults to $SPARK_GRAFT_CPUS or 32."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Make the package importable inside Python UDF workers regardless of the
+    # caller's cwd: forked workers inherit the driver's PYTHONPATH, executors
+    # get it via executorEnv. (On a real cluster you'd ship a wheel via
+    # --py-files / pip; this covers local + standalone.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else "")
+        )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.orc.impl", "native")
+        .config("spark.sql.orc.filterPushdown", "true")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
