@@ -73,7 +73,7 @@ def welch_components(v1: Column, n1: Column, v2: Column, n2: Column):
 def welch_ttest(
     df: DataFrame,
     value_col: str,
-    group_col: str,
+    group_col: str | Column,
     alternative: str = "two-sided",
     with_p: bool = True,
 ) -> DataFrame:
@@ -89,7 +89,8 @@ def welch_ttest(
     alternative: 'two-sided' | 'less' | 'greater' (one-sided as in the
     reference: RMS 'less', min 'greater', max 'less').
     """
-    agg = df.groupBy(F.col(group_col).alias("__g")).agg(
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    agg = df.groupBy(gcol.alias("__g")).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg(value_col).alias("mean"),
         F.var_samp(value_col).alias("var"),

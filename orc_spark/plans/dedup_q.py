@@ -1,0 +1,419 @@
+"""Deduplication & similarity-search pack over documents/embeddings —
+the training-data-pipeline operators (exact dedup, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding cosine near-dup, brute-force ANN).
+
+Scale design notes (100 TB):
+- exact dedup: one hash-groupBy shuffle on the digest — the minimal possible.
+- MinHash-LSH: shingle explode is a narrow map; signatures are one groupBy
+  per doc; candidate generation joins on (band, band-signature) — candidates,
+  not all pairs, cross the shuffle. Band width trades recall vs join size.
+- SimHash: banded by pigeonhole (4 bands of 15 bits → any pair within
+  hamming distance 3 shares a band) — again no quadratic join.
+- embedding near-dup at this sf is a blocked self-join; the production-scale
+  path is the LSH/IVF operators in orc_spark/operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orc_spark.functions.hashing import (
+    MERSENNE_P,
+    MINHASH_PERMS,
+    h60,
+    h60_sql,
+    minhash_col,
+    minhash_sql,
+)
+from orc_spark.plans import Query
+from orc_spark.sources.tables import load_table
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def dd_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("digest"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DD_EXACT_SQL = """
+SELECT md5(text) AS digest, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- MinHash signatures -----------------------------------------------------
+
+SHINGLE_K = 5
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct k-char shingles of lowercased text per doc (narrow map)."""
+    t = F.lower(F.col("text"))
+    pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (SHINGLE_K - 1), F.lit(1)))
+    return (
+        docs.select("doc_id", F.explode(pos).alias("pos"), t.alias("t"))
+        .select("doc_id", F.expr(f"substring(t, pos, {SHINGLE_K})").alias("sh"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, substr(lower(text), pos, {SHINGLE_K}) AS sh
+  FROM (SELECT doc_id, lower(text) AS lt,
+               unnest(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1)) AS pos,
+               text
+        FROM documents)
+"""
+
+
+def dd_minhash_sig(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    sh = _shingles(docs).select(
+        "doc_id", h60(F.col("sh")).alias("h")
+    )
+    aggs = [
+        F.min(minhash_col(F.col("h"), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sig_sql() -> str:
+    hexpr = h60_sql("sh")
+    mins = ",\n         ".join(
+        f"min({minhash_sql('h', a, b)}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (SELECT doc_id, {hexpr} AS h FROM sh)
+SELECT doc_id,
+         {mins}
+FROM hashed GROUP BY doc_id
+"""
+
+
+# --- MinHash-LSH candidate pairs + estimated jaccard ------------------------
+
+def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    sig = dd_minhash_sig(spark, sf).cache()
+    pair_frames = []
+    for band in range(N_BANDS):
+        cols = [f"m{band * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
+        a = sig.select(F.col("doc_id").alias("doc_a"), *cols)
+        b = sig.select(F.col("doc_id").alias("doc_b"), *cols)
+        pair_frames.append(
+            a.join(b, on=cols).where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        )
+    pairs = pair_frames[0]
+    for p in pair_frames[1:]:
+        pairs = pairs.union(p)
+    pairs = pairs.distinct()
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_PERM)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_PERM)])
+    est = None
+    for i in range(N_PERM):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        est = term if est is None else est + term
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (est.cast("double") / N_PERM).alias("est_jaccard"),
+        )
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    sig = _minhash_sig_sql()
+    bands = []
+    for band in range(N_BANDS):
+        cols = [f"m{band * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)]
+        cond = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        bands.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON {cond} AND a.doc_id < b.doc_id"
+        )
+    union = "\nUNION\n".join(bands)
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
+    )
+    return f"""
+WITH sig AS ({sig}),
+pairs AS ({union})
+SELECT p.doc_a, p.doc_b,
+       CAST(({eq_sum}) AS DOUBLE) / {N_PERM} AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+"""
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15  # 4 bands → pigeonhole guarantee for hamming ≤ 3
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    return docs.select("doc_id", tok).where(F.col("tok") != "")
+
+
+_TOKENS_SQL = """
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+"""
+
+
+def dd_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """60-bit SimHash: per bit b, sign of Σ_tokens (bit_b(h(token)) ? +1 : -1),
+    weighted by token multiplicity."""
+    docs = load_table(spark, sf, "documents")
+    toks = _tokens(docs).select("doc_id", h60(F.col("tok")).alias("h"))
+    # integer division, not `/`: h is up to 2^60 and float division would lose
+    # low bits. 2^b is exact in double, so the cast is exact in both engines.
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        "h",
+    ).select(
+        "doc_id",
+        "b",
+        (F.expr("h div cast(pow(2.0, b) as bigint)") % 2).alias("bit"),
+    )
+    weights = bits.groupBy("doc_id", "b").agg(
+        F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("w")
+    )
+    return weights.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("w") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+DD_SIMHASH_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hashed AS (SELECT doc_id, {h60_sql('tok')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b, (h // CAST(pow(2.0, b) AS BIGINT)) % 2 AS bit
+  FROM hashed, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b)
+),
+weights AS (
+  SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS w
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN w > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS simhash
+FROM weights GROUP BY doc_id
+"""
+
+
+# --- n-gram Jaccard near-dup ------------------------------------------------
+
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.5
+LEN_BUCKET = 50
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact character-trigram Jaccard over length-bucketed candidate pairs
+    (same floor(n_chars/50) bucket — the candidate generator; the LSH variant
+    is dd_minhash_pairs)."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", (F.floor(F.length("text") / LEN_BUCKET)).alias("bucket")
+    )
+    t = F.lower(F.col("text"))
+    pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (NGRAM_N - 1), F.lit(1)))
+    grams = (
+        docs.select("doc_id", "bucket", F.explode(pos).alias("pos"), t.alias("t"))
+        .select("doc_id", "bucket", F.expr(f"substring(t, pos, {NGRAM_N})").alias("g"))
+        .distinct()
+    )
+    counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("bucket").alias("ba"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("bucket").alias("bb"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .where((F.col("doc_a") < F.col("doc_b")) & (F.col("ba") == F.col("bb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+DD_NGRAM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, CAST(floor(length(text) / {LEN_BUCKET}.0) AS BIGINT) AS bucket
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, bucket, substr(lower(text), pos, {NGRAM_N}) AS g
+  FROM (SELECT doc_id, bucket, text,
+               unnest(range(1, greatest(length(text) - {NGRAM_N - 1}, 1) + 1)) AS pos
+        FROM d)
+),
+counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- embedding cosine near-dup + brute-force ANN ----------------------------
+
+COS_THRESHOLD = 0.4
+ANN_N_QUERIES = 8
+ANN_K = 5
+
+
+def _cosine_pairs(spark: SparkSession, sf: str, left_filter=None) -> DataFrame:
+    """Pairwise cosine via posexplode + join-sum (deterministic, SQL-parallel).
+    Production-scale ANN lives in operators/similarity.py (Arrow-batched)."""
+    emb = load_table(spark, sf, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i", "v")
+    ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
+    norms = flat.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    fa = flat.select(F.col("vec_id").alias("vec_a"), "i", F.col("v").alias("va"))
+    if left_filter is not None:
+        fa = fa.where(left_filter)
+    fb = flat.select(F.col("vec_id").alias("vec_b"), "i", F.col("v").alias("vb"))
+    dots = (
+        fa.join(fb, "i")
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+        )
+    )
+
+
+def dd_embcos(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = _cosine_pairs(spark, sf)
+    return pairs.where(
+        (F.col("vec_a") < F.col("vec_b")) & (F.col("cos_sim") >= COS_THRESHOLD)
+    )
+
+
+_COS_CORE_SQL = """
+flat AS (
+  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id)
+"""
+
+DD_EMBCOS_SQL = f"""
+WITH {_COS_CORE_SQL},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COS_THRESHOLD}
+"""
+
+
+def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k for a fixed query set — the exactness baseline
+    for the ANN operators."""
+    pairs = _cosine_pairs(spark, sf, left_filter=F.col("vec_a") < ANN_N_QUERIES)
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    return (
+        pairs.select(
+            F.col("vec_a").alias("query_id"),
+            F.col("vec_b").alias("neighbor_id"),
+            "cos_sim",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= ANN_K)
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH {_COS_CORE_SQL},
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {ANN_N_QUERIES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (na.nrm * nb.nrm), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dot / (na.nrm * nb.nrm), 6) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM dots
+  JOIN norms na ON na.vec_id = query_id
+  JOIN norms nb ON nb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= {ANN_K}
+"""
+
+
+QUERIES = [
+    Query("dd_exact", dd_exact, DD_EXACT_SQL, "exact dedup via content digest group-by"),
+    Query("dd_minhash_sig", dd_minhash_sig, _minhash_sig_sql(), "MinHash signatures (16 perms, 5-shingles)"),
+    Query("dd_minhash_pairs", dd_minhash_pairs, _minhash_pairs_sql(), "LSH banded candidate pairs + estimated jaccard"),
+    Query("dd_simhash", dd_simhash, DD_SIMHASH_SQL, "60-bit SimHash document fingerprints"),
+    Query("dd_ngram_jaccard", dd_ngram_jaccard, DD_NGRAM_SQL, "exact trigram Jaccard near-dup (blocked)"),
+    Query("dd_embcos", dd_embcos, DD_EMBCOS_SQL, "embedding cosine near-dup pairs"),
+    Query("ann_topk", ann_topk, ANN_TOPK_SQL, "brute-force cosine top-k baseline"),
+]

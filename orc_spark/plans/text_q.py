@@ -1,0 +1,184 @@
+"""Text-analysis pack over `documents` (training-data pipeline operators):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All pure column expressions — per-row narrow maps, no
+shuffle, fully pushdown/codegen friendly at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orc_spark.functions.hashing import h60, h60_sql
+from orc_spark.plans import Query
+from orc_spark.sources.tables import load_table
+
+# small fixed english stopword list for the heuristics (public knowledge)
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+# --- token counting ---------------------------------------------------------
+
+def tx_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    toks = F.split(F.trim(t), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("int").alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+', 0)")).alias("n_alpha_words"),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).alias("n_numbers"),
+        # BPE-ish subword proxy: alpha chunks + digits + punctuation marks
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)")
+        ).alias("n_subtokens"),
+    )
+
+
+TX_TOKENS_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER)                                  AS n_chars_calc,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)    AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER)       AS n_alpha_words,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)       AS n_numbers,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INTEGER)
+                                                                      AS n_subtokens
+FROM documents
+"""
+
+
+# --- quality scoring --------------------------------------------------------
+
+def tx_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    n_chars = F.length(t).cast("double")
+    toks = F.split(F.trim(t), r"\s+")
+    n_toks = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("double")
+    n_punct = F.size(F.expr(r"regexp_extract_all(text, '[.,!?;:]', 0)")).cast("double")
+    n_space = F.size(F.expr(r"regexp_extract_all(text, ' ', 0)")).cast("double")
+    mean_tok_len = (n_chars - n_space) / n_toks
+    stop_ratio = n_stop / n_toks
+    punct_ratio = n_punct / n_chars
+    # simple composite score: longer docs with natural stopword density and
+    # moderate token length score higher
+    score = (
+        F.least(n_toks / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+        + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+TX_QUALITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_toks,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x IN ({_SW}))) AS DOUBLE) AS n_stop,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(text, ' ')) AS DOUBLE) AS n_space
+  FROM documents
+)
+SELECT doc_id,
+       round((n_chars - n_space) / n_toks, 6) AS mean_tok_len,
+       round(n_stop / n_toks, 6)              AS stop_ratio,
+       round(n_punct / n_chars, 6)            AS punct_ratio,
+       round(
+         least(n_toks / 100.0, 1.0) * 0.4
+         + least(n_stop / n_toks * 5.0, 1.0) * 0.4
+         + CASE WHEN (n_chars - n_space) / n_toks >= 3.0
+                 AND (n_chars - n_space) / n_toks <= 10.0
+                THEN 0.2 ELSE 0.0 END, 6)     AS quality_score
+FROM base
+"""
+
+
+# --- language-ID heuristic --------------------------------------------------
+
+def tx_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram/stopword language heuristic: english stopword density plus a
+    CJK-codepoint check. (The testdata's `lang` column is synthetic noise —
+    all text shares one vocabulary — so this is a deterministic operator
+    demo, not a recovery task; accuracy on real corpora would come from
+    per-language stopword tables plugged into the same shape.)"""
+    docs = load_table(spark, sf, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_toks = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("double")
+    has_cjk = F.size(F.expr(r"regexp_extract_all(text, '[\\u4e00-\\u9fff]', 0)")) > 0
+    ratio = n_stop / n_toks
+    pred = (
+        F.when(has_cjk, "zh")
+        .when(ratio >= 0.08, "en")
+        .when(ratio >= 0.02, "en_maybe")
+        .otherwise("unk")
+    )
+    return docs.select(
+        "doc_id", "lang", F.round(ratio, 6).alias("stop_ratio"), pred.alias("pred_lang")
+    )
+
+
+TX_LANGID_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x IN ({_SW}))) AS DOUBLE)
+           / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE)
+           AS ratio,
+         len(regexp_extract_all(text, '[一-鿿]')) > 0 AS has_cjk
+  FROM documents
+)
+SELECT doc_id, lang, round(ratio, 6) AS stop_ratio,
+       CASE WHEN has_cjk THEN 'zh'
+            WHEN ratio >= 0.08 THEN 'en'
+            WHEN ratio >= 0.02 THEN 'en_maybe'
+            ELSE 'unk' END AS pred_lang
+FROM base
+"""
+
+
+# --- document fingerprinting ------------------------------------------------
+
+def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprints: digest of whitespace-normalized text + a prefix
+    fingerprint of the first 5 tokens (cheap near-dup blocking key)."""
+    docs = load_table(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    prefix = F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 5))
+    return docs.select(
+        "doc_id",
+        h60(norm).alias("fingerprint"),
+        h60(prefix).alias("prefix_fp"),
+    )
+
+
+TX_FINGERPRINT_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       {h60_sql('norm')} AS fingerprint,
+       {h60_sql("array_to_string(string_split(norm, ' ')[1:5], ' ')")} AS prefix_fp
+FROM base
+"""
+
+
+QUERIES = [
+    Query("tx_tokens", tx_tokens, TX_TOKENS_SQL, "token/word/subtoken counting"),
+    Query("tx_quality", tx_quality, TX_QUALITY_SQL, "document quality scoring"),
+    Query("tx_langid", tx_langid, TX_LANGID_SQL, "stopword/CJK language heuristic"),
+    Query("tx_fingerprint", tx_fingerprint, TX_FINGERPRINT_SQL, "normalized-content fingerprints"),
+]

@@ -30,6 +30,15 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+        # as a timestamp; read it as raw nanosecond bigint (runtime-settable
+        # conf) and let queries convert explicitly. DuckDB reads the same
+        # column as TIMESTAMP_NS; oracles use epoch_ns() to align.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
