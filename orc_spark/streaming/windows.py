@@ -1,0 +1,143 @@
+"""Structured Streaming event-time surface: tumbling/sliding/session windows
+with watermarks (SURVEY §2.C R8) plus a stateful streaming PID.
+
+The batch-replay equivalents (r8_*) are the hash-checked correctness surface;
+these run the same logic as real streams (file source → watermark → windowed
+agg → sink) and are asserted batch==stream in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from orc_spark.operators.control import pid_params
+
+
+def stream_event_windows(
+    events: DataFrame,
+    kind: str = "tumbling",
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Windowed aggregation over a (streaming or batch) events DataFrame with
+    a `ts` timestamp column. Late rows beyond the watermark are dropped by
+    the engine in streaming mode."""
+    ev = events.withWatermark("ts", watermark)
+    if kind == "tumbling":
+        win = F.window("ts", window)
+    elif kind == "sliding":
+        win = F.window("ts", window, slide)
+    elif kind == "session":
+        win = F.session_window("ts", gap)
+    else:
+        raise ValueError(kind)
+    return ev.groupBy(win, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    ).select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# --- stateful streaming PID (O9 as a stream operator) -----------------------
+
+_PID_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("integ", T.DoubleType()),
+        T.StructField("prev_err", T.DoubleType()),
+        T.StructField("diff", T.DoubleType()),
+        T.StructField("prev_m", T.DoubleType()),
+    ]
+)
+
+
+def pid_stream_output_schema(key_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            key_field,
+            T.StructField("ord", T.LongType()),
+            T.StructField("meas", T.DoubleType()),
+            T.StructField("pid_out", T.DoubleType()),
+        ]
+    )
+
+
+def make_pid_stateful_fn(params: dict, setpoint: float = 0.0):
+    """Builds the applyInPandasWithState function: continues the PID
+    recurrence across micro-batches via 4 floats of group state. Float64
+    (streaming mode documents f64; strict-f32 replay is the batch path)."""
+    kp, ki, kd = params["kp"], params["ki"], params["kd"]
+    T_, tau = params["T"], params["tau"]
+    lim_min, lim_max = params["lim_min"], params["lim_max"]
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            integ, prev_err, diff, prev_m = state.get
+        else:
+            integ = prev_err = diff = prev_m = 0.0
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ord")
+            m = pdf["meas"].to_numpy()
+            out = []
+            for mi in m:
+                err = setpoint - mi
+                prop = kp * err
+                integ = integ + 0.5 * ki * T_ * (err + prev_err)
+                lim_max_int = lim_max - prop if lim_max > prop else 0.0
+                lim_min_int = lim_min - prop if lim_min < prop else 0.0
+                # exact clamp branch order of PID.c:55-60
+                if integ > lim_max_int:
+                    integ = lim_max_int
+                elif integ < lim_min_int:
+                    integ = lim_min_int
+                diff = (-2.0 * kd * (mi - prev_m) + (2.0 * tau - T_) * diff) / (
+                    2.0 * tau + T_
+                )
+                o = prop + integ + diff
+                if o > lim_max:
+                    o = lim_max
+                elif o < lim_min:
+                    o = lim_min
+                # raw float output, matching batch pid_scan (callers truncate
+                # to int16 for DAC codes)
+                out.append(o)
+                prev_err, prev_m = err, mi
+            pdf = pdf.copy()
+            pdf["pid_out"] = out
+            outs.append(pdf)
+        state.update((float(integ), float(prev_err), float(diff), float(prev_m)))
+        yield from outs
+
+    return fn
+
+
+def pid_streaming(
+    stream_df: DataFrame,
+    key_col: str,
+    params: dict,
+    setpoint: float = 0.0,
+) -> DataFrame:
+    """Apply the stateful PID to a streaming DataFrame with columns
+    (key_col, ord, meas). Output mode must be 'append'/'update'."""
+    key_field = stream_df.schema[key_col]
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        make_pid_stateful_fn(params, setpoint),
+        outputStructType=pid_stream_output_schema(key_field),
+        stateStructType=_PID_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,107 @@
+"""Tests for the production similarity operators (brute-force/IVF ANN) and
+the multimodal binary-column plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from orc_spark.operators.multimodal import (
+    image_features,
+    media_from_documents,
+    real_decode_stub,
+    video_frame_sample,
+)
+from orc_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_build_centroids,
+    ivf_topk,
+)
+from orc_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries_pdf(emb):
+    return emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").toPandas()
+
+
+def _exact_oracle(emb_pdf, queries_pdf, k=5):
+    m = np.vstack(emb_pdf["embedding"].map(np.asarray)).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = emb_pdf["vec_id"].to_numpy()
+    out = {}
+    for _, q in queries_pdf.iterrows():
+        qv = np.asarray(q["embedding"], dtype=np.float64)
+        qv /= np.linalg.norm(qv)
+        sims = m @ qv
+        order = np.lexsort((ids, -sims))
+        neigh = [int(ids[j]) for j in order if ids[j] != q["vec_id"]][:k]
+        out[int(q["vec_id"])] = neigh
+    return out
+
+
+def test_brute_force_topk_exact(spark, emb, queries_pdf):
+    got = brute_force_topk(emb, queries_pdf, k=5).orderBy("query_id", "rank").toPandas()
+    oracle = _exact_oracle(emb.toPandas(), queries_pdf, k=5)
+    for qid, neigh in oracle.items():
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert list(sub["neighbor_id"]) == neigh
+
+
+def test_ivf_recall(spark, emb, queries_pdf):
+    """IVF with nprobe=8/16 recovers most of the exact top-5 (recall ≥ 0.6 on
+    this unclustered random data; real clustered embeddings do far better)."""
+    got = ivf_topk(spark, emb, queries_pdf, k=5, n_centroids=16, nprobe=8)
+    gpdf = got.toPandas()
+    oracle = _exact_oracle(emb.toPandas(), queries_pdf, k=5)
+    hits = total = 0
+    for qid, neigh in oracle.items():
+        sub = set(gpdf[gpdf.query_id == qid]["neighbor_id"])
+        hits += len(sub & set(neigh))
+        total += len(neigh)
+    assert hits / total >= 0.6
+
+
+def test_ivf_centroids_normalized(spark, emb):
+    cents = ivf_build_centroids(emb, n_centroids=8)
+    m = np.vstack(cents["centroid"].to_numpy())
+    np.testing.assert_allclose(np.linalg.norm(m, axis=1), 1.0, rtol=1e-9)
+
+
+def test_image_features_plumbing(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    media = media_from_documents(docs)
+    feats = image_features(media).toPandas()
+    n_images = media.where(F.col("kind") == "image").count()
+    assert len(feats) == n_images
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["thumb8"].map(len).eq(64).all()
+    assert feats["mean_luma"].between(0, 255).all()
+    # determinism: same payload → same features
+    feats2 = image_features(media).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )
+
+
+def test_video_frame_sampling(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    media = media_from_documents(docs)
+    frames = video_frame_sample(media, every_ms=1000).toPandas()
+    vids = media.where(F.col("kind") == "video").select("media_id", "meta.duration_ms").toPandas()
+    exp = int((vids["duration_ms"] // 1000).clip(lower=0).sum())
+    assert len(frames) == exp
+    assert (frames.groupby("media_id")["frame_idx"].apply(lambda s: (s.sort_values().diff().dropna() == 1).all())).all()
+
+
+def test_real_decoder_stub_raises(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").limit(3)
+    media = media_from_documents(docs)
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        image_features(media, decoder=real_decode_stub).collect()

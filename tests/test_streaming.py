@@ -1,0 +1,154 @@
+"""Structured Streaming surface tests: file-stream ORCLOG parse, firmware
+round-trip writer, watermarked windows (batch == stream), stateful PID
+continuing across micro-batches."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from orc_spark.operators.control import Z_XL_GAINS, pid_params, pid_scan
+from orc_spark.sources.orclog import parse_orclog
+from orc_spark.sources.tables import load_table
+from orc_spark.streaming.orclog_stream import (
+    lines_from_wholetext,
+    stream_orclog_parse,
+    write_orclog_format,
+)
+from orc_spark.streaming.windows import pid_streaming, stream_event_windows
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    d = {
+        "in": str(tmp_path / "in"),
+        "chk": str(tmp_path / "chk"),
+        "out": str(tmp_path / "out"),
+    }
+    os.makedirs(d["in"])
+    return d
+
+
+def _make_log(path, runs=(3, 2), enabled=True, interval=0.01):
+    with open(path, "w") as fh:
+        fh.write("Log #: 7\n")
+        fh.write(f"Actuators {'enabled' if enabled else 'disabled'}\n")
+        fh.write(f"Interval:{interval:f}\n")
+        fh.write("Acceleration, Pitch, Roll\n")
+        v = 0.0
+        for ri, n in enumerate(runs):
+            if ri > 0:
+                fh.write("Log Paused, now resuming:\n")
+            for _ in range(n):
+                fh.write(f"{v:.4f}, {v + 1:.4f}, {v - 1:.4f}\n")
+                v += 0.1
+
+
+def test_stream_orclog_parse(spark, tmpdirs):
+    _make_log(os.path.join(tmpdirs["in"], "log1.csv"))
+    _make_log(os.path.join(tmpdirs["in"], "log2.csv"), runs=(4,), enabled=False)
+    q = stream_orclog_parse(spark, tmpdirs["in"], tmpdirs["chk"], tmpdirs["out"], "orc")
+    q.awaitTermination(120)
+    out = spark.read.orc(tmpdirs["out"])
+    assert out.count() == 3 + 2 + 4
+    got = {
+        (r["actuators_enabled"], r["run_idx"]): r["n"]
+        for r in out.groupBy("actuators_enabled", "run_idx").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {(True, 0): 3, (True, 1): 2, (False, 0): 4}
+    # incremental arrival: a new file is picked up without reprocessing
+    _make_log(os.path.join(tmpdirs["in"], "log3.csv"), runs=(5,))
+    q2 = stream_orclog_parse(spark, tmpdirs["in"], tmpdirs["chk"], tmpdirs["out"], "orc")
+    q2.awaitTermination(120)
+    assert spark.read.orc(tmpdirs["out"]).count() == 9 + 5
+
+
+def test_orclog_roundtrip(spark, tmp_path):
+    """write_orclog_format output re-parses to identical values."""
+    pdf = pd.DataFrame(
+        {
+            "actuators_enabled": [True] * 6 + [False] * 4,
+            "run_idx": [0, 0, 0, 1, 1, 1, 0, 0, 1, 1],
+            "sample_idx": [0, 1, 2, 0, 1, 2, 0, 1, 0, 1],
+            "accel_g": np.round(np.linspace(-1, 1, 10), 4),
+            "pitch_deg": np.round(np.linspace(-30, 30, 10), 4),
+            "roll_deg": np.round(np.linspace(5, -5, 10), 4),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "out.csv")
+    write_orclog_format(df, path, interval_s=0.01)
+    back = parse_orclog(spark, path).orderBy("actuators_enabled", "run_idx", "sample_idx")
+    got = back.toPandas()
+    assert len(got) == 10
+    exp = pdf.sort_values(["actuators_enabled", "run_idx", "sample_idx"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["accel_g"], exp["accel_g"], atol=1e-12)
+    np.testing.assert_allclose(got["pitch_deg"], exp["pitch_deg"], atol=1e-12)
+    assert (got["interval_s"] == 0.01).all()
+
+
+def test_stream_windows_match_batch(spark, sf_small, tmpdirs):
+    """Tumbling windows computed over a file stream == the batch result."""
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    ev.write.parquet(os.path.join(tmpdirs["in"], "p"))
+    batch = stream_event_windows(ev, "tumbling").orderBy("window_start_ms", "event_type")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(os.path.join(tmpdirs["in"], "p"))
+    )
+    q = (
+        stream_event_windows(stream, "tumbling")
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .option("checkpointLocation", tmpdirs["chk"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table("win_out").orderBy("window_start_ms", "event_type").toPandas()
+    )
+    exp = batch.toPandas()
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pid_streaming_state_across_batches(spark, tmpdirs):
+    """The stateful streaming PID over 2 sequential micro-batches equals one
+    batch pid_scan over the concatenated series."""
+    rng = np.random.default_rng(5)
+    n1, n2 = 50, 70
+    meas = rng.normal(0, 1, n1 + n2)
+    params = pid_params(*Z_XL_GAINS, 0.01, -30000.0, 30000.0)
+    pdf1 = pd.DataFrame({"k": 1, "ord": np.arange(n1), "meas": meas[:n1]})
+    pdf2 = pd.DataFrame({"k": 1, "ord": np.arange(n1, n1 + n2), "meas": meas[n1:]})
+    src = os.path.join(tmpdirs["in"], "pid")
+    spark.createDataFrame(pdf1).coalesce(1).write.parquet(src)
+
+    sink = os.path.join(tmpdirs["out"], "pid_sink")
+
+    def run_stream():
+        stream = spark.readStream.schema("k bigint, ord bigint, meas double").parquet(src)
+        out = pid_streaming(stream, "k", params)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", tmpdirs["chk"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_stream()
+    spark.createDataFrame(pdf2).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    got = spark.read.parquet(sink).orderBy("ord").toPandas()
+    assert len(got) == n1 + n2
+    exp = pid_scan(meas, 0.0, params, f32=False)
+    np.testing.assert_allclose(got["pid_out"].to_numpy(), exp, rtol=1e-12)
