@@ -34,10 +34,18 @@ class Query:
 
 def registry() -> dict[str, Query]:
     """All registered queries, name → Query."""
-    from orc_spark.plans import relational, timeseries_q, dedup_q, text_q, stateful_q, mm_q
+    from orc_spark.plans import (
+        relational,
+        relational2,
+        timeseries_q,
+        dedup_q,
+        text_q,
+        stateful_q,
+        mm_q,
+    )
 
     out: dict[str, Query] = {}
-    for mod in (relational, timeseries_q, dedup_q, text_q, stateful_q, mm_q):
+    for mod in (relational, relational2, timeseries_q, dedup_q, text_q, stateful_q, mm_q):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")

@@ -292,10 +292,10 @@ FROM part
 # --- R8: event-time windows (batch replay of the streaming surface) ---------
 
 def _ev_ts(spark: SparkSession, sf: str) -> DataFrame:
-    """events with ts as a real timestamp (read as bigint nanos, see
-    sources.tables) — converted via microseconds for the native window fns."""
+    """events with ts as a real timestamp (read as bigint epoch MICROS, see
+    sources.tables) for the native window fns."""
     ev = load_table(spark, sf, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts", F.timestamp_micros(F.col("ts")))
 
 
 def r8_tumbling(spark: SparkSession, sf: str) -> DataFrame:
@@ -359,16 +359,16 @@ def r8c_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user, via gaps-and-islands
     window expressions. The native ``session_window`` streaming variant is in
     orc_spark.streaming; this batch form is hash-checkable against SQL."""
-    ev = load_table(spark, sf, "events")  # ts = bigint nanos
+    ev = load_table(spark, sf, "events")  # ts = bigint epoch micros
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_ns = 30 * 60 * 1_000_000_000
+    gap_us = 30 * 60 * 1_000_000
     flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
         "value",
-        F.when((F.col("ts") - F.lag("ts", 1).over(w)) >= gap_ns, 1)
+        F.when((F.col("ts") - F.lag("ts", 1).over(w)) >= gap_us, 1)
         .otherwise(0)
         .alias("new_session"),
     ).select(
@@ -378,7 +378,7 @@ def r8c_sessions(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("new_session").over(wcum).alias("session_id"),
     )
     return flagged.groupBy("user_id", "session_id").agg(
-        F.expr("min(ts) div 1000000000").alias("session_start_s"),
+        F.expr("min(ts) div 1000000").alias("session_start_s"),
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("sum_value"),
     )
@@ -387,7 +387,7 @@ def r8c_sessions(spark: SparkSession, sf: str) -> DataFrame:
 R8C_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
-         CASE WHEN epoch_ns(ts) - epoch_ns(lag(ts) OVER w) >= 1800000000000
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -399,7 +399,7 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-       epoch_ns(min(ts)) // 1000000000 AS session_start_s,
+       epoch_us(min(ts)) // 1000000 AS session_start_s,
        count(*)   AS n_events,
        sum(value) AS sum_value
 FROM sessions

@@ -1,0 +1,224 @@
+"""Relational surface, part 2: cube, pivot, range join, as-of join, date
+battery, approximate sketches.
+
+The as-of join deliberately avoids a join: union both sides and LOCF the
+right side's attributes over event time within the key — linear in input,
+one shuffle on (key), no pair explosion. This is THE scalable as-of pattern
+at 100 TB (a band range-join would shuffle candidates quadratically in the
+band width).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orc_spark.plans import Query
+from orc_spark.sources.tables import load_table
+
+
+# --- cube -------------------------------------------------------------------
+
+def r4b_cube(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+R4B_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)          AS n_orders,
+       sum(o_totalprice) AS revenue,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- pivot (conditional aggregation, engine-portable) -----------------------
+
+def r_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_open"),
+            F.col("F").alias("qty_filled"),
+        )
+    )
+
+
+R_PIVOT_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
+       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- range join -------------------------------------------------------------
+
+def rj_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi+range join: per order, lineitems shipped within 30 days of the
+    order date. The equi key (orderkey) carries the shuffle; the range
+    predicate filters inside the join — no cross product."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (
+            F.col("l_shipdate")
+            < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_fast_items"),
+            F.sum("l_extendedprice").alias("fast_revenue"),
+        )
+    )
+
+
+RJ_SQL = """
+SELECT o_orderpriority,
+       count(*)             AS n_fast_items,
+       sum(l_extendedprice) AS fast_revenue
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority
+"""
+
+
+# --- as-of join -------------------------------------------------------------
+
+def aj_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for every 'click' event, the latest prior-or-same-time
+    'view' event of the same user. Union + ordered LOCF — linear, no pair
+    explosion (ties broken by event_id order: a view at the identical ts
+    with smaller event_id is visible to the click)."""
+    ev = load_table(spark, sf, "events")  # ts = bigint epoch micros
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    both = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("v_id"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("v_value"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("v_ts"),
+    )
+    carried = both.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last("v_id", ignorenulls=True).over(w).alias("last_view_id"),
+        F.last("v_value", ignorenulls=True).over(w).alias("last_view_value"),
+        F.last("v_ts", ignorenulls=True).over(w).alias("last_view_ts"),
+    )
+    return carried.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        "last_view_id",
+        "last_view_value",
+        F.expr("(ts - last_view_ts) div 1000").alias("gap_ms"),
+    )
+
+
+AJ_SQL = """
+WITH evts AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+         CASE WHEN event_type = 'view' THEN value    END AS v_value,
+         CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS v_ts_us
+  FROM events WHERE event_type IN ('click', 'view')
+), carried AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         last_value(v_id    IGNORE NULLS) OVER w AS last_view_id,
+         last_value(v_value IGNORE NULLS) OVER w AS last_view_value,
+         last_value(v_ts_us IGNORE NULLS) OVER w AS last_view_ts_us
+  FROM evts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS click_id, last_view_id, last_view_value,
+       (ts_us - last_view_ts_us) // 1000 AS gap_ms
+FROM carried WHERE event_type = 'click'
+"""
+
+
+# --- date/time battery ------------------------------------------------------
+
+def r7b_dates(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    d = F.col("o_orderdate")  # TIMESTAMP_NTZ
+    anchor = F.lit("1995-06-15").cast("timestamp_ntz")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("q"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.unix_millis(F.date_trunc("month", d).cast("timestamp")).alias("month_start_ms"),
+        F.datediff(d.cast("date"), anchor.cast("date")).alias("days_from_anchor"),
+        F.when(F.dayofweek(d).isin(1, 7), True).otherwise(False).alias("is_weekend"),
+    )
+
+
+R7B_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER)     AS y,
+       CAST(month(o_orderdate) AS INTEGER)    AS m,
+       CAST(day(o_orderdate) AS INTEGER)      AS dom,
+       CAST(quarter(o_orderdate) AS INTEGER)  AS q,
+       strftime(o_orderdate, '%Y-%m')         AS ym,
+       epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+       CAST(date_diff('day', DATE '1995-06-15', CAST(o_orderdate AS DATE)) AS INTEGER)
+                                              AS days_from_anchor,
+       dayofweek(o_orderdate) IN (0, 6)       AS is_weekend
+FROM orders
+"""
+
+
+# --- approximate sketches ---------------------------------------------------
+
+def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL++) and percentile_approx per returnflag —
+    sketch algorithms differ between engines, so this entry is rows-only
+    checked; tests/test_relational2.py bounds the relative error vs exact."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.expr("median(l_extendedprice)").alias("exact_median_price"),
+    )
+
+
+QUERIES = [
+    Query("r4b_cube", r4b_cube, R4B_SQL, "cube grouping sets"),
+    Query("r_pivot", r_pivot, R_PIVOT_SQL, "pivot via conditional aggregation"),
+    Query("rj_range_join", rj_range_join, RJ_SQL, "equi+range join (ship within 30 days)"),
+    Query("aj_asof_join", aj_asof_join, AJ_SQL, "as-of join via union + ordered LOCF"),
+    Query("r7b_dates", r7b_dates, R7B_SQL, "date/time scalar battery"),
+    Query("approx_sketches", approx_sketches, None, "HLL++ + approx percentile (rows-only; error-bounded in tests)"),
+]

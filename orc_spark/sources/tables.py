@@ -33,12 +33,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
         # as a timestamp; read it as raw nanosecond bigint (runtime-settable
-        # conf) and let queries convert explicitly. DuckDB reads the same
-        # column as TIMESTAMP_NS; oracles use epoch_ns() to align.
+        # conf). DuckDB reads the same column as TIMESTAMP (microseconds,
+        # TRUNCATING sub-µs — verified empirically), so we truncate to µs here
+        # too: every downstream comparison/ordering/derivation then agrees
+        # bit-for-bit with the oracle. ts is therefore BIGINT EPOCH MICROS.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.expr("ts div 1000"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,49 @@
+"""Semantics tests for relational part 2 beyond the DuckDB parity gate:
+as-of join correctness against a pandas oracle, approx-sketch error bounds."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from orc_spark.plans.relational2 import aj_asof_join, approx_sketches
+from orc_spark.sources.tables import load_table
+
+
+def test_asof_join_matches_pandas_oracle(spark, sf_small):
+    got = aj_asof_join(spark, sf_small).toPandas().sort_values("click_id").reset_index(drop=True)
+    ev = load_table(spark, sf_small, "events").toPandas()
+    ev = ev[ev.event_type.isin(["click", "view"])].sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for uid, grp in ev.groupby("user_id"):
+        last_view = None
+        for _, r in grp.iterrows():
+            if r.event_type == "view":
+                last_view = r
+            else:
+                rows.append(
+                    {
+                        "click_id": r.event_id,
+                        "last_view_id": None if last_view is None else last_view.event_id,
+                    }
+                )
+    exp = pd.DataFrame(rows).sort_values("click_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(
+        got["last_view_id"].astype("float"),
+        exp["last_view_id"].astype("float"),
+        check_names=False,
+    )
+    # gap is non-negative whenever a prior view exists
+    gaps = got["gap_ms"].dropna()
+    assert (gaps >= 0).all()
+
+
+def test_approx_sketches_error_bounds(spark, sf_small):
+    pdf = approx_sketches(spark, sf_small).toPandas()
+    assert len(pdf) > 0
+    rel_cnt = (pdf["approx_parts"] - pdf["exact_parts"]).abs() / pdf["exact_parts"]
+    assert (rel_cnt < 0.05).all(), f"HLL error too large: {rel_cnt.tolist()}"
+    rel_med = (
+        pdf["approx_median_price"] - pdf["exact_median_price"]
+    ).abs() / pdf["exact_median_price"]
+    assert (rel_med < 0.05).all()

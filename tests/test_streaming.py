@@ -93,7 +93,7 @@ def test_orclog_roundtrip(spark, tmp_path):
 def test_stream_windows_match_batch(spark, sf_small, tmpdirs):
     """Tumbling windows computed over a file stream == the batch result."""
     ev = load_table(spark, sf_small, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        "ts", F.timestamp_micros(F.col("ts"))  # ts is bigint epoch micros
     )
     ev.write.parquet(os.path.join(tmpdirs["in"], "p"))
     batch = stream_event_windows(ev, "tumbling").orderBy("window_start_ms", "event_type")
