@@ -47,6 +47,11 @@ def get_spark(app_name: str = "orc_spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.orc.impl", "native")
         .config("spark.sql.orc.filterPushdown", "true")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # split small files aggressively so local[32] actually parallelizes
+        # MB-scale inputs; at 100 TB raise maxPartitionBytes back to 128m+
+        # (row groups bound the real split granularity there anyway)
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
