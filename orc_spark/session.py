@@ -52,6 +52,10 @@ def get_spark(app_name: str = "orc_spark", cpus: int | None = None) -> SparkSess
         # (row groups bound the real split granularity there anyway)
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
         .config("spark.sql.files.openCostInBytes", "1m")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/orc_spark_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
