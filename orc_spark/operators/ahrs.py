@@ -221,10 +221,126 @@ AHRS_OUT_FIELDS = [
 ]
 
 
+def ahrs_scan_fast_f64(
+    gyro: np.ndarray, accel: np.ndarray, settings: AhrsSettings
+) -> dict[str, np.ndarray]:
+    """Float64 recurrence in plain Python floats (no per-step numpy object
+    overhead) — ~50× the numpy-scalar loop. Same semantics as AhrsReplay with
+    f32=False and exact 1/sqrt. This is the production batch path; the f32
+    path exists for bit-faithful firmware replay."""
+    s = settings
+    n = gyro.shape[0]
+    gx_a, gy_a, gz_a = (gyro[:, j].astype(np.float64) for j in range(3))
+    ax_a, ay_a, az_a = (accel[:, j].astype(np.float64) for j in range(3))
+    gyro_range = 1e308 if s.gyroscope_range_dps == 0.0 else 0.98 * s.gyroscope_range_dps
+    if s.gain == 0.0 or s.recovery_trigger_period == 0 or s.acceleration_rejection_deg == 0.0:
+        accel_rejection = 1e308
+    else:
+        hs = 0.5 * math.sin(math.radians(s.acceleration_rejection_deg))
+        accel_rejection = hs * hs
+    ramp_step = (INITIAL_GAIN - s.gain) / INITIALISATION_PERIOD
+    dt_s = s.sample_time
+    deg = math.degrees
+    half_dps_to_rad = math.radians(0.5)
+
+    qw, qx, qy, qz = 1.0, 0.0, 0.0, 0.0
+    initialising = True
+    ramped_gain = INITIAL_GAIN
+    rec_trigger = 0
+    rec_timeout = s.recovery_trigger_period
+    out = {name: np.empty(n) for name, _ in AHRS_OUT_FIELDS}
+    o_qw, o_qx, o_qy, o_qz = out["qw"], out["qx"], out["qy"], out["qz"]
+    o_r, o_p, o_y = out["roll_deg"], out["pitch_deg"], out["yaw_deg"]
+    o_lx, o_ly, o_lz = out["lin_x"], out["lin_y"], out["lin_z"]
+
+    for i in range(n):
+        gx, gy, gz = gx_a[i], gy_a[i], gz_a[i]
+        ax, ay, az = ax_a[i], ay_a[i], az_a[i]
+        if abs(gx) > gyro_range or abs(gy) > gyro_range or abs(gz) > gyro_range:
+            initialising = True
+            ramped_gain = INITIAL_GAIN
+            rec_trigger = 0
+            rec_timeout = s.recovery_trigger_period
+        if initialising:
+            ramped_gain -= ramp_step * dt_s
+            if ramped_gain < s.gain or s.gain == 0.0:
+                ramped_gain = s.gain
+                initialising = False
+        # half gravity (ENU)
+        hgx = qx * qz - qw * qy
+        hgy = qy * qz + qw * qx
+        hgz = qw * qw - 0.5 + qz * qz
+        fbx = fby = fbz = 0.0
+        if ax != 0.0 or ay != 0.0 or az != 0.0:
+            inv = 1.0 / math.sqrt(ax * ax + ay * ay + az * az)
+            sx, sy, sz = ax * inv, ay * inv, az * inv
+            cx = sy * hgz - sz * hgy
+            cy = sz * hgx - sx * hgz
+            cz = sx * hgy - sy * hgx
+            if sx * hgx + sy * hgy + sz * hgz < 0.0:
+                m2 = cx * cx + cy * cy + cz * cz
+                if m2 > 0.0:
+                    inv = 1.0 / math.sqrt(m2)
+                    cx, cy, cz = cx * inv, cy * inv, cz * inv
+            ignored = True
+            if initialising or cx * cx + cy * cy + cz * cz <= accel_rejection:
+                ignored = False
+                rec_trigger -= 9
+            else:
+                rec_trigger += 1
+            if rec_trigger > rec_timeout:
+                rec_timeout = 0
+                ignored = False
+            else:
+                rec_timeout = s.recovery_trigger_period
+            if rec_trigger < 0:
+                rec_trigger = 0
+            elif rec_trigger > s.recovery_trigger_period:
+                rec_trigger = s.recovery_trigger_period
+            if not ignored:
+                fbx, fby, fbz = cx, cy, cz
+        adjx = (gx * half_dps_to_rad + fbx * ramped_gain) * dt_s
+        adjy = (gy * half_dps_to_rad + fby * ramped_gain) * dt_s
+        adjz = (gz * half_dps_to_rad + fbz * ramped_gain) * dt_s
+        nqw = qw + (-qx * adjx - qy * adjy - qz * adjz)
+        nqx = qx + (qw * adjx + qy * adjz - qz * adjy)
+        nqy = qy + (qw * adjy - qx * adjz + qz * adjx)
+        nqz = qz + (qw * adjz + qx * adjy - qy * adjx)
+        inv = 1.0 / math.sqrt(nqw * nqw + nqx * nqx + nqy * nqy + nqz * nqz)
+        qw, qx, qy, qz = nqw * inv, nqx * inv, nqy * inv, nqz * inv
+        if initialising:
+            yaw_r = math.atan2(qw * qz + qx * qy, 0.5 - qy * qy - qz * qz)
+            half = 0.5 * yaw_r
+            rw, rz = math.cos(half), -math.sin(half)
+            qw, qx, qy, qz = (
+                rw * qw - rz * qz,
+                rw * qx - rz * qy,
+                rw * qy + rz * qx,
+                rw * qz + rz * qw,
+            )
+        o_qw[i], o_qx[i], o_qy[i], o_qz[i] = qw, qx, qy, qz
+        hmq = 0.5 - qy * qy
+        o_r[i] = deg(math.atan2(qw * qx + qy * qz, hmq - qx * qx))
+        sp = 2.0 * (qw * qy - qz * qx)
+        if sp > 1.0:
+            sp = 1.0
+        elif sp < -1.0:
+            sp = -1.0
+        o_p[i] = deg(math.asin(sp))
+        o_y[i] = deg(math.atan2(qw * qz + qx * qy, hmq - qz * qz))
+        o_lx[i] = ax - 2.0 * (qx * qz - qw * qy)
+        o_ly[i] = ay - 2.0 * (qy * qz + qw * qx)
+        o_lz[i] = az - 2.0 * (qw * qw - 0.5 + qz * qz)
+    return out
+
+
 def ahrs_scan_arrays(
     gyro: np.ndarray, accel: np.ndarray, settings: AhrsSettings, f32: bool = True
 ) -> dict[str, np.ndarray]:
-    """Run the recurrence over (n,3) gyro/accel arrays; returns output columns."""
+    """Run the recurrence over (n,3) gyro/accel arrays; returns output columns.
+    f32=False routes to the fast plain-float engine (identical f64 math)."""
+    if not f32:
+        return ahrs_scan_fast_f64(gyro, accel, settings)
     n = gyro.shape[0]
     eng = AhrsReplay(settings, f32=f32)
     out = {name: np.empty(n) for name, _ in AHRS_OUT_FIELDS}
