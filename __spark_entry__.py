@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from orc_spark.plans import registry  # noqa: E402
+from orc_spark.session import ensure_package_on_workers  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,11 +30,22 @@ def entry(spark: SparkSession) -> DataFrame:
     top-k (scan + predicate pushdown + broadcast join + agg + sort/limit)."""
     from orc_spark.plans.relational import r3_shipping_priority
 
+    ensure_package_on_workers(spark)
     return r3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the harness's session may predate our PYTHONPATH: ship the package
+        # to its UDF workers before building any plan with Python stages
+        ensure_package_on_workers(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark_fn for name, q in registry().items()}
+    return {name: _wrap(q.spark_fn) for name, q in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -18,6 +18,38 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Make orc_spark importable in Python UDF workers of ANY session —
+    including one created by an external harness before this package was on
+    PYTHONPATH. Ships a zip of the package via addPyFile (idempotent), the
+    standard mechanism that works after JVM start and on real clusters."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", "orc_spark_pkg.zip")
+    marker = f"_orc_spark_pyfile_{id(spark.sparkContext)}"
+    if getattr(spark.sparkContext, marker, False):
+        return
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    ):
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "orc_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        os.replace(zip_path + ".tmp", zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    setattr(spark.sparkContext, marker, True)
+
+
 def get_spark(app_name: str = "orc_spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) the session. ``cpus`` defaults to $SPARK_GRAFT_CPUS or 32."""
     if cpus is None:
