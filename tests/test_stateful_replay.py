@@ -122,6 +122,22 @@ def test_pipeline_replay_shapes_and_quirk():
     assert not np.allclose(faith2["accel_g"][100:110], fixed["accel_g"][100:110])
 
 
+def test_fast_f64_pipeline_matches_slow():
+    """Phase-decomposed fast path == the per-sample f64 loop, bit-for-bit."""
+    from orc_spark.operators.imu_pipeline import replay_run_fast_f64
+
+    rng = np.random.default_rng(23)
+    n = 600
+    xl = rng.integers(-9000, 9000, (n, 3))
+    xl[:, 2] += 8197
+    gy = rng.integers(-4000, 4000, (n, 3))
+    gy[50:60] = 31000   # exercise both gates + gyro-range reinit
+    slow = replay_run(xl, gy, DT, f32=False)
+    fast = replay_run_fast_f64(xl, gy, DT)
+    for k in slow:
+        np.testing.assert_allclose(fast[k], slow[k], rtol=1e-12, atol=1e-12, err_msg=k)
+
+
 def test_distributed_replay_matches_local(spark):
     """applyInPandas replay == the plain numpy recurrence, per run."""
     import pandas as pd
