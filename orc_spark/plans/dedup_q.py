@@ -247,6 +247,56 @@ FROM weights GROUP BY doc_id
 """
 
 
+def dd_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance ≤ 3: split the 60-bit
+    hash into 4 × 15-bit bands — by pigeonhole any pair within distance 3
+    shares at least one band, so the candidate join is linear (band join),
+    and the exact popcount(xor) check runs only on candidates."""
+    sig = dd_simhash(spark, sf)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.expr(f"(simhash div {1 << (15 * b)}) % {1 << 15}").alias("band_val"),
+        )
+        for b in range(4)
+    ]
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band_idx", "bk.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 3)
+    )
+
+
+DD_SIMHASH_PAIRS_SQL = f"""
+WITH sig AS ({DD_SIMHASH_SQL}),
+bands AS (
+  SELECT doc_id, simhash, b AS band_idx,
+         (simhash // CAST(pow(2.0, 15 * b) AS BIGINT)) % 32768 AS band_val
+  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # --- n-gram Jaccard near-dup ------------------------------------------------
 
 NGRAM_N = 3
@@ -516,6 +566,7 @@ QUERIES = [
     Query("dd_minhash_sig", dd_minhash_sig, _minhash_sig_sql(), "MinHash signatures (16 perms, 5-shingles)"),
     Query("dd_minhash_pairs", dd_minhash_pairs, _minhash_pairs_sql(), "LSH banded candidate pairs + estimated jaccard"),
     Query("dd_simhash", dd_simhash, DD_SIMHASH_SQL, "60-bit SimHash document fingerprints"),
+    Query("dd_simhash_pairs", dd_simhash_pairs, DD_SIMHASH_PAIRS_SQL, "SimHash banded near-dup pairs (hamming ≤ 3)"),
     Query("dd_ngram_jaccard", dd_ngram_jaccard, DD_NGRAM_SQL, "exact trigram Jaccard near-dup (blocked)"),
     Query("dd_embcos", dd_embcos, DD_EMBCOS_SQL, "embedding cosine near-dup pairs"),
     Query("ann_topk", ann_topk, ANN_TOPK_SQL, "brute-force cosine top-k baseline"),
