@@ -79,16 +79,14 @@ _SHINGLES_SQL = f"""
 
 
 def dd_minhash_sig(spark: SparkSession, sf: str) -> DataFrame:
-    """Hash each shingle BEFORE dedup: the distinct shuffles 8-byte ints
-    instead of strings (same signatures — min over distinct hashes == min
-    over hashes of distinct shingles, and the hash is engine-identical)."""
+    """No distinct at all: min over the shingle MULTISET equals min over the
+    set, so the signature aggregation consumes the exploded rows directly —
+    one shuffle (the groupBy), map-side partial mins, nothing else."""
     docs = load_table(spark, sf, "documents")
     t = F.lower(F.col("text"))
     pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (SHINGLE_K - 1), F.lit(1)))
-    sh = (
-        docs.select("doc_id", F.explode(pos).alias("pos"), t.alias("t"))
-        .select("doc_id", h60(F.expr(f"substring(t, pos, {SHINGLE_K})")).alias("h"))
-        .distinct()
+    sh = docs.select("doc_id", F.explode(pos).alias("pos"), t.alias("t")).select(
+        "doc_id", h60(F.expr(f"substring(t, pos, {SHINGLE_K})")).alias("h")
     )
     aggs = [
         F.min(minhash_col(F.col("h"), a, b)).alias(f"m{i}")
@@ -326,11 +324,11 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
     t = F.lower(F.col("text"))
     pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (NGRAM_N - 1), F.lit(1)))
-    grams = (
-        docs.select("doc_id", "bucket", F.explode(pos).alias("pos"), t.alias("t"))
-        .select("doc_id", "bucket", F.expr(f"substring(t, pos, {NGRAM_N})").alias("g"))
-        .distinct()
-    )
+    # no distinct: the matmul kernel sets m[doc, gram] = 1 idempotently, so
+    # duplicate gram rows are deduped for free inside the block
+    grams = docs.select(
+        "doc_id", "bucket", F.explode(pos).alias("pos"), t.alias("t")
+    ).select("doc_id", "bucket", F.expr(f"substring(t, pos, {NGRAM_N})").alias("g"))
 
     schema = T.StructType(
         [
