@@ -38,6 +38,22 @@ def main() -> None:
         n = q.spark_fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    # flagship reference workload: the full 4-metric analytics pass over the
+    # real 129k-row firmware log (BASELINE.md row 1: target single-digit sec)
+    real_csv = (
+        "/root/reference/Python Plotting/Vibration_test/High Speed/"
+        "ORCLOG_vibration_HS.CSV"
+    )
+    if os.path.exists(real_csv):
+        from orc_spark.plans.orclog_e2e import orclog_full_report
+
+        t0 = time.perf_counter()
+        n = orclog_full_report(spark, real_csv).count()
+        timings["orclog_e2e_real129k"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# orclog_e2e_real129k: {timings['orclog_e2e_real129k']:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

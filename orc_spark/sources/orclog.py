@@ -68,15 +68,35 @@ ORCLOG_SCHEMA = T.StructType(
 )
 
 
-def read_log_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+def read_log_lines(
+    spark: SparkSession, paths: list[str] | str, method: str = "wholetext"
+) -> DataFrame:
     """Read log files as (file, line_no, value) preserving per-file order.
 
-    ``zipWithIndex`` per file: Hadoop text splits preserve line order across
-    partition indices within one file, so the index is the physical line
-    number. Files are independent units of parallelism.
+    Default ``wholetext``: one row per file, split into lines with
+    ``posexplode`` — a pure-JVM path (no Python row serialization), exact
+    line numbers by construction, parallel across files. Log files are MB
+    scale (firmware session rotation), so whole-file rows are bounded.
+
+    ``zipindex`` fallback for single files too large to hold as one row:
+    Hadoop text splits preserve line order across partition indices within a
+    file, so RDD ``zipWithIndex`` is the physical line number — at the cost
+    of routing rows through Python.
     """
     if isinstance(paths, str):
         paths = [paths]
+    if method == "wholetext":
+        files = (
+            spark.read.option("wholetext", "true")
+            .text(paths)
+            .select(F.input_file_name().alias("file"), "value")
+        )
+        return files.select(
+            "file",
+            # CRLF-safe split; Hadoop's line reader would strip \r, so the
+            # explode path must too
+            F.posexplode(F.split(F.col("value"), "\r?\n")).alias("line_no", "value"),
+        ).select("file", F.col("line_no").cast("long").alias("line_no"), "value")
     dfs = []
     for p in paths:
         rdd = (
