@@ -38,6 +38,9 @@ def main() -> None:
         n = q.spark_fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # release caches a query may have pinned (LSH signatures etc.) so
+        # later queries aren't measured under accumulated memory pressure
+        spark.catalog.clearCache()
     # flagship reference workload: the full 4-metric analytics pass over the
     # real 129k-row firmware log (BASELINE.md row 1: target single-digit sec)
     real_csv = (
@@ -47,6 +50,7 @@ def main() -> None:
     if os.path.exists(real_csv):
         from orc_spark.plans.orclog_e2e import orclog_full_report
 
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         n = orclog_full_report(spark, real_csv).count()
         timings["orclog_e2e_real129k"] = round(time.perf_counter() - t0, 3)
