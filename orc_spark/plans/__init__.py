@@ -42,10 +42,20 @@ def registry() -> dict[str, Query]:
         text_q,
         stateful_q,
         mm_q,
+        profile_q,
     )
 
     out: dict[str, Query] = {}
-    for mod in (relational, relational2, timeseries_q, dedup_q, text_q, stateful_q, mm_q):
+    for mod in (
+        relational,
+        relational2,
+        timeseries_q,
+        dedup_q,
+        text_q,
+        stateful_q,
+        mm_q,
+        profile_q,
+    ):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")

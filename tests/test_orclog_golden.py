@@ -106,6 +106,33 @@ def test_q4_jerk(parsed, oracle_store):
     np.testing.assert_allclose(got, exp, rtol=1e-12, atol=1e-15)
 
 
+def test_full_report_golden(spark, oracle_store):
+    """The one-pass 4-metric report (orclog_e2e) reproduces every group mean
+    and Welch test the metric-by-metric oracle produces."""
+    from orc_spark.plans.orclog_e2e import orclog_full_report
+
+    rows = {r["metric"]: r for r in orclog_full_report(spark, REAL_CSV).collect()}
+    assert set(rows) == {"accel", "pitch", "roll", "jerk"}
+    metric_map = {"accel": "accel", "pitch": "pitch", "roll": "roll", "jerk": "accel"}
+    for label, src in metric_map.items():
+        deriv = label == "jerk"
+        flt = oracle_ref.filtered_runs(oracle_store, src, derivative=deriv)
+        pops = {("enabled" in g): oracle_ref.run_stats(r) for g, r in flt.items()}
+        r = rows[label]
+        for si, (stat, alt) in enumerate(
+            [("rms", "less"), ("min", "greater"), ("max", "less")]
+        ):
+            exp_on = np.mean([s[si] for s in pops[True]])
+            exp_off = np.mean([s[si] for s in pops[False]])
+            np.testing.assert_allclose(r[f"avg_{stat}_on"], exp_on, rtol=1e-10)
+            np.testing.assert_allclose(r[f"avg_{stat}_off"], exp_off, rtol=1e-10)
+            exp_t, exp_p = oracle_ref.welch(
+                [s[si] for s in pops[True]], [s[si] for s in pops[False]], alt
+            )
+            np.testing.assert_allclose(r[f"t_{stat}"], exp_t, rtol=1e-9)
+            np.testing.assert_allclose(r[f"p_{stat}"], exp_p, rtol=1e-8)
+
+
 def test_q6_q7_golden_stats(parsed, oracle_store):
     """Reproduce ORC Result Summary.pdf p.1 (HS vibration column)."""
     filt = median_filter(parsed, "accel_g", RUN, "sample_idx", 15, "f")
