@@ -383,4 +383,11 @@ def ahrs_replay(
             out[name] = res[name]
         return out
 
-    return df.groupBy(*partition_cols).applyInPandas(fn, schema)
+    # cores-not-bytes partitioning for the CPU-bound Python stage (see
+    # control.pid_replay)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n_parts, *partition_cols)
+        .groupBy(*partition_cols)
+        .applyInPandas(fn, schema)
+    )

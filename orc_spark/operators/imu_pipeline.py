@@ -290,4 +290,9 @@ def imu_pipeline_replay(
             out[nm] = res[nm]
         return out
 
-    return df.groupBy(*partition_cols).applyInPandas(fn, schema)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n_parts, *partition_cols)
+        .groupBy(*partition_cols)
+        .applyInPandas(fn, schema)
+    )

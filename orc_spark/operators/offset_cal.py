@@ -71,4 +71,9 @@ def gyro_offset_replay(
             out[f"{c}_corr"] = corr[:, j].astype(np.float64)
         return out
 
-    return df.groupBy(*partition_cols).applyInPandas(fn, schema)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n_parts, *partition_cols)
+        .groupBy(*partition_cols)
+        .applyInPandas(fn, schema)
+    )
