@@ -82,7 +82,11 @@ def dd_minhash_sig(spark: SparkSession, sf: str) -> DataFrame:
     """No distinct at all: min over the shingle MULTISET equals min over the
     set, so the signature aggregation consumes the exploded rows directly —
     one shuffle (the groupBy), map-side partial mins, nothing else."""
-    docs = load_table(spark, sf, "documents")
+    # pre-explode repartition: the documents file is one scan split, and the
+    # ~300× shingle fan-out + md5 would otherwise run in a single task
+    docs = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     t = F.lower(F.col("text"))
     pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (SHINGLE_K - 1), F.lit(1)))
     sh = docs.select("doc_id", F.explode(pos).alias("pos"), t.alias("t")).select(
@@ -120,13 +124,24 @@ def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """LSH candidate generation: explode each signature into (band_idx,
     band_key) rows and self-join ONCE on that composite key — one shuffle on
     the band key instead of one self-join per band. Only same-band docs meet;
-    at 100 TB the join input is |docs|·N_BANDS rows, never |docs|²."""
-    sig = dd_minhash_sig(spark, sf).cache()
+    at 100 TB the join input is |docs|·N_BANDS rows, never |docs|².
+
+    Signatures travel as ONE array column (not 16 scalar columns): the join
+    stages codegen over a 2-column schema and the match estimate is a single
+    zip_with/aggregate expression."""
+    sig16 = dd_minhash_sig(spark, sf)
+    sig = sig16.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig")
+    ).cache()
     band_structs = [
         F.struct(
             F.lit(band).alias("band_idx"),
             F.concat_ws(
-                ",", *[F.col(f"m{band * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)]
+                ",",
+                *[
+                    F.element_at("sig", band * ROWS_PER_BAND + j + 1)
+                    for j in range(ROWS_PER_BAND)
+                ],
             ).alias("band_key"),
         )
         for band in range(N_BANDS)
@@ -142,12 +157,11 @@ def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_PERM)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_PERM)])
-    est = None
-    for i in range(N_PERM):
-        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
-        est = term if est is None else est + term
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    est = F.expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    )
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -203,7 +217,9 @@ _TOKENS_SQL = """
 def dd_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """60-bit SimHash: per bit b, sign of Σ_tokens (bit_b(h(token)) ? +1 : -1),
     weighted by token multiplicity."""
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = _tokens(docs).select("doc_id", h60(F.col("tok")).alias("h"))
     # integer division, not `/`: h is up to 2^60 and float division would lose
     # low bits. 2^b is exact in double, so the cast is exact in both engines.
@@ -319,8 +335,12 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = load_table(spark, sf, "documents").select(
-        "doc_id", "text", (F.floor(F.length("text") / LEN_BUCKET)).alias("bucket")
+    docs = (
+        load_table(spark, sf, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id", "text", (F.floor(F.length("text") / LEN_BUCKET)).alias("bucket")
+        )
     )
     t = F.lower(F.col("text"))
     pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (NGRAM_N - 1), F.lit(1)))

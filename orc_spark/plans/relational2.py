@@ -199,6 +199,37 @@ FROM orders
 """
 
 
+# --- JSON + map scalar battery ----------------------------------------------
+
+def r7c_json_map(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction over events.props plus map construction/lookup —
+    the map/json leg of the scalar battery (SURVEY §2.C)."""
+    ev = load_table(spark, sf, "events")
+    k_val = F.get_json_object(F.col("props"), "$.k").cast("int")
+    m = F.create_map(F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string"))
+    return ev.select(
+        "event_id",
+        k_val.alias("k_val"),
+        (k_val % 10).alias("k_mod"),
+        F.element_at(m, "type").alias("m_type"),
+        F.size(F.map_keys(m)).alias("m_nkeys"),
+        F.to_json(F.struct(F.col("event_id").alias("id"), k_val.alias("k"))).alias("j_out"),
+    )
+
+
+R7C_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       (MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)])['type'])[1] AS m_type,
+       CAST(cardinality(MAP(['type', 'uid'],
+            [event_type, CAST(user_id AS VARCHAR)])) AS INTEGER) AS m_nkeys,
+       '{"id":' || event_id || ',"k":' ||
+            CAST(json_extract_string(props, '$.k') AS INTEGER) || '}' AS j_out
+FROM events
+"""
+
+
 # --- approximate sketches ---------------------------------------------------
 
 def approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
@@ -220,5 +251,6 @@ QUERIES = [
     Query("rj_range_join", rj_range_join, RJ_SQL, "equi+range join (ship within 30 days)"),
     Query("aj_asof_join", aj_asof_join, AJ_SQL, "as-of join via union + ordered LOCF"),
     Query("r7b_dates", r7b_dates, R7B_SQL, "date/time scalar battery"),
+    Query("r7c_json_map", r7c_json_map, R7C_SQL, "JSON extraction + map construction battery"),
     Query("approx_sketches", approx_sketches, None, "HLL++ + approx percentile (rows-only; error-bounded in tests)"),
 ]
