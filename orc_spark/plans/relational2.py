@@ -199,6 +199,80 @@ FROM orders
 """
 
 
+# --- window frames + ranking battery ----------------------------------------
+
+def r5b_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame (value-based window): per customer, the sum of their
+    orders within ±1000 of each order's totalprice — exercises range frames
+    vs the row frames used elsewhere."""
+    orders = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, 1000)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+        F.sum("o_totalprice").over(w).alias("sum_near"),
+    )
+
+
+R5B_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       count(*)          OVER w AS n_near,
+       sum(o_totalprice) OVER w AS sum_near
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+"""
+
+
+def r5c_rank_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Full ranking-function battery over one deterministic ordering."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prnk"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        F.first("o_orderkey").over(w).alias("top_key"),
+    ).where(F.col("rn") <= 50)
+
+
+R5C_SQL = """
+SELECT o_orderkey, o_orderpriority, rn, rnk, drnk, prnk, cdist, quartile,
+       prev_key, next_key, top_key
+FROM (
+  SELECT o_orderkey, o_orderpriority,
+         row_number()   OVER w AS rn,
+         rank()         OVER w AS rnk,
+         dense_rank()   OVER w AS drnk,
+         round(percent_rank() OVER w, 9) AS prnk,
+         round(cume_dist()    OVER w, 9) AS cdist,
+         ntile(4)       OVER w AS quartile,
+         lag(o_orderkey)  OVER w AS prev_key,
+         lead(o_orderkey) OVER w AS next_key,
+         first_value(o_orderkey) OVER w AS top_key
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+WHERE rn <= 50
+"""
+
+
 # --- JSON + map scalar battery ----------------------------------------------
 
 def r7c_json_map(spark: SparkSession, sf: str) -> DataFrame:
@@ -252,5 +326,7 @@ QUERIES = [
     Query("aj_asof_join", aj_asof_join, AJ_SQL, "as-of join via union + ordered LOCF"),
     Query("r7b_dates", r7b_dates, R7B_SQL, "date/time scalar battery"),
     Query("r7c_json_map", r7c_json_map, R7C_SQL, "JSON extraction + map construction battery"),
+    Query("r5b_range_frame", r5b_range_frame, R5B_SQL, "value-based RANGE window frame"),
+    Query("r5c_rank_battery", r5c_rank_battery, R5C_SQL, "ranking function battery"),
     Query("approx_sketches", approx_sketches, None, "HLL++ + approx percentile (rows-only; error-bounded in tests)"),
 ]
