@@ -43,6 +43,7 @@ def registry() -> dict[str, Query]:
         stateful_q,
         mm_q,
         profile_q,
+        rollup_q,
     )
 
     out: dict[str, Query] = {}
@@ -55,6 +56,7 @@ def registry() -> dict[str, Query]:
         stateful_q,
         mm_q,
         profile_q,
+        rollup_q,
     ):
         for q in mod.QUERIES:
             if q.name in out:
