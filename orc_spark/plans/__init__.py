@@ -37,8 +37,10 @@ def registry() -> dict[str, Query]:
     from orc_spark.plans import (
         relational,
         relational2,
+        relational3,
         timeseries_q,
         dedup_q,
+        cluster_q,
         text_q,
         stateful_q,
         mm_q,
@@ -50,8 +52,10 @@ def registry() -> dict[str, Query]:
     for mod in (
         relational,
         relational2,
+        relational3,
         timeseries_q,
         dedup_q,
+        cluster_q,
         text_q,
         stateful_q,
         mm_q,

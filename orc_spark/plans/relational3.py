@@ -1,0 +1,216 @@
+"""Relational surface, part 3: subquery decorrelation, outer-join histogram,
+statistical aggregate battery, unpivot, deterministic sampling.
+
+Scale notes (100 TB):
+- r9 filters the fact table with the broadcast dimension BEFORE the per-key
+  aggregate, so the shuffle agg runs over the brand's rows only — the same
+  plan Catalyst produces when decorrelating the scalar subquery.
+- r10's outer join shuffles on custkey once; both groupBys after it are
+  cheap (second one is over ≤ a few hundred distinct counts).
+- dp_sample is a deterministic hash-bucket sample: reproducible across
+  engines/runs (no RNG state), trivially pushdown-friendly, and the sample
+  fraction is a literal — the standard way to carve a stable dev slice out
+  of a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orc_spark.plans import Query
+from orc_spark.sources.tables import load_table
+
+
+# --- R9: scalar-subquery shape (TPC-H Q17) ----------------------------------
+
+def r9_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Lineitems of one brand whose quantity is below half that part's mean
+    quantity (TPC-H Q17 shape, `main.py`-era threshold relaxed to 0.5 so the
+    small SFs keep matches). The correlated scalar subquery is expressed as
+    its decorrelated form: per-part aggregate joined back on partkey."""
+    li = load_table(spark, sf, "lineitem")
+    brand_parts = (
+        load_table(spark, sf, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li_b = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = li_b.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li_b.join(per_part, "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+R9_SQL = """
+SELECT sum(l_extendedprice) / 7.0 AS avg_yearly,
+       count(*)                   AS n_small
+FROM lineitem li JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem li2 WHERE li2.l_partkey = li.l_partkey)
+"""
+
+
+# --- R10: outer join + distribution histogram (TPC-H Q13) -------------------
+
+def r10_outer_hist(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+R10_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --- R11: statistical aggregate battery -------------------------------------
+
+def r11_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Variance/stddev, exact interpolated percentiles, correlation,
+    covariance and simple linear regression per market segment — the moment
+    sketches a profiling pass needs, all single-shuffle partial+final aggs."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_totalprice", "c_acctbal")
+    p = F.col("o_totalprice")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.stddev_samp(p).alias("sd_price"),
+        F.var_samp(p).alias("var_price"),
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25_price"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95_price"),
+        F.corr(p, F.col("c_acctbal")).alias("corr_price_bal"),
+        F.covar_samp(p, F.col("c_acctbal")).alias("covar_price_bal"),
+        F.expr("regr_slope(o_totalprice, c_acctbal)").alias("slope"),
+        F.expr("regr_intercept(o_totalprice, c_acctbal)").alias("intercept"),
+    )
+
+
+R11_SQL = """
+SELECT c_mktsegment,
+       count(*)                             AS n,
+       stddev_samp(o_totalprice)            AS sd_price,
+       var_samp(o_totalprice)               AS var_price,
+       quantile_cont(o_totalprice, 0.25)    AS p25_price,
+       quantile_cont(o_totalprice, 0.5)     AS p50_price,
+       quantile_cont(o_totalprice, 0.95)    AS p95_price,
+       corr(o_totalprice, c_acctbal)        AS corr_price_bal,
+       covar_samp(o_totalprice, c_acctbal)  AS covar_price_bal,
+       regr_slope(o_totalprice, c_acctbal)  AS slope,
+       regr_intercept(o_totalprice, c_acctbal) AS intercept
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --- R12: unpivot / melt ----------------------------------------------------
+
+def r12_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    wide = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("cnt_orders"),
+            F.sum("o_totalprice").alias("sum_price"),
+            F.avg("o_totalprice").alias("avg_price"),
+        )
+    )
+    return wide.unpivot(
+        "c_mktsegment",
+        ["cnt_orders", "sum_price", "avg_price"],
+        "metric",
+        "value",
+    )
+
+
+R12_SQL = """
+WITH wide AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS DOUBLE) AS cnt_orders,
+         sum(o_totalprice)        AS sum_price,
+         avg(o_totalprice)        AS avg_price
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, metric, value
+FROM wide UNPIVOT (value FOR metric IN (cnt_orders, sum_price, avg_price))
+"""
+
+
+# --- dp_sample: deterministic hash-bucket sampling --------------------------
+
+SAMPLE_BUCKETS = 100  # keep bucket 0 → 1% sample
+
+def dp_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """1% reproducible sample of lineitem via a cross-engine 60-bit md5
+    bucket on the row key, then summary stats over the sample. No RNG: the
+    same rows are selected on any engine, any run, any partitioning."""
+    li = load_table(spark, sf, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % SAMPLE_BUCKETS
+    )
+    return (
+        li.where(bucket == 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("l_extendedprice").alias("sum_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+        )
+    )
+
+
+DP_SAMPLE_SQL = f"""
+SELECT count(*)             AS n_sampled,
+       sum(l_extendedprice) AS sum_price,
+       avg(l_quantity)      AS avg_qty
+FROM lineitem
+WHERE ('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 15))::BIGINT
+      % {SAMPLE_BUCKETS} = 0
+"""
+
+
+QUERIES = [
+    Query("r9_scalar_subquery", r9_scalar_subquery, R9_SQL, "correlated scalar subquery, decorrelated (TPC-H Q17 shape)"),
+    Query("r10_outer_hist", r10_outer_hist, R10_SQL, "left outer join + count histogram (TPC-H Q13 shape)"),
+    Query("r11_stats_agg", r11_stats_agg, R11_SQL, "stddev/percentile/corr/covar/regression battery"),
+    Query("r12_unpivot", r12_unpivot, R12_SQL, "unpivot wide aggregates to long form"),
+    Query("dp_sample", dp_sample, DP_SAMPLE_SQL, "deterministic hash-bucket 1% sample + stats"),
+]

@@ -1,0 +1,70 @@
+"""Connected components: known topologies + union-find cross-check."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from orc_spark.operators.graph import connected_components
+
+
+def _run(spark, nodes, edges):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node bigint")
+    edf = spark.createDataFrame(edges or [(0, 0)], "src bigint, dst bigint")
+    if not edges:
+        edf = edf.limit(0)
+    out = connected_components(ndf, edf).collect()
+    return {r.node: r.comp for r in out}
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-label per component
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in nodes}
+
+
+def test_chain_star_singletons(spark):
+    # chain 1-2-3-4, star 10-{11,12,13}, singletons 20, 21
+    nodes = [1, 2, 3, 4, 10, 11, 12, 13, 20, 21]
+    edges = [(2, 1), (2, 3), (3, 4), (10, 11), (10, 12), (13, 10)]
+    got = _run(spark, nodes, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 21}
+
+
+def test_two_triangles_bridged(spark):
+    nodes = list(range(1, 7))
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    got = _run(spark, nodes, edges)
+    assert set(got.values()) == {1}
+
+
+def test_random_vs_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(100))
+    edges = [(rng.randrange(100), rng.randrange(100)) for _ in range(60)]
+    assert _run(spark, nodes, edges) == _union_find(nodes, edges)
+
+
+def test_long_path_converges(spark):
+    # diameter 30 path — exercises the iteration/convergence loop hard
+    nodes = list(range(30))
+    edges = [(i, i + 1) for i in range(29)]
+    got = _run(spark, nodes, edges)
+    assert set(got.values()) == {0}
