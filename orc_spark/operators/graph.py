@@ -26,14 +26,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _step(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One neighbor-min propagation + one pointer jump (comp ← comp[comp])."""
+    msgs = sym.join(labels, sym.src == labels.node).select(
+        F.col("dst").alias("node"), "comp"
+    )
+    stepped = (
+        labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+    )
+    a, b = stepped.alias("a"), stepped.alias("b")
+    return a.join(b, F.col("a.comp") == F.col("b.node")).select(
+        F.col("a.node").alias("node"), F.col("b.comp").alias("comp")
+    )
+
+
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 25
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 25,
+    steps_per_round: int = 2,
 ) -> DataFrame:
     """nodes(node), edges(src, dst) undirected (either orientation is fine)
     → (node, comp) where comp = min node id in the component.
 
     Isolated nodes (present in `nodes`, absent from `edges`) come out as
     their own singleton component.
+
+    `steps_per_round` propagation steps are fused into each materialized
+    round: checkpoint + convergence-check actions are per ROUND, so the
+    driver/job overhead amortizes over several label-wave hops (on a busy
+    cluster each action is a scheduling round-trip; fusing them roughly
+    halves wall time at identical shuffle volume).
     """
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -44,22 +65,10 @@ def connected_components(
     labels = nodes.select(F.col("node"), F.col("node").alias("comp")).localCheckpoint()
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iters):
-        msgs = sym.join(labels, sym.src == labels.node).select(
-            F.col("dst").alias("node"), "comp"
-        )
-        stepped = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # pointer jump: a label is always a node id, so chase one hop
-        # through the label table itself (comp ← comp[comp])
-        a, b = stepped.alias("a"), stepped.alias("b")
-        labels = (
-            a.join(b, F.col("a.comp") == F.col("b.node"))
-            .select(F.col("a.node").alias("node"), F.col("b.comp").alias("comp"))
-            .localCheckpoint()
-        )
+        d = labels
+        for _ in range(steps_per_round):
+            d = _step(sym, d)
+        labels = d.localCheckpoint()
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             break

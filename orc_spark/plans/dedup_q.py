@@ -146,30 +146,30 @@ def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         for band in range(N_BANDS)
     ]
+    # carry the 16-int signature through the band explode (4× a small array)
+    # so the candidate pairs never join back to the signature table — the
+    # band self-join is the ONLY shuffle-join in the pipeline, and the
+    # groupBy that dedupes multi-band matches is the only other shuffle
     bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "bk.band_idx", "bk.band_key")
-    ba = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
-    bb = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
-    pairs = (
-        ba.join(bb, ["band_idx", "band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "sig", "bk.band_idx", "bk.band_key")
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"),
+        "band_idx", "band_key",
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"),
+        "band_idx", "band_key",
+    )
     est = F.expr(
         "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
     )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (est.cast("double") / N_PERM).alias("est_jaccard"),
-        )
+        ba.join(bb, ["band_idx", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (est.cast("double") / N_PERM).alias("est_jaccard"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
 
 

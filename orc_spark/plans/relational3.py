@@ -207,10 +207,92 @@ WHERE ('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 15))::BIGINT
 """
 
 
+# --- dp_stratified: per-stratum deterministic sampling ----------------------
+
+# per-language keep fraction (percent): downsample the dominant language,
+# keep the tails — the canonical corpus-balancing move
+STRATA_PCT = {"en": 10, "zh": 50, "es": 50, "de": 50, "fr": 50}
+DEFAULT_PCT = 25
+
+
+def dp_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: each language keeps a different
+    hash-bucket fraction. Single pass, no RNG, no join — the keep decision
+    is a pure column predicate, so it composes with pushdown and runs
+    map-side at any scale."""
+    docs = load_table(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % SAMPLE_BUCKETS
+    )
+    pct = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in STRATA_PCT.items()],
+        F.lit(DEFAULT_PCT),
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(bucket < pct, 1).otherwise(0)).alias("n_sampled"),
+        F.sum(F.when(bucket < pct, F.col("n_chars")).otherwise(0)).alias(
+            "sampled_chars"
+        ),
+    )
+
+
+_PCT_CASE = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in STRATA_PCT.items())
+
+DP_STRATIFIED_SQL = f"""
+SELECT lang,
+       count(*) AS n_total,
+       sum(CASE WHEN bucket < pct THEN 1 ELSE 0 END)       AS n_sampled,
+       sum(CASE WHEN bucket < pct THEN n_chars ELSE 0 END) AS sampled_chars
+FROM (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % {SAMPLE_BUCKETS} AS bucket,
+         CASE {_PCT_CASE} ELSE {DEFAULT_PCT} END AS pct
+  FROM documents
+)
+GROUP BY lang
+"""
+
+
+# --- sk_hll_merge: mergeable distinct-count sketches ------------------------
+
+def sk_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level HLL: per-nation customer sketches, union-merged up to the
+    region level (Apache DataSketches via hll_sketch_agg/hll_union_agg).
+    Mergeability is the point — at 100 TB the per-partition sketches combine
+    without re-reading data, the same contract partial aggregation relies
+    on. Sketch bits differ across engines → rows-only; the relative error
+    vs the exact count is bounded in tests."""
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    j = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == F.col("r_regionkey"))
+        .select("r_name", "n_name", "c_custkey")
+    )
+    per_nation = j.groupBy("r_name", "n_name").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sketch"),
+        F.count_distinct("c_custkey").alias("exact_n"),
+    )
+    return (
+        per_nation.groupBy("r_name")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("approx_customers"),
+            F.sum("exact_n").alias("exact_customers"),
+        )
+    )
+
+
 QUERIES = [
     Query("r9_scalar_subquery", r9_scalar_subquery, R9_SQL, "correlated scalar subquery, decorrelated (TPC-H Q17 shape)"),
     Query("r10_outer_hist", r10_outer_hist, R10_SQL, "left outer join + count histogram (TPC-H Q13 shape)"),
     Query("r11_stats_agg", r11_stats_agg, R11_SQL, "stddev/percentile/corr/covar/regression battery"),
     Query("r12_unpivot", r12_unpivot, R12_SQL, "unpivot wide aggregates to long form"),
     Query("dp_sample", dp_sample, DP_SAMPLE_SQL, "deterministic hash-bucket 1% sample + stats"),
+    Query("dp_stratified", dp_stratified, DP_STRATIFIED_SQL, "per-language deterministic stratified sampling"),
+    Query("sk_hll_merge", sk_hll_merge, None, "mergeable HLL sketches, nation→region rollup (rows-only; error-bounded in tests)"),
 ]

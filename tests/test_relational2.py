@@ -47,3 +47,16 @@ def test_approx_sketches_error_bounds(spark, sf_small):
         pdf["approx_median_price"] - pdf["exact_median_price"]
     ).abs() / pdf["exact_median_price"]
     assert (rel_med < 0.05).all()
+
+
+def test_hll_merge_error_bound(spark, sf_mid):
+    from orc_spark.plans.relational3 import sk_hll_merge
+
+    rows = sk_hll_merge(spark, sf_mid).collect()
+    assert rows, "no regions"
+    for r in rows:
+        # nation-level keys are disjoint customer sets, so the exact region
+        # count is the sum; HLL at default lgK=12 is well under 5% here
+        assert abs(r.approx_customers - r.exact_customers) <= max(
+            2, 0.05 * r.exact_customers
+        ), r
