@@ -43,3 +43,51 @@ def test_projection_prunes_scan(spark, sf_small):
     li = load_table(spark, sf_small, "lineitem").select("l_orderkey").distinct()
     cols = pruned_columns(li)
     assert cols == ["l_orderkey"], f"2-column projection read {cols}"
+
+
+def test_r9_brand_filter_pushed_both_scans(spark, sf_small):
+    from orc_spark.plans.relational3 import r9_scalar_subquery
+
+    from orc_spark.plans.explain import formatted_plan
+
+    df = r9_scalar_subquery(spark, sf_small)
+    plan = formatted_plan(df)
+    # both part scans carry the brand predicate; both joins broadcast
+    assert plan.count("EqualTo(p_brand,Brand#1)") >= 2
+    assert count_broadcast_joins(df) >= 2
+
+
+def test_tr_hier_rollup_single_exchange(spark, sf_small):
+    from orc_spark.plans.rollup_q import tr_hier_rollup
+
+    from orc_spark.plans.explain import formatted_plan
+
+    df = tr_hier_rollup(spark, sf_small)
+    plan = formatted_plan(df)
+    # grouping sets = Expand + ONE partial/final hash agg pair → 1 shuffle
+    assert plan.count("Expand") >= 1
+    assert plan.count("+- Exchange") == 1, plan
+
+
+def test_dp_sample_no_shuffle_before_agg(spark, sf_small):
+    from orc_spark.plans.relational3 import dp_sample
+
+    from orc_spark.plans.explain import formatted_plan
+
+    df = dp_sample(spark, sf_small)
+    plan = formatted_plan(df)
+    # map-side filter + partial agg; the only exchange is the 1-row final agg
+    assert plan.count("+- Exchange") == 1, plan
+    cols = set(pruned_columns(df))
+    assert "l_shipdate" not in cols and "l_partkey" not in cols
+
+
+def test_ts_resample_two_windows_one_shuffle_family(spark, sf_small):
+    from orc_spark.plans.rollup_q import ts_resample
+
+    from orc_spark.plans.explain import formatted_plan
+
+    df = ts_resample(spark, sf_small)
+    plan = formatted_plan(df)
+    # all window work partitions by user_id; no join in the interpolation path
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
