@@ -86,10 +86,12 @@ def read_log_lines(
     if isinstance(paths, str):
         paths = [paths]
     if method == "wholetext":
-        files = (
-            spark.read.option("wholetext", "true")
-            .text(paths)
-            .select(F.input_file_name().alias("file"), "value")
+        # NB: must be the wholetext= kwarg (or .format("text").load()):
+        # DataFrameReader.text() overwrites a previously .option()-set
+        # "wholetext" with its own default, silently reverting to per-line
+        # rows — which zeroes every posexplode position.
+        files = spark.read.text(paths, wholetext=True).select(
+            F.input_file_name().alias("file"), "value"
         )
         return files.select(
             "file",
