@@ -46,6 +46,7 @@ def registry() -> dict[str, Query]:
         mm_q,
         profile_q,
         rollup_q,
+        curation_q,
     )
 
     out: dict[str, Query] = {}
@@ -61,6 +62,7 @@ def registry() -> dict[str, Query]:
         mm_q,
         profile_q,
         rollup_q,
+        curation_q,
     ):
         for q in mod.QUERIES:
             if q.name in out:
