@@ -27,12 +27,17 @@ from pyspark.sql import functions as F
 
 
 def _step(sym: DataFrame, labels: DataFrame) -> DataFrame:
-    """One neighbor-min propagation + one pointer jump (comp ← comp[comp])."""
-    msgs = sym.join(labels, sym.src == labels.node).select(
-        F.col("dst").alias("node"), "comp"
-    )
+    """One neighbor-min propagation + one pointer jump (comp ← comp[comp]).
+
+    `sym` carries a self-loop per node, so one join + min-agg covers
+    min(self ∪ neighbors) — no union (which Spark 4's constraint propagation
+    mis-rewrites when both branches share lineage) and no second join.
+    """
     stepped = (
-        labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+        sym.join(labels, sym.src == labels.node)
+        .select(F.col("dst").alias("node"), "comp")
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
     )
     a, b = stepped.alias("a"), stepped.alias("b")
     return a.join(b, F.col("a.comp") == F.col("b.node")).select(
@@ -56,21 +61,41 @@ def connected_components(
     cluster each action is a scheduling round-trip; fusing them roughly
     halves wall time at identical shuffle volume).
     """
-    sym = edges.select("src", "dst").unionByName(
+    both = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # one materialization of the (possibly expensive) edge derivation; every
-    # round re-reads this, not the upstream LSH plan
-    sym = sym.distinct().localCheckpoint()
-    labels = nodes.select(F.col("node"), F.col("node").alias("comp")).localCheckpoint()
+    # symmetric closure + one self-loop per endpoint (so each step's min-agg
+    # sees the node's own label without a union/extra join), materialized
+    # once; every round re-reads this, not the upstream LSH plan
+    sym = (
+        both.unionByName(
+            both.select("src", F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # iterate ONLY over nodes that have at least one edge: in a dedup corpus
+    # the overwhelming majority of docs are singletons, so the iterated
+    # label state is |V_edges|, not |V| (100× smaller at a 1% dup rate);
+    # singletons rejoin as their own component at the end
+    labels = (
+        sym.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("comp"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
-    for _ in range(max_iters):
-        d = labels
-        for _ in range(steps_per_round):
-            d = _step(sym, d)
-        labels = d.localCheckpoint()
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels
+    if prev_sum is not None:
+        for _ in range(max_iters):
+            d = labels
+            for _ in range(steps_per_round):
+                d = _step(sym, d)
+            labels = d.localCheckpoint()
+            cur_sum = labels.agg(F.sum("comp")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    return (
+        nodes.select("node")
+        .join(labels, "node", "left")
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+    )
