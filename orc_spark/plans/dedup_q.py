@@ -209,8 +209,10 @@ def _tokens(docs: DataFrame) -> DataFrame:
 
 
 _TOKENS_SQL = """
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
-  FROM documents
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
 """
 
 
@@ -256,7 +258,11 @@ weights AS (
   FROM bits GROUP BY doc_id, b
 )
 SELECT doc_id,
-       sum(CASE WHEN w > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END) AS simhash
+       -- CAST the outer sum: DuckDB sum(BIGINT) yields HUGEINT, which pandas
+       -- canonicalization decays to float64 and rounds away low bits of the
+       -- 60-bit hash (values reach 1.15e18 > 2^53)
+       CAST(sum(CASE WHEN w > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM weights GROUP BY doc_id
 """
 

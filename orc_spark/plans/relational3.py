@@ -244,8 +244,10 @@ _PCT_CASE = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in STRATA_PCT.items(
 DP_STRATIFIED_SQL = f"""
 SELECT lang,
        count(*) AS n_total,
-       sum(CASE WHEN bucket < pct THEN 1 ELSE 0 END)       AS n_sampled,
-       sum(CASE WHEN bucket < pct THEN n_chars ELSE 0 END) AS sampled_chars
+       CAST(sum(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled,
+       CAST(sum(CASE WHEN bucket < pct THEN n_chars ELSE 0 END) AS BIGINT)
+           AS sampled_chars
 FROM (
   SELECT lang, n_chars,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
