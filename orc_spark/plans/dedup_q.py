@@ -426,31 +426,45 @@ ANN_N_QUERIES = 8
 ANN_K = 5
 
 
-def _corpus_matrix(spark: SparkSession, sf: str):
-    import numpy as np
-
-    pdf = load_table(spark, sf, "embeddings").select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    m = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    return ids[order], m[order]
+EMBCOS_N_BLOCKS = 8
 
 
 def dd_embcos(spark: SparkSession, sf: str) -> DataFrame:
-    """All-pairs cosine near-dup via blocked matmul: the corpus (normalized)
-    broadcasts to every partition; each partition multiplies its rows against
-    it — one BLAS call per block, no |dims|-way join explosion. The oracle
-    computes the identical rounded value through a join-sum; round(.,6)
-    absorbs the summation-order ulps. Scale contract: broadcast one side per
-    block (corpus blocks iterate at larger scale; LSH prunes first at 100 TB).
-    """
+    """All-pairs cosine near-dup as a DISTRIBUTED block-grid self-join: each
+    vector lands in block `vec_id % NB`; the NB·(NB+1)/2 block pairs are a
+    tiny broadcast table; two broadcast joins tag every vector with the block
+    pairs it participates in, and one shuffle groups each (block_a, block_b)
+    cell so an Arrow-batched grouped map runs ONE matmul per cell.
+
+    Nothing unbounded ever touches the driver: per-group memory is two blocks
+    (corpus/NB vectors each), and the only wide op is the single (ba, bb)
+    shuffle carrying corpus·(NB+1)/2 replicated rows. Exact all-pairs compute
+    is inherently O(n²); at 100 TB the LSH candidates (dd_minhash_pairs /
+    dd_simhash_pairs) prune first and this kernel reranks candidates only.
+    The oracle computes the identical rounded value through a join-sum;
+    round(.,6) absorbs summation-order ulps."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    ids, m = _corpus_matrix(spark, sf)
-    bc = spark.sparkContext.broadcast((ids, m))
+    nb = EMBCOS_N_BLOCKS
+    emb = (
+        load_table(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("blk", (F.col("vec_id") % nb).cast("int"))
+    )
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(nb) for b in range(a, nb)], "ba int, bb int"
+    )
+    off_diag = grid.where(F.col("ba") != F.col("bb"))
+    a_side = emb.join(F.broadcast(grid), emb.blk == grid.ba).select(
+        "ba", "bb", F.lit("a").alias("side"), "vec_id", "embedding"
+    )
+    b_side = emb.join(F.broadcast(off_diag), emb.blk == off_diag.bb).select(
+        "ba", "bb", F.lit("b").alias("side"), "vec_id", "embedding"
+    )
+    tagged = a_side.unionByName(b_side)
+
     schema = T.StructType(
         [
             T.StructField("vec_a", T.LongType()),
@@ -459,27 +473,38 @@ def dd_embcos(spark: SparkSession, sf: str) -> DataFrame:
         ]
     )
 
-    def block(it):
-        c_ids, c_m = bc.value
-        for pdf in it:
-            if pdf.empty:
-                continue
-            rid = pdf["vec_id"].to_numpy()
-            rm = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
-            rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
-            sims = np.round(rm @ c_m.T, 6)
-            ri, ci = np.where(sims >= COS_THRESHOLD)
-            keep = rid[ri] < c_ids[ci]
-            yield pd.DataFrame(
-                {
-                    "vec_a": rid[ri[keep]],
-                    "vec_b": c_ids[ci[keep]],
-                    "cos_sim": sims[ri[keep], ci[keep]],
-                }
-            )
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+        )
+        a = pdf[pdf["side"] == "a"]
+        diagonal = bool(pdf["ba"].iloc[0] == pdf["bb"].iloc[0])
+        b = a if diagonal else pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return empty
+        aid = a["vec_id"].to_numpy()
+        bid = b["vec_id"].to_numpy()
+        am = np.vstack(a["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+        bm = np.vstack(b["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+        am = am / np.linalg.norm(am, axis=1, keepdims=True)
+        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        sims = np.round(am @ bm.T, 6)
+        ri, ci = np.where(sims >= COS_THRESHOLD)
+        if diagonal:
+            # same block on both sides: keep each unordered pair once
+            keep = aid[ri] < bid[ci]
+            ri, ci = ri[keep], ci[keep]
+            va, vb = aid[ri], bid[ci]
+        else:
+            # disjoint blocks: every cross pair is valid exactly once;
+            # canonicalize ids to (min, max)
+            va = np.minimum(aid[ri], bid[ci])
+            vb = np.maximum(aid[ri], bid[ci])
+        return pd.DataFrame(
+            {"vec_a": va, "vec_b": vb, "cos_sim": sims[ri, ci]}
+        )
 
-    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
-    return emb.mapInPandas(block, schema)
+    return tagged.groupBy("ba", "bb").applyInPandas(cell, schema)
 
 
 _COS_CORE_SQL = """
@@ -508,6 +533,25 @@ WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COS_THRESHOLD}
 """
 
 
+def _query_matrix(spark: SparkSession, sf: str):
+    """Collect ONLY the fixed query set — a pushed-down `vec_id < n` filter
+    bounds the driver transfer to ANN_N_QUERIES rows regardless of corpus
+    size (the corpus itself never leaves the executors)."""
+    import numpy as np
+
+    pdf = (
+        load_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") < ANN_N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids = pdf["vec_id"].to_numpy()
+    m = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    return ids[order], m[order]
+
+
 def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k for a fixed query set — the exactness baseline
     for the ANN operators. Queries broadcast as a matrix; corpus partitions
@@ -518,9 +562,7 @@ def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    ids, m = _corpus_matrix(spark, sf)
-    qmask = ids < ANN_N_QUERIES
-    q_ids, q_m = ids[qmask], m[qmask]
+    q_ids, q_m = _query_matrix(spark, sf)
     bc = spark.sparkContext.broadcast((q_ids, q_m))
     schema = T.StructType(
         [

@@ -91,3 +91,31 @@ def test_ts_resample_two_windows_one_shuffle_family(spark, sf_small):
     plan = formatted_plan(df)
     # all window work partitions by user_id; no join in the interpolation path
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_query_filter_pushed_to_scan(spark, sf_small):
+    """The ANN query-set collect must be a bounded, pushed-down scan — the
+    corpus itself never reaches the driver (VERDICT r01 item 3)."""
+    from orc_spark.plans.dedup_q import ANN_N_QUERIES
+    from orc_spark.plans.explain import formatted_plan
+    from orc_spark.sources.tables import load_table
+
+    q = (
+        load_table(spark, sf_small, "embeddings")
+        .where(F.col("vec_id") < ANN_N_QUERIES)
+        .select("vec_id", "embedding")
+    )
+    plan = formatted_plan(q)
+    assert "PushedFilters" in plan and "LessThan(vec_id" in plan, plan
+
+
+def test_dd_embcos_block_grid_is_distributed(spark, sf_small):
+    """dd_embcos: block grid broadcast-joined, ONE wide shuffle (the (ba,bb)
+    groupBy feeding the matmul cells), no driver-side corpus collect."""
+    from orc_spark.plans.dedup_q import dd_embcos
+    from orc_spark.plans.explain import count_broadcast_joins, formatted_plan
+
+    df = dd_embcos(spark, sf_small)
+    plan = formatted_plan(df)
+    assert count_broadcast_joins(df) >= 2, "grid joins must broadcast"
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
