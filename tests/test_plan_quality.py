@@ -119,3 +119,20 @@ def test_dd_embcos_block_grid_is_distributed(spark, sf_small):
     plan = formatted_plan(df)
     assert count_broadcast_joins(df) >= 2, "grid joins must broadcast"
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+
+
+def test_dd_ngram_bucket_is_subdivided(spark, sf_small):
+    """dd_ngram_jaccard groups by (bucket, block_a, block_b) — per-cell
+    population is bounded by bucket/NB on each side even when a length
+    bucket's population grows with the corpus (VERDICT r01 item 4)."""
+    from orc_spark.plans.dedup_q import dd_ngram_jaccard
+    from orc_spark.plans.explain import formatted_plan
+
+    df = dd_ngram_jaccard(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    # the grouped-map shuffle key must carry the grid blocks, not the
+    # bucket alone
+    import re
+    m = re.search(r"hashpartitioning\(bucket#\d+L?, (ba#\d+), (bb#\d+)", plan)
+    assert m, plan
