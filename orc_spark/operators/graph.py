@@ -47,7 +47,7 @@ def _step(sym: DataFrame, labels: DataFrame) -> DataFrame:
 
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 25,
-    steps_per_round: int = 2,
+    steps_per_round: int = 3,
 ) -> DataFrame:
     """nodes(node), edges(src, dst) undirected (either orientation is fine)
     → (node, comp) where comp = min node id in the component.
@@ -78,10 +78,15 @@ def connected_components(
     # the overwhelming majority of docs are singletons, so the iterated
     # label state is |V_edges|, not |V| (100× smaller at a 1% dup rate);
     # singletons rejoin as their own component at the end
+    # lazy checkpoints: the convergence aggregate is the action that both
+    # materializes the round's label state AND reads the monovariant — ONE
+    # Spark job per round instead of two (eager checkpoint + separate agg),
+    # which matters because round cost here is job/stage scheduling overhead,
+    # not data volume
     labels = (
         sym.select("src").distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     if prev_sum is not None:
@@ -89,7 +94,7 @@ def connected_components(
             d = labels
             for _ in range(steps_per_round):
                 d = _step(sym, d)
-            labels = d.localCheckpoint()
+            labels = d.localCheckpoint(eager=False)
             cur_sum = labels.agg(F.sum("comp")).first()[0]
             if cur_sum == prev_sum:
                 break
