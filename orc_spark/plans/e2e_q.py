@@ -1,0 +1,247 @@
+"""Driver-checkable flagship pipeline + ORC-format round-trip.
+
+`ts_e2e_report` is the full reference analytics composition (SURVEY §2.B
+Q1–Q7, anchor `Python Plotting/main.py:22-146`) expressed over the driver's
+`events` table so the ENTIRE chain — series synthesis → zero-padded median
+filter → np.gradient jerk → per-run RMS/min/max → per-group means → Welch
+one-sided t statistics — gets a DuckDB hash row, not only its individual
+stages. The same composition runs against the real 129k-row firmware log in
+`plans/orclog_e2e.py` (golden-tested vs the published PDF); p-values need
+the Student-t CDF which DuckDB lacks, so they stay in the rows-only/golden
+path exactly as VERDICT r01 item 7 prescribes.
+
+`io_orc_roundtrip` puts the north-star file format (BASELINE.json
+"DataFrame read/write ORC") through the driver gate: write the events table
+as ORC, read it back, aggregate — the oracle computes the identical
+aggregate from the parquet view, so a green hash proves write/read fidelity.
+
+Plan shape of the e2e (mirrors orclog_e2e.py): ONE window stage (median
+filter + gradient share the per-run sort), ONE per-run aggregation for all
+6 metric×stat values, ONE per-group aggregation for every mean/var/count,
+then a 1×1 cross join and an explode over metric structs. Two data shuffles
+end-to-end regardless of metric count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orc_spark.operators.stats import welch_components
+from orc_spark.operators.timeseries import median_filter, np_gradient
+from orc_spark.plans import Query
+from orc_spark.sources.tables import load_table
+
+GROUPS = ("click", "view")  # populations: on = click, off = view
+RUN = ["user_id", "event_type"]
+ORD = "ord"
+ALTS = {"rms": "less", "min": "greater", "max": "less"}
+METRICS = ("value", "jerk")
+
+
+def ts_e2e_report(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").where(F.col("event_type").isin(*GROUPS))
+    w = Window.partitionBy(*RUN).orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        (F.row_number().over(w) - 1).cast("bigint").alias(ORD),
+    )
+    filt = median_filter(s, "value", RUN, ORD, 15, "f_value")
+    filt = np_gradient(filt, "f_value", RUN, ORD, "f_jerk")
+
+    aggs = []
+    for m in METRICS:
+        c = F.col(f"f_{m}")
+        aggs += [
+            F.sqrt(F.avg(c * c)).alias(f"rms_{m}"),
+            F.min(c).alias(f"min_{m}"),
+            F.max(c).alias(f"max_{m}"),
+        ]
+    per_run = filt.groupBy(*RUN).agg(*aggs)
+
+    gaggs = [F.count(F.lit(1)).cast("double").alias("n_runs")]
+    for m in METRICS:
+        for stat in ("rms", "min", "max"):
+            col = f"{stat}_{m}"
+            gaggs += [
+                F.avg(col).alias(f"avg_{col}"),
+                F.var_samp(col).alias(f"var_{col}"),
+            ]
+    g = per_run.groupBy("event_type").agg(*gaggs)
+
+    on = g.where(F.col("event_type") == GROUPS[0]).drop("event_type")
+    off = g.where(F.col("event_type") == GROUPS[1]).drop("event_type")
+    off = off.select([F.col(c).alias(f"{c}__off") for c in off.columns])
+    wide = on.crossJoin(off)
+
+    metric_structs = []
+    for m in METRICS:
+        fields = [
+            F.lit(m).alias("metric"),
+            F.col("n_runs").cast("bigint").alias("n_runs_on"),
+            F.col("n_runs__off").cast("bigint").alias("n_runs_off"),
+        ]
+        for stat in ("rms", "min", "max"):
+            c = f"{stat}_{m}"
+            se2, dof = welch_components(
+                F.col(f"var_{c}"),
+                F.col("n_runs"),
+                F.col(f"var_{c}__off"),
+                F.col("n_runs__off"),
+            )
+            t = (F.col(f"avg_{c}") - F.col(f"avg_{c}__off")) / F.sqrt(se2)
+            fields += [
+                F.col(f"avg_{c}").alias(f"avg_{stat}_on"),
+                F.col(f"avg_{c}__off").alias(f"avg_{stat}_off"),
+                t.alias(f"t_{stat}"),
+                dof.alias(f"dof_{stat}"),
+            ]
+        metric_structs.append(F.struct(*fields))
+    return wide.select(F.explode(F.array(*metric_structs)).alias("m")).select(
+        "m.*"
+    )
+
+
+def _medfilt_expr(col: str, k: int = 15) -> str:
+    half = k // 2
+    elems = ", ".join(
+        f"coalesce(lag({col}, {i}) OVER w, 0.0)" for i in range(half, 0, -1)
+    )
+    elems += f", coalesce({col}, 0.0), "
+    elems += ", ".join(
+        f"coalesce(lead({col}, {i}) OVER w, 0.0)" for i in range(1, half + 1)
+    )
+    return f"list_sort([{elems}])[{half + 1}]"
+
+
+def _e2e_sql() -> str:
+    stat_expr = {"rms": "sqrt(avg(f * f))", "min": "min(f)", "max": "max(f)"}
+    per_metric_selects = []
+    for m in METRICS:
+        cols = [
+            f"'{m}' AS metric",
+            "CAST(a.n AS BIGINT) AS n_runs_on",
+            "CAST(b.n AS BIGINT) AS n_runs_off",
+        ]
+        for stat in ("rms", "min", "max"):
+            c = f"{stat}_{m}"
+            se2 = f"(a.var_{c} / a.n + b.var_{c} / b.n)"
+            cols += [
+                f"a.avg_{c} AS avg_{stat}_on",
+                f"b.avg_{c} AS avg_{stat}_off",
+                f"(a.avg_{c} - b.avg_{c}) / sqrt({se2}) AS t_{stat}",
+                f"pow({se2}, 2) / (pow(a.var_{c} / a.n, 2) / (a.n - 1)"
+                f" + pow(b.var_{c} / b.n, 2) / (b.n - 1)) AS dof_{stat}",
+            ]
+        per_metric_selects.append(
+            "SELECT " + ", ".join(cols) + " FROM ga a, gb b"
+        )
+    run_aggs = ", ".join(
+        f"{stat_expr[stat].replace('f', 'f_' + m)} AS {stat}_{m}"
+        for m in METRICS
+        for stat in ("rms", "min", "max")
+    )
+    group_aggs = ", ".join(
+        [f"CAST(count(*) AS DOUBLE) AS n"]
+        + [
+            f"{fn}({stat}_{m}) AS {fn}_{stat}_{m}"
+            for m in METRICS
+            for stat in ("rms", "min", "max")
+            for fn in ("avg", "var_samp")
+        ]
+    ).replace("var_samp_", "var_").replace("var_samp(", "var_samp(")
+    return f"""
+WITH s AS (
+  SELECT user_id, event_type, value,
+         CAST(row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) - 1 AS BIGINT) AS ord
+  FROM events WHERE event_type IN ('{GROUPS[0]}', '{GROUPS[1]}')
+),
+filt AS (
+  SELECT user_id, event_type, ord,
+         {_medfilt_expr("value")} AS f_value
+  FROM s
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ord)
+),
+grad AS (
+  SELECT user_id, event_type, f_value,
+         CASE
+           WHEN lag(f_value) OVER w2 IS NULL AND lead(f_value) OVER w2 IS NULL THEN 0.0
+           WHEN lag(f_value)  OVER w2 IS NULL THEN lead(f_value) OVER w2 - f_value
+           WHEN lead(f_value) OVER w2 IS NULL THEN f_value - lag(f_value) OVER w2
+           ELSE (lead(f_value) OVER w2 - lag(f_value) OVER w2) / 2.0
+         END AS f_jerk
+  FROM filt
+  WINDOW w2 AS (PARTITION BY user_id, event_type ORDER BY ord)
+),
+per_run AS (
+  SELECT user_id, event_type, {run_aggs}
+  FROM grad GROUP BY user_id, event_type
+),
+g AS (
+  SELECT event_type, {group_aggs}
+  FROM per_run GROUP BY event_type
+),
+ga AS (SELECT * FROM g WHERE event_type = '{GROUPS[0]}'),
+gb AS (SELECT * FROM g WHERE event_type = '{GROUPS[1]}')
+{" UNION ALL ".join(per_metric_selects)}
+"""
+
+
+# --- ORC round-trip ----------------------------------------------------------
+
+def io_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """events → ORC (partitioned by event_type, the north-star format) →
+    read back → aggregate. The oracle aggregates the parquet view directly,
+    so a hash match proves the ORC write/read preserved every value. The
+    scratch path is per-process (no cross-run clobber); at real scale this
+    is a plain `df.write.orc(...)` to the lake, the same code path."""
+    ev = load_table(spark, sf, "events")
+    tag = os.path.basename(sf.rstrip("/"))
+    path = f"/tmp/orc_spark_io/events_{tag}_{os.getpid()}.orc"
+    (
+        ev.select("event_id", "user_id", "event_type", "value", "ts")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .orc(path)
+    )
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value").alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+IO_ORC_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(value) AS sum_value,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = [
+    Query(
+        "ts_e2e_report",
+        ts_e2e_report,
+        _e2e_sql(),
+        "flagship e2e: medfilt → jerk → run stats → group means → Welch t (2 metrics)",
+    ),
+    Query(
+        "io_orc_roundtrip",
+        io_orc_roundtrip,
+        IO_ORC_SQL,
+        "ORC write/read round-trip fidelity (north-star format)",
+    ),
+]

@@ -280,13 +280,35 @@ def sk_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("hll_sketch_agg(c_custkey)").alias("sketch"),
         F.count_distinct("c_custkey").alias("exact_n"),
     )
-    return (
-        per_nation.groupBy("r_name")
-        .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("approx_customers"),
-            F.sum("exact_n").alias("exact_customers"),
-        )
+    merged = per_nation.groupBy("r_name").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
+            "approx_customers"
+        ),
+        F.sum("exact_n").alias("exact_customers"),
     )
+    # driver-checkable form: exact side + in-query error bound (oracle emits
+    # literal TRUE — hash matches only when the merged sketch lands within
+    # SKETCH_REL_ERR of the exact count)
+    rel = (
+        F.abs(F.col("approx_customers").cast("double") - F.col("exact_customers"))
+        / F.col("exact_customers")
+    )
+    return merged.select(
+        "r_name",
+        "exact_customers",
+        (rel <= 0.05).alias("approx_ok"),
+    )
+
+
+SK_HLL_SQL = """
+SELECT r_name,
+       count(DISTINCT c_custkey) AS exact_customers,
+       TRUE                      AS approx_ok
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
 
 
 QUERIES = [
@@ -296,5 +318,5 @@ QUERIES = [
     Query("r12_unpivot", r12_unpivot, R12_SQL, "unpivot wide aggregates to long form"),
     Query("dp_sample", dp_sample, DP_SAMPLE_SQL, "deterministic hash-bucket 1% sample + stats"),
     Query("dp_stratified", dp_stratified, DP_STRATIFIED_SQL, "per-language deterministic stratified sampling"),
-    Query("sk_hll_merge", sk_hll_merge, None, "mergeable HLL sketches, nation→region rollup (rows-only; error-bounded in tests)"),
+    Query("sk_hll_merge", sk_hll_merge, SK_HLL_SQL, "mergeable HLL sketches, exact side + error-bound boolean hash-checked"),
 ]
