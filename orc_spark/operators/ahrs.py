@@ -222,12 +222,23 @@ AHRS_OUT_FIELDS = [
 
 
 def ahrs_scan_fast_f64(
-    gyro: np.ndarray, accel: np.ndarray, settings: AhrsSettings
-) -> dict[str, np.ndarray]:
+    gyro: np.ndarray,
+    accel: np.ndarray,
+    settings: AhrsSettings,
+    init_state: tuple | None = None,
+    return_state: bool = False,
+) -> dict[str, np.ndarray] | tuple[dict[str, np.ndarray], tuple]:
     """Float64 recurrence in plain Python floats (no per-step numpy object
     overhead) — ~50× the numpy-scalar loop. Same semantics as AhrsReplay with
     f32=False and exact 1/sqrt. This is the production batch path; the f32
-    path exists for bit-faithful firmware replay."""
+    path exists for bit-faithful firmware replay.
+
+    ``init_state``/``return_state`` carry the 8-value recurrence state
+    (qw, qx, qy, qz, initialising, ramped_gain, rec_trigger, rec_timeout)
+    across calls — the streaming stateful operator
+    (orc_spark.streaming.windows.ahrs_streaming) resumes the filter across
+    micro-batches through exactly this tuple, so stream == batch by
+    construction (anchor FusionAhrs.c:113-217)."""
     s = settings
     n = gyro.shape[0]
     gx_a, gy_a, gz_a = (gyro[:, j].astype(np.float64) for j in range(3))
@@ -243,11 +254,16 @@ def ahrs_scan_fast_f64(
     deg = math.degrees
     half_dps_to_rad = math.radians(0.5)
 
-    qw, qx, qy, qz = 1.0, 0.0, 0.0, 0.0
-    initialising = True
-    ramped_gain = INITIAL_GAIN
-    rec_trigger = 0
-    rec_timeout = s.recovery_trigger_period
+    if init_state is None:
+        qw, qx, qy, qz = 1.0, 0.0, 0.0, 0.0
+        initialising = True
+        ramped_gain = INITIAL_GAIN
+        rec_trigger = 0
+        rec_timeout = s.recovery_trigger_period
+    else:
+        (qw, qx, qy, qz, initialising, ramped_gain, rec_trigger, rec_timeout) = (
+            init_state
+        )
     out = {name: np.empty(n) for name, _ in AHRS_OUT_FIELDS}
     o_qw, o_qx, o_qy, o_qz = out["qw"], out["qx"], out["qy"], out["qz"]
     o_r, o_p, o_y = out["roll_deg"], out["pitch_deg"], out["yaw_deg"]
@@ -331,6 +347,9 @@ def ahrs_scan_fast_f64(
         o_lx[i] = ax - 2.0 * (qx * qz - qw * qy)
         o_ly[i] = ay - 2.0 * (qy * qz + qw * qx)
         o_lz[i] = az - 2.0 * (qw * qw - 0.5 + qz * qz)
+    if return_state:
+        final = (qw, qx, qy, qz, initialising, ramped_gain, rec_trigger, rec_timeout)
+        return out, final
     return out
 
 

@@ -35,7 +35,10 @@ def salted_count_agg(
         arg = arg.rstrip(")")
         fn = fn.strip().lower()
         if fn == "count":
-            phase1_aggs.append(F.count(F.lit(1)).alias(f"__p_{out}"))
+            # count(*) counts rows; count(col) must keep standard SQL
+            # null-exclusion semantics, not silently widen to count(*)
+            arg_col = F.lit(1) if arg.strip() in ("*", "1", "") else F.col(arg)
+            phase1_aggs.append(F.count(arg_col).alias(f"__p_{out}"))
             phase2_aggs.append(F.sum(f"__p_{out}").alias(out))
         elif fn == "sum":
             phase1_aggs.append(F.sum(arg).alias(f"__p_{out}"))

@@ -44,12 +44,21 @@ def stream_stream_join(
         & (right[right_ts] >= left[left_ts])
         & (right[right_ts] < left[left_ts] + F.expr(f"INTERVAL {range_s} SECONDS"))
     )
+    # qualify every trailing projection through its side and alias collisions
+    # (left name wins, right gets a _r suffix) — a bare string select would
+    # raise an ambiguous-reference AnalysisException whenever the two sides
+    # share any non-key column name
+    left_rest = [c for c in left.columns if c not in (key, left_ts)]
+    right_rest = [c for c in right.columns if c not in (key, right_ts)]
     return left.join(right, cond, "inner").select(
         left[key].alias(key),
         left[left_ts].alias(left_ts),
         right[right_ts].alias(right_ts),
-        *[c for c in left.columns if c not in (key, left_ts)],
-        *[c for c in right.columns if c not in (key, right_ts)],
+        *[left[c].alias(c) for c in left_rest],
+        *[
+            right[c].alias(f"{c}_r" if c in set(left_rest) | {key, left_ts} else c)
+            for c in right_rest
+        ],
     )
 
 

@@ -141,3 +141,87 @@ def pid_streaming(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- stateful streaming AHRS (O4 as a stream operator) -----------------------
+
+_AHRS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("qw", T.DoubleType()),
+        T.StructField("qx", T.DoubleType()),
+        T.StructField("qy", T.DoubleType()),
+        T.StructField("qz", T.DoubleType()),
+        T.StructField("initialising", T.BooleanType()),
+        T.StructField("ramped_gain", T.DoubleType()),
+        T.StructField("rec_trigger", T.IntegerType()),
+        T.StructField("rec_timeout", T.IntegerType()),
+    ]
+)
+
+_AHRS_STREAM_COLS = ["gy_x", "gy_y", "gy_z", "ax_x", "ax_y", "ax_z"]
+
+
+def ahrs_stream_output_schema(key_field: T.StructField) -> T.StructType:
+    from orc_spark.operators.ahrs import AHRS_OUT_FIELDS
+
+    return T.StructType(
+        [key_field, T.StructField("ord", T.LongType())]
+        + [T.StructField(n, t) for n, t in AHRS_OUT_FIELDS]
+    )
+
+
+def make_ahrs_stateful_fn(settings, key_col: str):
+    """applyInPandasWithState function continuing the AHRS fusion recurrence
+    (anchor FusionAhrs.c:113-217) across micro-batches via the 8-value state
+    tuple of ahrs_scan_fast_f64. Float64 streaming mode, same contract as the
+    stateful PID above; the strict-f32 firmware replay stays the batch path."""
+    import numpy as np
+
+    from orc_spark.operators.ahrs import AHRS_OUT_FIELDS, ahrs_scan_fast_f64
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = tuple(state.get) if state.exists else None
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ord")
+            res, st = ahrs_scan_fast_f64(
+                pdf[["gy_x", "gy_y", "gy_z"]].to_numpy(dtype=np.float64),
+                pdf[["ax_x", "ax_y", "ax_z"]].to_numpy(dtype=np.float64),
+                settings,
+                init_state=st,
+                return_state=True,
+            )
+            out = pdf[[key_col, "ord"]].copy()
+            for name, _ in AHRS_OUT_FIELDS:
+                out[name] = res[name]
+            outs.append(out)
+        if st is not None:
+            state.update(
+                (
+                    float(st[0]), float(st[1]), float(st[2]), float(st[3]),
+                    bool(st[4]), float(st[5]), int(st[6]), int(st[7]),
+                )
+            )
+        yield from outs
+
+    return fn
+
+
+def ahrs_streaming(stream_df: DataFrame, key_col: str, settings=None) -> DataFrame:
+    """Apply the stateful AHRS to a streaming DataFrame with columns
+    (key_col, ord, gy_x, gy_y, gy_z, ax_x, ax_y, ax_z). One run (group) never
+    spans executors; parallelism is across runs, identical to the batch
+    ahrs_replay contract."""
+    from orc_spark.operators.ahrs import AhrsSettings
+
+    settings = settings or AhrsSettings()
+    key_field = stream_df.schema[key_col]
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        make_ahrs_stateful_fn(settings, key_col),
+        outputStructType=ahrs_stream_output_schema(key_field),
+        stateStructType=_AHRS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

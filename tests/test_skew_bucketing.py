@@ -83,3 +83,22 @@ def test_bucketed_join_avoids_shuffle(spark, sf_small, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_salted_count_col_excludes_nulls(spark):
+    """count(col) through the salted two-phase aggregate must keep standard
+    SQL null-exclusion semantics (ADVICE r01): previously it silently widened
+    to count(*)."""
+    from orc_spark.operators.skew import salted_count_agg
+
+    pdf = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None), ("b", None)],
+        "k string, v double",
+    )
+    got = {
+        r["k"]: (r["n_rows"], r["n_vals"])
+        for r in salted_count_agg(
+            pdf, ["k"], {"n_rows": "count(*)", "n_vals": "count(v)"}
+        ).collect()
+    }
+    assert got == {"a": (3, 2), "b": (2, 0)}

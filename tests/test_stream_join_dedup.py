@@ -96,3 +96,20 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 30
     assert got.select("event_id").distinct().count() == 30
+
+
+def test_stream_join_colliding_payload_columns(spark):
+    """Both sides carrying a same-named non-key payload column must not raise
+    an ambiguous-reference error (ADVICE r01); the right copy gets _r."""
+    from orc_spark.streaming.joins import stream_stream_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0)], "k int, ts string, payload double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30", 99.0)], "k int, ts_r string, payload double"
+    ).withColumn("ts_r", F.to_timestamp("ts_r"))
+    out = stream_stream_join(left, right).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["payload"] == 10.0 and row["payload_r"] == 99.0

@@ -152,3 +152,56 @@ def test_pid_streaming_state_across_batches(spark, tmpdirs):
     assert len(got) == n1 + n2
     exp = pid_scan(meas, 0.0, params, f32=False)
     np.testing.assert_allclose(got["pid_out"].to_numpy(), exp, rtol=1e-12)
+
+
+def test_ahrs_streaming_state_across_batches(spark, tmpdirs):
+    """The stateful streaming AHRS over 2 sequential micro-batches equals one
+    batch recurrence over the concatenated series (anchor
+    FusionAhrs.c:113-217): the 8-value state tuple carries the filter across
+    the micro-batch boundary bit-exactly."""
+    from orc_spark.operators.ahrs import AhrsSettings, ahrs_scan_fast_f64
+    from orc_spark.streaming.windows import ahrs_streaming
+
+    rng = np.random.default_rng(11)
+    n1, n2 = 60, 80
+    n = n1 + n2
+    gyro = rng.normal(0, 20, (n, 3))
+    accel = rng.normal(0, 0.05, (n, 3)) + np.array([0.0, 0.0, 1.0])
+    cols = {
+        "k": 1,
+        "ord": np.arange(n),
+        "gy_x": gyro[:, 0], "gy_y": gyro[:, 1], "gy_z": gyro[:, 2],
+        "ax_x": accel[:, 0], "ax_y": accel[:, 1], "ax_z": accel[:, 2],
+    }
+    full = pd.DataFrame(cols)
+    src = os.path.join(tmpdirs["in"], "ahrs")
+    sink = os.path.join(tmpdirs["out"], "ahrs_sink")
+    spark.createDataFrame(full.iloc[:n1]).coalesce(1).write.parquet(src)
+
+    def run_stream():
+        schema = (
+            "k bigint, ord bigint, gy_x double, gy_y double, gy_z double, "
+            "ax_x double, ax_y double, ax_z double"
+        )
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = ahrs_streaming(stream, "k")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", tmpdirs["chk"] + "_ahrs")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_stream()
+    spark.createDataFrame(full.iloc[n1:]).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    got = spark.read.parquet(sink).orderBy("ord").toPandas()
+    assert len(got) == n
+    exp = ahrs_scan_fast_f64(gyro, accel, AhrsSettings())
+    for col in ("qw", "qx", "qy", "qz", "roll_deg", "pitch_deg", "lin_z"):
+        np.testing.assert_allclose(
+            got[col].to_numpy(), exp[col], rtol=1e-12, err_msg=col
+        )
