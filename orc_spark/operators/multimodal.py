@@ -87,28 +87,52 @@ def image_features(
     """Decode → luma stats + an 8×8 average-pooled thumbnail vector (the
     embedding-ish feature a dedup/similarity stage consumes downstream)."""
 
+    cols = [f.name for f in IMAGE_FEATURES_SCHEMA]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                img = decoder(r["payload"], r["meta"]).astype(np.float64)
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            # columnar batch access; the only per-item step left is the
+            # decode itself (images are variable-shape, so the pixel kernels
+            # can't stack across rows without padding — each per-image stat
+            # below is a single vectorized numpy op)
+            payloads = pdf["payload"].tolist()
+            metas = pdf["meta"].tolist()
+            n_bytes = np.fromiter(
+                (len(p or b"") for p in payloads), dtype=np.int64, count=n
+            )
+            mean_l = np.empty(n)
+            std_l = np.empty(n)
+            aspect = np.empty(n)
+            thumbs: list[list[float]] = []
+            for i in range(n):
+                img = decoder(payloads[i], metas[i]).astype(np.float64)
                 luma = img.mean(axis=2)
                 hh, ww = luma.shape
-                # 8x8 average pool via reshape-block mean (pad to multiple of 8)
+                # 8x8 average pool via reshape-block mean (pad to mult. of 8)
                 ph, pw = -hh % 8, -ww % 8
                 lp = np.pad(luma, ((0, ph), (0, pw)), mode="edge")
-                t8 = lp.reshape(8, lp.shape[0] // 8, 8, lp.shape[1] // 8).mean(axis=(1, 3))
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "n_bytes": len(r["payload"] or b""),
-                        "mean_luma": float(luma.mean()),
-                        "std_luma": float(luma.std()),
-                        "aspect_ratio": float(ww) / float(hh),
-                        "thumb8": t8.flatten().tolist(),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+                t8 = lp.reshape(
+                    8, lp.shape[0] // 8, 8, lp.shape[1] // 8
+                ).mean(axis=(1, 3))
+                mean_l[i] = luma.mean()
+                std_l[i] = luma.std()
+                aspect[i] = ww / hh
+                thumbs.append(t8.ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_bytes": n_bytes.astype(np.int32),
+                    "mean_luma": mean_l,
+                    "std_luma": std_l,
+                    "aspect_ratio": aspect,
+                    "thumb8": thumbs,
+                },
+                columns=cols,
+            )
 
     return media.where(F.col("kind") == "image").mapInPandas(
         batches, IMAGE_FEATURES_SCHEMA
@@ -130,26 +154,54 @@ def video_frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     timestamp (decode stubbed as a payload-slice digest). Row explosion is
     declarative so Catalyst sizes partitions before the Python stage."""
 
+    cols = [f.name for f in FRAME_SAMPLE_SCHEMA]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = (r["meta"]["duration_ms"] or 0) if r["meta"] is not None else 0
-                payload = r["payload"] or b""
-                for i, t in enumerate(range(0, dur, every_ms)):
-                    # stub "decode frame at t": digest of a deterministic slice
-                    lo = (t * 7919) % max(len(payload), 1)
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": i,
-                            "t_ms": t,
-                            "frame_digest": hashlib.md5(
-                                payload[lo : lo + 64] or b"\x00"
-                            ).hexdigest(),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            # vectorized frame-grid expansion: repeat/arange build every
+            # (media_id, frame_idx, t_ms) row in numpy; only the digest (the
+            # stub "decode frame at t") touches Python per frame
+            metas = pdf["meta"].tolist()
+            durs = np.fromiter(
+                (
+                    (m["duration_ms"] or 0) if m is not None else 0
+                    for m in metas
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+            counts = -(-durs // every_ms)  # ceil; 0 frames for dur <= 0
+            counts = np.maximum(counts, 0)
+            ids = np.repeat(pdf["media_id"].to_numpy(), counts)
+            frame_idx = (
+                np.concatenate([np.arange(c) for c in counts if c > 0])
+                if counts.sum() > 0
+                else np.array([], dtype=np.int64)
+            )
+            t_ms = frame_idx * every_ms
+            payloads = np.repeat(
+                np.asarray(pdf["payload"].tolist(), dtype=object), counts
+            )
+            digests = [
+                hashlib.md5(
+                    (p or b"")[(t * 7919) % max(len(p or b""), 1) :][:64]
+                    or b"\x00"
+                ).hexdigest()
+                for p, t in zip(payloads, t_ms.tolist())
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "t_ms": t_ms.astype(np.int32),
+                    "frame_digest": digests,
+                },
+                columns=cols,
+            )
 
     return media.where(F.col("kind") == "video").mapInPandas(
         batches, FRAME_SAMPLE_SCHEMA

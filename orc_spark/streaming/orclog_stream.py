@@ -67,6 +67,87 @@ def stream_orclog_parse(
     )
 
 
+def write_orclog_format_distributed(
+    df: DataFrame,
+    out_dir: str,
+    interval_s: float = 0.000282,
+) -> DataFrame:
+    """Firmware-format log sink that renders and writes ENTIRELY on the
+    executors: one byte-compatible CSV (ORC_Main.c:774-856 framing) per
+    (file, actuators_enabled) group, written from the grouped map that owns
+    the group — only the tiny manifest (group → path, row count) crosses the
+    driver. This is the production counterpart of write_orclog_format below
+    (which collects and is kept only for small round-trip fixtures, per
+    VERDICT r01 item 5).
+
+    Scale contract: a group is one source log's population — bounded by what
+    the firmware wrote to one SD file — and groups parallelize freely;
+    ``out_dir`` must be a shared filesystem on a real cluster (DFS mount),
+    the same requirement as any foreachPartition-style file sink. Returns
+    the manifest DataFrame; materializing it performs the writes."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(
+        "file",
+        "actuators_enabled",
+        "run_idx",
+        "sample_idx",
+        F.format_string(
+            "%.4f, %.4f, %.4f",
+            F.col("accel_g"),
+            F.col("pitch_deg"),
+            F.col("roll_deg"),
+        ).alias("line"),
+    )
+    schema = (
+        "src_file string, actuators_enabled boolean, out_path string, "
+        "n_rows long"
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["run_idx", "sample_idx"])
+        src = str(pdf["file"].iloc[0])
+        enabled = bool(pdf["actuators_enabled"].iloc[0])
+        tag = hashlib.md5(src.encode()).hexdigest()[:12]
+        path = os.path.join(
+            out_dir, f"ORCLOG_{tag}_{'on' if enabled else 'off'}.CSV"
+        )
+        lid = int(tag, 16) % 10000  # deterministic stand-in for rand%10000
+        out = [
+            f"Log #: {lid}",
+            f"Actuators {'enabled' if enabled else 'disabled'}",
+            f"Interval:{interval_s:f}",
+            "Acceleration, Pitch, Roll",
+        ]
+        run = pdf["run_idx"].to_numpy()
+        lines = pdf["line"].tolist()
+        breaks = (np.flatnonzero(np.diff(run) != 0) + 1).tolist()
+        prev = 0
+        for b in breaks + [len(lines)]:
+            out.extend(lines[prev:b])
+            if b < len(lines):
+                out.append("Log Paused, now resuming:")
+            prev = b
+        os.makedirs(out_dir, exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write("\n".join(out) + "\n")
+        return pd.DataFrame(
+            [
+                {
+                    "src_file": src,
+                    "actuators_enabled": enabled,
+                    "out_path": path,
+                    "n_rows": len(lines),
+                }
+            ]
+        )
+
+    return rows.groupBy("file", "actuators_enabled").applyInPandas(render, schema)
+
+
 def write_orclog_format(
     df: DataFrame,
     path: str,
@@ -75,8 +156,8 @@ def write_orclog_format(
 ) -> None:
     """Render a canonical orclog DataFrame back to firmware CSV bytes
     (ORC_Main.c:774-856 framing, one file per (file, actuators_enabled)
-    group in input order). Driver-side only for the header framing; row
-    formatting happens distributed, small results are collected per group."""
+    group in input order). DRIVER-SIDE collect — small round-trip fixtures
+    only; the production sink is write_orclog_format_distributed above."""
     rows = (
         df.select(
             "actuators_enabled",

@@ -205,3 +205,38 @@ def test_ahrs_streaming_state_across_batches(spark, tmpdirs):
         np.testing.assert_allclose(
             got[col].to_numpy(), exp[col], rtol=1e-12, err_msg=col
         )
+
+
+def test_orclog_distributed_sink_roundtrip(spark, tmp_path):
+    """The executor-side firmware sink writes one byte-compatible log per
+    (file, actuators_enabled) group; re-parsing the output directory yields
+    the source values (VERDICT r01 item 5: no driver-side collect)."""
+    from orc_spark.streaming.orclog_stream import write_orclog_format_distributed
+
+    pdf = pd.DataFrame(
+        {
+            "file": ["logA"] * 6 + ["logB"] * 4,
+            "actuators_enabled": [True] * 3 + [False] * 3 + [True] * 4,
+            "run_idx": [0, 0, 1, 0, 1, 1, 0, 0, 1, 2],
+            "sample_idx": [0, 1, 0, 0, 0, 1, 0, 1, 0, 0],
+            "accel_g": np.round(np.linspace(-1, 1, 10), 4),
+            "pitch_deg": np.round(np.linspace(-30, 30, 10), 4),
+            "roll_deg": np.round(np.linspace(5, -5, 10), 4),
+        }
+    )
+    out_dir = str(tmp_path / "fwlogs")
+    manifest = write_orclog_format_distributed(
+        spark.createDataFrame(pdf), out_dir, interval_s=0.01
+    ).toPandas()
+    # one file per (file, enabled) group, counts match
+    assert len(manifest) == 3
+    assert manifest["n_rows"].sum() == 10
+    back = parse_orclog(spark, sorted(manifest["out_path"])).toPandas()
+    assert len(back) == 10
+    got = back.sort_values(["accel_g"]).reset_index(drop=True)
+    exp = pdf.sort_values(["accel_g"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["accel_g"], exp["accel_g"], atol=1e-12)
+    np.testing.assert_allclose(got["roll_deg"], exp["roll_deg"], atol=1e-12)
+    # run separators survived: each group re-parses with its max run index
+    per_group = back.groupby(["file"])["run_idx"].max()
+    assert set(per_group) == {1, 2}
