@@ -62,7 +62,22 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> list[str]:
         return problems
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
-        if pd.api.types.is_float_dtype(s[c]) or pd.api.types.is_float_dtype(o[c]):
+        s_float = pd.api.types.is_float_dtype(s[c])
+        o_float = pd.api.types.is_float_dtype(o[c])
+        if s_float != o_float and (
+            pd.api.types.is_integer_dtype(s[c])
+            or pd.api.types.is_integer_dtype(o[c])
+        ):
+            # int on one engine, float on the other: the driver's hash
+            # canonicalization may decay large ints (DuckDB HUGEINT →
+            # float64 loses bits past 2^53) — surface it before the driver
+            # does (the dd_simhash/dp_stratified r01 failure mode)
+            problems.append(
+                f"{name}.{c}: dtype skew spark={s[c].dtype} oracle={o[c].dtype}"
+                " (int-vs-float across engines; CAST the oracle aggregate)"
+            )
+            continue
+        if s_float or o_float:
             sv = pd.to_numeric(s[c], errors="coerce").to_numpy(dtype=float)
             ov = pd.to_numeric(o[c], errors="coerce").to_numpy(dtype=float)
             eq = np.isclose(sv, ov, rtol=1e-8, atol=1e-12, equal_nan=True)
