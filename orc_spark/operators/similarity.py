@@ -48,10 +48,15 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact top-k: queries (small) broadcast as numpy; corpus partitions
     stream through one matmul each; per-partition top-k then a global top-k
-    (tiny shuffle of |queries|·k·n_partitions rows)."""
+    (tiny shuffle of |queries|·k·n_partitions rows).
+
+    ``round_to`` rounds similarities before ranking (with per-partition
+    headroom so rounded ties survive the cut) — the cross-engine-stable
+    ordering a SQL oracle can reproduce; None keeps full-precision order."""
     qids = queries_pdf[id_col].to_numpy()
     qm = _to_matrix(queries_pdf, vec_col)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -64,7 +69,9 @@ def brute_force_topk(
             m = _to_matrix(pdf, vec_col)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             sims = qm @ m.T  # (n_q, n_corpus_batch)
-            kk = min(k + 1, sims.shape[1])
+            if round_to is not None:
+                sims = np.round(sims, round_to)
+            kk = min(k + (9 if round_to is not None else 1), sims.shape[1])
             idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             rows = []
             for qi in range(qm.shape[0]):

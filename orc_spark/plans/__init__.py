@@ -56,6 +56,9 @@ _PRIORITY_FIRST = [
     "dd_embcos", "ann_topk", "dd_ngram_jaccard", "dd_cluster",
     # sketch queries gained bounded-error oracles this round
     "approx_sketches", "sk_hll_merge",
+    # ANN queries gained exact / recall-bound oracles this round (never had
+    # any driver row before)
+    "ann_bruteforce_fast", "ann_ivf",
 ]
 _DEFERRED_LAST = [
     # prior-green relational batteries deferred past the gate budget this

@@ -100,6 +100,9 @@ def test_ann_query_filter_pushed_to_scan(spark, sf_small):
     from orc_spark.plans.explain import formatted_plan
     from orc_spark.sources.tables import load_table
 
+    # the assertion is about the COLD scan plan; another test may have
+    # cached the table, which would hide the parquet PushedFilters node
+    spark.catalog.clearCache()
     q = (
         load_table(spark, sf_small, "embeddings")
         .where(F.col("vec_id") < ANN_N_QUERIES)
