@@ -186,13 +186,17 @@ def video_frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             payloads = np.repeat(
                 np.asarray(pdf["payload"].tolist(), dtype=object), counts
             )
-            digests = [
-                hashlib.md5(
-                    (p or b"")[(t * 7919) % max(len(p or b""), 1) :][:64]
-                    or b"\x00"
-                ).hexdigest()
-                for p, t in zip(payloads, t_ms.tolist())
-            ]
+            # digest is md5 over the lowercase HEX of a 64-byte slice at a
+            # payload-dependent offset — hex-string domain keeps the stub
+            # reproducible in ANSI SQL (md5 of raw bytes isn't portable:
+            # DuckDB's md5 only accepts VARCHAR)
+            def _digest(p, t: int) -> str:
+                p = p or b""
+                lo = (t * 7919) % max(len(p), 1)
+                s = p.hex()[2 * lo : 2 * lo + 128]
+                return hashlib.md5((s or "00").encode()).hexdigest()
+
+            digests = [_digest(p, t) for p, t in zip(payloads, t_ms.tolist())]
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -59,6 +59,8 @@ _PRIORITY_FIRST = [
     # ANN queries gained exact / recall-bound oracles this round (never had
     # any driver row before)
     "ann_bruteforce_fast", "ann_ivf",
+    # frame-sampling plumbing gained a hex-slice digest oracle this round
+    "mm_frame_sample",
 ]
 _DEFERRED_LAST = [
     # prior-green relational batteries deferred past the gate budget this

@@ -27,6 +27,40 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return video_frame_sample(media, every_ms=1000)
 
 
+# the frame grid (repeat × arange) and the hex-slice digest are both pure
+# functions of (doc_id, text, n_chars), so the whole plumbing — kind
+# routing, metadata synthesis, per-frame expansion, digest — hash-checks
+# against SQL; only the luma/pixel kernels (numpy RNG decode stub) stay
+# rows-only in mm_image_features
+MM_FRAME_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         encode(text) AS payload,
+         ((n_chars % 10) + 1) * 1000 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT media_id, payload,
+         unnest(range(0, duration_ms, 1000)) AS t_ms
+  FROM media
+),
+sliced AS (
+  SELECT media_id,
+         CAST(t_ms // 1000 AS INTEGER) AS frame_idx,
+         CAST(t_ms AS INTEGER) AS t_ms,
+         lower(substring(
+           hex(payload),
+           2 * ((t_ms * 7919) % greatest(octet_length(payload), 1)) + 1,
+           128
+         )) AS s
+  FROM frames
+)
+SELECT media_id, frame_idx, t_ms,
+       md5(CASE WHEN s = '' THEN '00' ELSE s END) AS frame_digest
+FROM sliced
+"""
+
+
 ANN_FAST_K = 10
 ANN_N_Q = 8
 IVF_RECALL_MIN = 0.6  # measured ≥ 0.8 at nprobe=12 across all sf; 0.2 margin
@@ -115,7 +149,7 @@ FROM embeddings WHERE vec_id < {ANN_N_Q}
 
 QUERIES = [
     Query("mm_image_features", mm_image_features, None, "binary decode → luma stats + 8x8 thumbnail (stubbed codec)"),
-    Query("mm_frame_sample", mm_frame_sample, None, "video frame-sampling plumbing"),
+    Query("mm_frame_sample", mm_frame_sample, MM_FRAME_SQL, "video frame-sampling plumbing, hash-checked via hex-slice digests"),
     Query("ann_bruteforce_fast", ann_bruteforce_fast, ANN_FAST_SQL, "broadcast-matmul exact top-k (production path), hash-checked"),
     Query("ann_ivf", ann_ivf, ANN_IVF_SQL, "IVF ANN with in-query recall gate vs exact top-k"),
 ]
