@@ -31,12 +31,16 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-        # as a timestamp; read it as raw nanosecond bigint (runtime-settable
-        # conf). DuckDB reads the same column as TIMESTAMP (microseconds,
-        # TRUNCATING sub-µs — verified empirically), so we truncate to µs here
-        # too: every downstream comparison/ordering/derivation then agrees
-        # bit-for-bit with the oracle. ts is therefore BIGINT EPOCH MICROS.
+        # The contract every downstream plan relies on: events.ts is BIGINT
+        # EPOCH MICROS after load_table. The driver has shipped this column as
+        # two different physical parquet types across testdata generations:
+        #   * TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp, so
+        #     we read it as a raw nanosecond bigint (legacy conf) and truncate
+        #     to µs — matching DuckDB, which truncates sub-µs.
+        #   * TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+        #     TIMESTAMP_NTZ; micros-since-epoch of the naive value equals
+        #     DuckDB's epoch_us(ts) (verified bit-for-bit).
+        # Branch on the observed read dtype so both generations work.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
@@ -44,7 +48,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.expr("ts div 1000"))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            # nanos-as-long generation: truncate to µs.
+            return df.withColumn("ts", F.expr("ts div 1000"))
+        if ts_type.startswith("timestamp"):
+            # timestamp / timestamp_ntz generation: epoch micros of the naive
+            # value (no session-timezone dependence — NTZ diff from NTZ epoch).
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                    " cast(ts as timestamp_ntz))"
+                ),
+            )
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
