@@ -127,8 +127,140 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- end-to-end corpus curation pipeline ------------------------------------
+
+CU_QUALITY_MIN = 0.45
+CU_JACCARD_MIN = 0.5
+
+
+def cu_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship training-corpus curation pass, end to end: quality gate →
+    exact-dup keep-best → MinHash-LSH near-dup drop → per-(source, lang,
+    stage) audit table. This is the composition a 100 TB pretraining-data
+    pipeline actually runs; each stage reuses the already-verified operator
+    (tx_quality score, dd_keepbest policy, dd_minhash_pairs candidates), and
+    the audit output accounts for every document exactly once.
+
+    Stage policy (all deterministic, order matters):
+      1. low_quality : quality_score < CU_QUALITY_MIN
+      2. exact_dup   : among quality survivors, not the keep-best doc of its
+                       content digest (longest text, tie → smallest doc_id)
+      3. near_dup    : among exact-dedup survivors, the LARGER doc_id of any
+                       LSH candidate pair with est_jaccard ≥ CU_JACCARD_MIN
+                       whose BOTH ends survived stage 2
+      4. kept        : everything else — the corpus that ships
+
+    Scale: the only non-narrow stages are the digest window (bounded by
+    duplication), the LSH band join (linear in candidates), and the final
+    group-by — same contracts as the underlying operators."""
+    from orc_spark.plans.dedup_q import dd_minhash_pairs
+    from orc_spark.plans.text_q import tx_quality
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    quality = tx_quality(spark, sf).select("doc_id", "quality_score")
+    base = docs.join(quality, "doc_id").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    )
+    passed_q = base.where(F.col("quality_score") >= CU_QUALITY_MIN)
+    w = Window.partitionBy("digest").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = passed_q.withColumn("digest", F.md5(F.col("text"))).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    keepers = ranked.where(F.col("rn") == 1).select("doc_id")
+    near_pairs = (
+        dd_minhash_pairs(spark, sf)
+        .where(F.col("est_jaccard") >= CU_JACCARD_MIN)
+        .select("doc_a", "doc_b")
+    )
+    # drop doc_b only when BOTH ends survived exact dedup
+    near_drops = (
+        near_pairs.join(
+            keepers.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+        )
+        .join(keepers.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    status = (
+        base.join(
+            ranked.select("doc_id", "rn"), "doc_id", "left"
+        )
+        .join(near_drops.withColumn("nd", F.lit(1)), "doc_id", "left")
+        .select(
+            "source",
+            "lang",
+            "n_chars",
+            "n_tokens",
+            F.when(F.col("quality_score") < CU_QUALITY_MIN, "low_quality")
+            .when(F.col("rn") > 1, "exact_dup")
+            .when(F.col("nd") == 1, "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    return status.groupBy("source", "lang", "status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+def _cu_pipeline_sql() -> str:
+    from orc_spark.plans.dedup_q import _minhash_pairs_sql
+    from orc_spark.plans.text_q import TX_QUALITY_SQL
+
+    return f"""
+WITH quality AS ({TX_QUALITY_SQL}),
+base AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         q.quality_score
+  FROM documents d JOIN quality q ON q.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM base WHERE quality_score >= {CU_QUALITY_MIN}
+),
+keepers AS (SELECT doc_id FROM ranked WHERE rn = 1),
+near_pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()})
+  WHERE est_jaccard >= {CU_JACCARD_MIN}
+),
+near_drops AS (
+  SELECT DISTINCT p.doc_b AS doc_id
+  FROM near_pairs p
+  JOIN keepers ka ON ka.doc_id = p.doc_a
+  JOIN keepers kb ON kb.doc_id = p.doc_b
+),
+status AS (
+  SELECT b.source, b.lang, b.n_chars, b.n_tokens,
+         CASE WHEN b.quality_score < {CU_QUALITY_MIN} THEN 'low_quality'
+              WHEN r.rn > 1 THEN 'exact_dup'
+              WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+              ELSE 'kept' END AS status
+  FROM base b
+  LEFT JOIN ranked r ON r.doc_id = b.doc_id
+  LEFT JOIN near_drops nd ON nd.doc_id = b.doc_id
+)
+SELECT source, lang, status,
+       count(*)                      AS n_docs,
+       -- CAST: DuckDB sum(BIGINT) yields HUGEINT → pandas float64 decay
+       CAST(sum(n_chars) AS BIGINT)  AS sum_chars,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM status GROUP BY source, lang, status
+"""
+
+
 QUERIES = [
     Query("tx_redact", tx_redact, TX_REDACT_SQL, "PII-style redaction battery (emails/URLs/long numbers)"),
     Query("dd_keepbest", dd_keepbest, DD_KEEPBEST_SQL, "exact-dup keep-best resolution (longest, tie→min id)"),
     Query("sk_salted_agg", sk_salted_agg, SK_SALTED_SQL, "two-phase salted aggregate over a 3-value hot key"),
+    Query("cu_pipeline", cu_pipeline, _cu_pipeline_sql(), "e2e curation: quality gate → exact keep-best → LSH near-dup drop → audit"),
 ]

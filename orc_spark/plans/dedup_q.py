@@ -335,12 +335,15 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     Every length bucket is further SUBDIVIDED into NB doc_id-residue blocks
     and processed through the block-pair grid (same harness as dd_embcos):
     one shuffle on (bucket, block_a, block_b) and one boolean matrix product
-    per cell. A doc carries its complete gram set into every cell it joins,
-    so intersection/union are exact integers and the division is the same
-    double op the oracle performs — bit-identical results. Scale contract:
-    per-cell memory is 2·(bucket/NB) docs regardless of bucket population
-    (the r01 verdict's unbounded-bucket fix); the per-bucket O(n²) COMPUTE is
-    the declared semantics — unbounded corpora prune with dd_minhash_pairs
+    per cell. Each doc travels as ONE row carrying its distinct gram-hash SET
+    as an array column (64-bit xxhash64 of the trigram — injective w.h.p.,
+    so hashed-set Jaccard == string-set Jaccard): the wide shuffle moves
+    |docs|·(NB+1)/2 array rows, NOT the ~300× exploded gram rows.
+    Intersection/union are exact integers and the division is the same double
+    op the oracle performs — bit-identical results. Scale contract: per-cell
+    memory is 2·(bucket/NB) docs regardless of bucket population (the r01
+    verdict's unbounded-bucket fix); the per-bucket O(n²) COMPUTE is the
+    declared semantics — unbounded corpora prune with dd_minhash_pairs
     candidates first and use this kernel only to rerank."""
     import numpy as np
     import pandas as pd
@@ -359,23 +362,32 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
     t = F.lower(F.col("text"))
     pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (NGRAM_N - 1), F.lit(1)))
-    # no distinct: the matmul kernel sets m[doc, gram] = 1 idempotently, so
-    # duplicate gram rows are deduped for free inside the cell
-    grams = docs.select(
-        "doc_id", "bucket", "blk", F.explode(pos).alias("pos"), t.alias("t")
-    ).select(
-        "doc_id", "bucket", "blk", F.expr(f"substring(t, pos, {NGRAM_N})").alias("g")
+    # explode → hash → collect_set: the explode is a narrow map feeding a
+    # partial-aggregated groupBy, so the only exploded-size exchange is the
+    # map-side-combined set aggregation (distinct grams per doc ≈ ~250)
+    gram_sets = (
+        docs.select(
+            "doc_id", "bucket", "blk", F.explode(pos).alias("pos"), t.alias("t")
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            "blk",
+            F.xxhash64(F.expr(f"substring(t, pos, {NGRAM_N})")).alias("gh"),
+        )
+        .groupBy("doc_id", "bucket", "blk")
+        .agg(F.collect_set("gh").alias("grams"))
     )
     grid = spark.createDataFrame(
         [(a, b) for a in range(nb) for b in range(a, nb)], "ba int, bb int"
     )
     off_diag = grid.where(F.col("ba") != F.col("bb"))
-    a_side = grams.join(F.broadcast(grid), grams.blk == grid.ba).select(
-        "bucket", "ba", "bb", F.lit("a").alias("side"), "doc_id", "g"
+    a_side = gram_sets.join(F.broadcast(grid), gram_sets.blk == grid.ba).select(
+        "bucket", "ba", "bb", F.lit("a").alias("side"), "doc_id", "grams"
     )
-    b_side = grams.join(F.broadcast(off_diag), grams.blk == off_diag.bb).select(
-        "bucket", "ba", "bb", F.lit("b").alias("side"), "doc_id", "g"
-    )
+    b_side = gram_sets.join(
+        F.broadcast(off_diag), gram_sets.blk == off_diag.bb
+    ).select("bucket", "ba", "bb", F.lit("b").alias("side"), "doc_id", "grams")
     tagged = a_side.unionByName(b_side)
 
     schema = T.StructType(
@@ -395,23 +407,29 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         b = a if diagonal else pdf[pdf["side"] == "b"]
         if a.empty or b.empty:
             return empty
-        # index grams over the union so a-rows and b-rows share columns
-        gram_codes, _ = pd.factorize(pdf["g"])
+        # flatten the per-doc gram arrays, then code grams over the cell union
+        # so a-rows and b-rows share matrix columns
+        all_grams = np.concatenate(pdf["grams"].to_numpy())
+        lens = pdf["grams"].map(len).to_numpy()
+        gram_codes, _ = pd.factorize(all_grams)
         n_grams = int(gram_codes.max()) + 1
+        row_of = np.repeat(np.arange(len(pdf)), lens)
+        is_a = (pdf["side"] == "a").to_numpy()
 
-        def matrix(side_df, codes):
-            ids, idx = np.unique(side_df["doc_id"].to_numpy(), return_inverse=True)
+        def matrix(side_mask):
+            ids = pdf.loc[side_mask, "doc_id"].to_numpy()
+            sel = side_mask[row_of]
+            # rows are unique docs already (one array row per doc per cell)
+            local = np.cumsum(side_mask) - 1  # pdf row → side-local row
             m = np.zeros((ids.shape[0], n_grams), dtype=np.float32)
-            m[idx, codes] = 1.0
+            m[local[row_of[sel]], gram_codes[sel]] = 1.0
             return ids, m
 
-        a_codes = gram_codes[(pdf["side"] == "a").to_numpy()]
-        aid, am = matrix(a, a_codes)
+        aid, am = matrix(is_a)
         if diagonal:
             bid, bm = aid, am
         else:
-            b_codes = gram_codes[(pdf["side"] == "b").to_numpy()]
-            bid, bm = matrix(b, b_codes)
+            bid, bm = matrix(~is_a)
         inter = (am @ bm.T).astype(np.int64)
         sa = am.sum(axis=1).astype(np.int64)
         sb = bm.sum(axis=1).astype(np.int64)
@@ -574,6 +592,170 @@ WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COS_THRESHOLD}
 """
 
 
+# --- SRP-LSH embedding near-dup (the bucketed 100 TB path) ------------------
+
+SRP_PLANES = 64
+SRP_BAND_BITS = 8  # 8 bands of 8 bits
+SRP_N_BANDS = SRP_PLANES // SRP_BAND_BITS
+SRP_QUANT = 1000.0
+SRP_EMB_DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
+
+
+def _srp_signs() -> list[list[int]]:
+    """Deterministic ±1 hyperplane components: sign(p, i) = parity of the
+    60-bit md5 hash of 'srp:{p}:{i}' — the exact h60 derivation
+    (functions/hashing.py), so the oracle recomputes the same planes in SQL
+    while the Spark side inlines them as literals (pure projection, no join).
+    """
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"srp:{p}:{i}".encode()).hexdigest()[:15], 16) % 2
+            == 1
+            else -1
+            for i in range(SRP_EMB_DIM)
+        ]
+        for p in range(SRP_PLANES)
+    ]
+
+
+def ann_srp_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Signed-random-projection LSH near-dup pairs — the linear-cost scale
+    path that replaces the O(n²) dd_embcos grid at unbounded corpus size.
+
+    Per vector: quantize to integers (floor(x·1000) — integer dot products
+    are ORDER-EXACT, so the sketch bit `dot ≥ 0` can't flip between engines
+    on float summation order), take the sign bit against SRP_PLANES fixed
+    hyperplanes, pack each run of SRP_BAND_BITS bits into a per-band value
+    (no 64-bit sketch integer → no signed-overflow edge). Candidates = pairs
+    sharing a band — ONE equi-join on (band_idx, band_val) carrying bare
+    ids, deduped BEFORE the embeddings join back, so the rounded-cosine
+    rerank runs exactly once per candidate pair.
+
+    Physical shape: posexplode + BROADCAST sign join + two-level groupBy —
+    all whole-stage-codegen operators. (The closed-form alternative — 64
+    fold-aggregates over the array column — is CodegenFallback in Spark:
+    higher-order functions interpret their lambdas per row, measured ~6×
+    slower here.) Every stage is SQL-expressible, so unlike IVF this ANN
+    path is fully hash-checked. Recall for true near-dups (cos ≥ 0.9) is
+    ≈ 1-(1-0.857^8)^8 ≈ 0.94 at these parameters; tune planes/bands for the
+    corpus's similarity floor."""
+    signs_df = spark.createDataFrame(
+        [
+            (p, i, s)
+            for p, row in enumerate(_srp_signs())
+            for i, s in enumerate(row)
+        ],
+        "p int, i int, s int",
+    )
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "vf")
+    ).select("vec_id", "i", F.col("vf").cast("double").alias("v"))
+    quant = flat.select(
+        "vec_id", "i", F.floor(F.col("v") * SRP_QUANT).cast("bigint").alias("qv")
+    )
+    dots = (
+        quant.join(F.broadcast(signs_df), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("qv") * F.col("s")).alias("d"))
+    )
+    bands = dots.groupBy(
+        "vec_id", F.expr(f"p div {SRP_BAND_BITS}").alias("band_idx")
+    ).agg(
+        F.sum(
+            F.expr(
+                f"case when d >= 0 then cast(pow(2.0, p % {SRP_BAND_BITS}) as bigint)"
+                " else 0 end"
+            )
+        ).alias("band_val")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_val"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    norms = flat.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    fa = flat.select(
+        F.col("vec_id").alias("vec_a"), "i", F.col("v").alias("va")
+    )
+    fb = flat.select(
+        F.col("vec_id").alias("vec_b"), "i", F.col("v").alias("vb")
+    )
+    pair_dots = (
+        cand.join(fa, "vec_a")
+        .join(fb, ["vec_b", "i"])
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nrm_b"))
+    cos = F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    return (
+        pair_dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= COS_THRESHOLD)
+    )
+
+
+ANN_SRP_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {SRP_QUANT}) AS BIGINT) AS qv
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+),
+signs AS (
+  SELECT p, i,
+         CASE WHEN ('0x' || substr(md5('srp:' || p || ':' || i), 1, 15))::BIGINT
+                   % 2 = 1 THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(0, {SRP_PLANES})) AS p),
+       (SELECT unnest(range(0, {SRP_EMB_DIM})) AS i)
+),
+dots AS (
+  SELECT f.vec_id, g.p, sum(f.qv * g.s) AS d
+  FROM flat f JOIN signs g ON g.i = f.i
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT vec_id, p // {SRP_BAND_BITS} AS band_idx,
+         CAST(sum(CASE WHEN d >= 0
+                       THEN CAST(pow(2.0, p % {SRP_BAND_BITS}) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS band_val
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
+pair_dots AS (
+  SELECT c.vec_a, c.vec_b, sum(fa.v * fb.v) AS dot
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.vec_a
+  JOIN flat fb ON fb.vec_id = c.vec_b AND fb.i = fa.i
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM pair_dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COS_THRESHOLD}
+"""
+
+
 def _query_matrix(spark: SparkSession, sf: str):
     """Collect ONLY the fixed query set — a pushed-down `vec_id < n` filter
     bounds the driver transfer to ANN_N_QUERIES rows regardless of corpus
@@ -676,5 +858,6 @@ QUERIES = [
     Query("dd_simhash_pairs", dd_simhash_pairs, DD_SIMHASH_PAIRS_SQL, "SimHash banded near-dup pairs (hamming ≤ 3)"),
     Query("dd_ngram_jaccard", dd_ngram_jaccard, DD_NGRAM_SQL, "exact trigram Jaccard near-dup (blocked)"),
     Query("dd_embcos", dd_embcos, DD_EMBCOS_SQL, "embedding cosine near-dup pairs"),
+    Query("ann_srp_pairs", ann_srp_pairs, ANN_SRP_SQL, "SRP-LSH bucketed embedding near-dup (linear scale path), hash-checked"),
     Query("ann_topk", ann_topk, ANN_TOPK_SQL, "brute-force cosine top-k baseline"),
 ]
