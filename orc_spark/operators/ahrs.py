@@ -402,11 +402,6 @@ def ahrs_replay(
             out[name] = res[name]
         return out
 
-    # cores-not-bytes partitioning for the CPU-bound Python stage (see
-    # control.pid_replay)
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.repartition(n_parts, *partition_cols)
-        .groupBy(*partition_cols)
-        .applyInPandas(fn, schema)
-    )
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    return partitioned_group_scan(df, partition_cols, order_col, fn, schema)

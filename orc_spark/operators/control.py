@@ -205,14 +205,8 @@ def pid_replay(
         pdf[out_col] = out.astype(np.float64)
         return pdf
 
-    # explicit hash repartition on the run key: the grouped-map stage is
-    # CPU-bound in Python, so partition count must follow cores, not bytes —
-    # AQE would coalesce this small shuffle to 1-2 partitions and serialize
-    # the recurrences
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.select(keep)
-        .repartition(n_parts, *partition_cols)
-        .groupBy(*partition_cols)
-        .applyInPandas(fn, schema)
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    return partitioned_group_scan(
+        df.select(keep), partition_cols, order_col, fn, schema
     )

@@ -290,9 +290,6 @@ def imu_pipeline_replay(
             out[nm] = res[nm]
         return out
 
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.repartition(n_parts, *partition_cols)
-        .groupBy(*partition_cols)
-        .applyInPandas(fn, schema)
-    )
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    return partitioned_group_scan(df, partition_cols, order_col, fn, schema)

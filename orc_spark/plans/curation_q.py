@@ -258,9 +258,77 @@ FROM status GROUP BY source, lang, status
 """
 
 
+# --- token-budget corpus sampler --------------------------------------------
+
+CU_TOKEN_BUDGET = 3000  # per-language token budget (quality-ranked greedy fill)
+
+
+def cu_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sampling: per language, rank docs by quality (tie →
+    doc_id) and keep the best until the cumulative token count crosses the
+    budget — the standard 'fill the data mix' selection step after curation.
+    One window cumsum per language partition; deterministic and
+    hash-checked. At 100 TB the partition key is (lang) — scale by salting
+    the window into per-lang shards and merging shard prefix sums if one
+    language dominates the corpus."""
+    from orc_spark.plans.text_q import tx_quality
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    quality = tx_quality(spark, sf).select("doc_id", "quality_score")
+    base = docs.join(quality, "doc_id").select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    kept = cum.where(F.col("cum_tokens") <= CU_TOKEN_BUDGET)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("cum_tokens").alias("tokens_kept"),
+        F.round(F.min("quality_score"), 6).alias("min_quality_kept"),
+    )
+
+
+def _cu_budget_sql() -> str:
+    from orc_spark.plans.text_q import TX_QUALITY_SQL
+
+    return f"""
+WITH quality AS ({TX_QUALITY_SQL}),
+base AS (
+  SELECT d.doc_id, d.lang, q.quality_score,
+         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents d JOIN quality q ON q.doc_id = d.doc_id
+),
+cum AS (
+  SELECT lang, quality_score, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY quality_score DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM base
+)
+SELECT lang,
+       count(*)                            AS n_kept,
+       CAST(max(cum_tokens) AS BIGINT)     AS tokens_kept,
+       round(min(quality_score), 6)        AS min_quality_kept
+FROM cum WHERE cum_tokens <= {CU_TOKEN_BUDGET}
+GROUP BY lang
+"""
+
+
 QUERIES = [
     Query("tx_redact", tx_redact, TX_REDACT_SQL, "PII-style redaction battery (emails/URLs/long numbers)"),
     Query("dd_keepbest", dd_keepbest, DD_KEEPBEST_SQL, "exact-dup keep-best resolution (longest, tie→min id)"),
     Query("sk_salted_agg", sk_salted_agg, SK_SALTED_SQL, "two-phase salted aggregate over a 3-value hot key"),
     Query("cu_pipeline", cu_pipeline, _cu_pipeline_sql(), "e2e curation: quality gate → exact keep-best → LSH near-dup drop → audit"),
+    Query("cu_budget", cu_budget, _cu_budget_sql(), "per-language token-budget sampling (quality-ranked greedy fill)"),
 ]
