@@ -44,29 +44,28 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # skipped in r01 (positions 51+) though they ship oracles
-    "tx_fingerprint", "tx_redact", "dd_keepbest", "sk_salted_agg",
-    "dp_profile", "tr_hier_rollup", "ts_resample",
-    # hash-fails fixed this round (oracle HUGEINT decay)
-    "dd_simhash", "dp_stratified",
-    # new this round
-    "ts_e2e_report", "io_orc_roundtrip",
-    # re-implemented this round (distributed embcos/ann, grid-bucketed ngram,
-    # faster CC) — re-verify
-    "dd_embcos", "ann_topk", "dd_ngram_jaccard", "dd_cluster",
-    # sketch queries gained bounded-error oracles this round
-    "approx_sketches", "sk_hll_merge",
-    # ANN queries gained exact / recall-bound oracles this round (never had
-    # any driver row before)
-    "ann_bruteforce_fast", "ann_ivf",
-    # frame-sampling plumbing gained a hex-slice digest oracle this round
-    "mm_frame_sample",
-]
-_DEFERRED_LAST = [
-    # prior-green relational batteries deferred past the gate budget this
-    # round (green in CORRECTNESS_r01; rotate back in next round)
+    # r02 rows ERRORED on the testdata events.ts schema change (fixed in
+    # sources/tables.py this round) — every one needs a green row
+    "ts_medfilt", "ts_gradient", "ts_runstats", "ts_groupmeans", "ts_welch",
+    "ts_deadband", "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
+    "r8_tumbling", "r8b_sliding", "r8c_sessions", "aj_asof_join",
+    "tr_hier_rollup", "ts_resample", "ts_e2e_report", "io_orc_roundtrip",
+    # new this round: SRP-LSH ANN, curation pipeline, token-budget sampler
+    "ann_srp_pairs", "cu_pipeline", "cu_budget",
+    # green in r01 but past the r02 gate budget — rotate forward
     "r7b_dates", "r7c_json_map", "r12_unpivot", "r_pivot",
     "r9_scalar_subquery", "r11_stats_agg", "r10_outer_hist", "r5b_range_frame",
+    "tx_langid", "tx_quality", "tx_tokens",
+    # re-engineered this round (array-shipped grid; rerank once per pair) —
+    # re-verify ahead of the stable tier
+    "dd_ngram_jaccard",
+]
+_DEFERRED_LAST = [
+    # twice-green (r01+r02) stable queries: weakest marginal signal, rotate
+    # past the budget this round
+    "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
+    "dd_simhash_pairs", "dd_keepbest", "tx_fingerprint", "tx_redact",
+    "sk_salted_agg", "dp_profile", "dp_sample", "dp_stratified",
 ]
 
 

@@ -139,3 +139,43 @@ def test_dd_ngram_bucket_is_subdivided(spark, sf_small):
     import re
     m = re.search(r"hashpartitioning\(bucket#\d+L?, (ba#\d+), (bb#\d+)", plan)
     assert m, plan
+
+
+def test_ann_srp_signs_broadcast_and_codegen(spark, sf_small):
+    """ann_srp_pairs: the hyperplane sign table must BROADCAST into the
+    exploded scan (a shuffle there would widen with the corpus), and the
+    sketch pipeline must stay inside whole-stage codegen (the fold-aggregate
+    formulation is CodegenFallback — measured ~6x slower)."""
+    from orc_spark.plans.dedup_q import ann_srp_pairs
+    from orc_spark.plans.explain import count_broadcast_joins, formatted_plan
+
+    df = ann_srp_pairs(spark, sf_small)
+    plan = formatted_plan(df)
+    assert count_broadcast_joins(df) >= 1, "sign table must broadcast"
+    assert "ArrayAggregate" not in plan, "HOF fold must not appear in the plan"
+
+
+def test_cu_pipeline_single_docs_scan_family(spark, sf_small):
+    """cu_pipeline composes quality gate + keep-best window + LSH drop; the
+    near-dup drop joins must be semi/hash joins, never a cartesian."""
+    from orc_spark.plans.curation_q import cu_pipeline
+    from orc_spark.plans.explain import formatted_plan
+
+    df = cu_pipeline(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recurrence_harness_partitions_by_cores(spark, sf_small):
+    """partitioned_group_scan: the recurrence stage must hash-partition on the
+    run key into defaultParallelism partitions (cores-not-bytes) and execute
+    as ONE mapInPandas per partition, not one grouped-map call per run."""
+    from orc_spark.plans.explain import formatted_plan
+    from orc_spark.plans.stateful_q import st_pid_replay
+
+    df = st_pid_replay(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan
+    n = spark.sparkContext.defaultParallelism
+    assert f"hashpartitioning(user_id#" in plan and f", {n})" in plan, plan
