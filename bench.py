@@ -52,12 +52,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     _warm_jvm(spark)
     # fixed per-query cost floor on this rig: schedule+run one trivial job
-    # (read a 5-row parquet, count). Sub-second registry queries are bounded
-    # below by this number — compare oracle_secs against (query - overhead)
-    # when judging the 2x gate on tiny scan sizes.
-    t0 = time.perf_counter()
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    overhead = round(time.perf_counter() - t0, 3)
+    # (read a 5-row parquet, count; min of 3 so FS-client init isn't counted).
+    # Sub-second registry queries are bounded below by this number — compare
+    # oracle_secs against (query - overhead) when judging the 2x gate on
+    # tiny scan sizes.
+    trivial = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+        trivial.append(time.perf_counter() - t0)
+    overhead = round(min(trivial), 3)
     print(f"# fixed overhead (trivial parquet count): {overhead}s", file=sys.stderr)
     # WARMUP PASS (disclosed): run every query once at sf0.001 so whole-stage
     # codegen classes (cached by generated source, identical across sf) are

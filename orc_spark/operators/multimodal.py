@@ -212,6 +212,85 @@ def video_frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("t_ms", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy_h60", T.LongType()),
+    ]
+)
+
+
+def audio_window_features(media: DataFrame, win_ms: int = 500) -> DataFrame:
+    """Audio windowing plumbing: one row per win_ms analysis window with the
+    sample count that window covers (sample-rate-aware — the real contract a
+    feature extractor needs) and a deterministic 60-bit energy proxy derived
+    from a payload hex slice (the stubbed 'decode + RMS' step; the h60
+    domain keeps it reproducible in ANSI SQL, so the whole plumbing is
+    hash-checked). Same iterator shape as video_frame_sample: vectorized
+    window-grid expansion, Python only per emitted window."""
+
+    cols = [f.name for f in AUDIO_WINDOW_SCHEMA]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            metas = pdf["meta"].tolist()
+            durs = np.fromiter(
+                ((m["duration_ms"] or 0) if m is not None else 0 for m in metas),
+                dtype=np.int64,
+                count=n,
+            )
+            rates = np.fromiter(
+                ((m["sample_rate"] or 0) if m is not None else 0 for m in metas),
+                dtype=np.int64,
+                count=n,
+            )
+            counts = np.maximum(-(-durs // win_ms), 0)
+            ids = np.repeat(pdf["media_id"].to_numpy(), counts)
+            win_idx = (
+                np.concatenate([np.arange(c) for c in counts if c > 0])
+                if counts.sum() > 0
+                else np.array([], dtype=np.int64)
+            )
+            t_ms = win_idx * win_ms
+            rate_rep = np.repeat(rates, counts)
+            dur_rep = np.repeat(durs, counts)
+            # last window may be short: samples = rate * min(win, dur-t) / 1000
+            span = np.minimum(win_ms, dur_rep - t_ms)
+            n_samples = rate_rep * span // 1000
+            payloads = np.repeat(
+                np.asarray(pdf["payload"].tolist(), dtype=object), counts
+            )
+
+            def _energy(p, t: int) -> int:
+                p = p or b""
+                lo = (t * 6151) % max(len(p), 1)
+                s = p.hex()[2 * lo : 2 * lo + 64]
+                return int(hashlib.md5((s or "00").encode()).hexdigest()[:15], 16)
+
+            energy = [_energy(p, t) for p, t in zip(payloads, t_ms.tolist())]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "window_idx": win_idx.astype(np.int32),
+                    "t_ms": t_ms.astype(np.int32),
+                    "n_samples": n_samples.astype(np.int32),
+                    "energy_h60": np.asarray(energy, dtype=np.int64),
+                },
+                columns=cols,
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        batches, AUDIO_WINDOW_SCHEMA
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a MEDIA_SCHEMA table from the documents testdata (text bytes as
     payload) — lets the multimodal plumbing run against driver-provided

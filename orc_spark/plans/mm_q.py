@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from orc_spark.operators.multimodal import (
+    audio_window_features,
     image_features,
     media_from_documents,
     video_frame_sample,
@@ -57,6 +58,47 @@ sliced AS (
 )
 SELECT media_id, frame_idx, t_ms,
        md5(CASE WHEN s = '' THEN '00' ELSE s END) AS frame_digest
+FROM sliced
+"""
+
+
+def mm_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
+    media = media_from_documents(load_table(spark, sf, "documents"))
+    return audio_window_features(media, win_ms=500)
+
+
+# the window grid (ceil(duration/win) rows), the sample-rate-aware
+# n_samples, and the h60 energy proxy are all pure functions of
+# (doc_id, text, n_chars) — the audio plumbing hash-checks end to end
+MM_AUDIO_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         encode(text) AS payload,
+         16000 AS sample_rate,
+         ((n_chars % 10) + 1) * 1000 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 1
+),
+wins AS (
+  SELECT media_id, payload, sample_rate, duration_ms,
+         unnest(range(0, duration_ms, 500)) AS t_ms
+  FROM media
+),
+sliced AS (
+  SELECT media_id,
+         CAST(t_ms // 500 AS INTEGER) AS window_idx,
+         CAST(t_ms AS INTEGER) AS t_ms,
+         CAST(sample_rate * least(500, duration_ms - t_ms) // 1000 AS INTEGER)
+           AS n_samples,
+         lower(substring(
+           hex(payload),
+           2 * ((t_ms * 6151) % greatest(octet_length(payload), 1)) + 1,
+           64
+         )) AS s
+  FROM wins
+)
+SELECT media_id, window_idx, t_ms, n_samples,
+       ('0x' || substr(md5(CASE WHEN s = '' THEN '00' ELSE s END), 1, 15))::BIGINT
+         AS energy_h60
 FROM sliced
 """
 
@@ -150,6 +192,7 @@ FROM embeddings WHERE vec_id < {ANN_N_Q}
 QUERIES = [
     Query("mm_image_features", mm_image_features, None, "binary decode → luma stats + 8x8 thumbnail (stubbed codec)"),
     Query("mm_frame_sample", mm_frame_sample, MM_FRAME_SQL, "video frame-sampling plumbing, hash-checked via hex-slice digests"),
+    Query("mm_audio_windows", mm_audio_windows, MM_AUDIO_SQL, "audio windowing plumbing (sample-rate-aware), hash-checked via h60 energy proxy"),
     Query("ann_bruteforce_fast", ann_bruteforce_fast, ANN_FAST_SQL, "broadcast-matmul exact top-k (production path), hash-checked"),
     Query("ann_ivf", ann_ivf, ANN_IVF_SQL, "IVF ANN with in-query recall gate vs exact top-k"),
 ]
