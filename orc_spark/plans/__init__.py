@@ -52,7 +52,8 @@ _PRIORITY_FIRST = [
     "tr_hier_rollup", "ts_resample", "ts_e2e_report", "io_orc_roundtrip",
     # new this round: SRP-LSH ANN, curation pipeline, token-budget sampler,
     # audio windowing plumbing
-    "ann_srp_pairs", "cu_pipeline", "cu_budget", "mm_audio_windows",
+    "ann_srp_pairs", "cu_pipeline", "cu_budget", "cu_mixture",
+    "mm_audio_windows",
     # green in r01 but past the r02 gate budget — rotate forward
     "r7b_dates", "r7c_json_map", "r12_unpivot", "r_pivot",
     "r9_scalar_subquery", "r11_stats_agg", "r10_outer_hist", "r5b_range_frame",

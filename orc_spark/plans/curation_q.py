@@ -325,10 +325,103 @@ GROUP BY lang
 """
 
 
+# --- domain-mixture sampling -------------------------------------------------
+
+# target language mix for the training corpus (the "data mixing" step of a
+# pretraining pipeline: downsample over-represented strata so the kept corpus
+# matches the target distribution)
+CU_MIX = {"en": 0.4, "zh": 0.2, "de": 0.15, "es": 0.15, "fr": 0.1}
+
+
+def cu_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture sampling: find the largest corpus size k such that every
+    language can supply its target share (k = min over langs of n_l/p_l),
+    keep floor(k·p_l) docs per language, selected deterministically by
+    md5-hash rank (same docs on every engine/run/partitioning — the same
+    contract as dp_sample). Output: per-language audit of the achieved mix.
+
+    Scale: one count agg, one broadcast of the 5-row weights/scale, one
+    window rank per language partition (salt per-lang shards if one language
+    dominates), one final agg. No driver-side scalars — the global k rides a
+    broadcast join."""
+    weights = spark.createDataFrame(
+        list(CU_MIX.items()), "lang string, w double"
+    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    scale = (
+        counts.join(weights, "lang")
+        .select((F.col("n").cast("double") / F.col("w")).alias("s"))
+        .agg(F.min("s").alias("k"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.withColumn("rnk", F.row_number().over(w_rank))
+    kept = (
+        ranked.join(F.broadcast(weights), "lang")
+        .crossJoin(F.broadcast(scale))
+        .where(
+            F.col("rnk")
+            <= F.floor(F.col("k") * F.col("w")).cast("bigint")
+        )
+    )
+    per_lang = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    total = Window.partitionBy()
+    return (
+        per_lang.join(counts, "lang")
+        .join(weights, "lang")
+        .select(
+            "lang",
+            F.col("n").alias("n_total"),
+            "n_kept",
+            F.round(F.col("w"), 6).alias("target_share"),
+            F.round(
+                F.col("n_kept").cast("double")
+                / F.sum("n_kept").over(total).cast("double"),
+                6,
+            ).alias("achieved_share"),
+        )
+    )
+
+
+def _cu_mixture_sql() -> str:
+    vals = ", ".join(f"('{k}', {v})" for k, v in CU_MIX.items())
+    return f"""
+WITH weights(lang, w) AS (VALUES {vals}),
+counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+scale AS (
+  SELECT min(CAST(n AS DOUBLE) / w) AS k
+  FROM counts JOIN weights USING (lang)
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rnk
+  FROM documents
+),
+kept AS (
+  SELECT r.lang, count(*) AS n_kept
+  FROM ranked r JOIN weights USING (lang) CROSS JOIN scale
+  WHERE r.rnk <= CAST(floor(scale.k * weights.w) AS BIGINT)
+  GROUP BY r.lang
+)
+SELECT lang,
+       counts.n                         AS n_total,
+       kept.n_kept                      AS n_kept,
+       round(weights.w, 6)              AS target_share,
+       round(CAST(kept.n_kept AS DOUBLE)
+             / sum(kept.n_kept) OVER (), 6) AS achieved_share
+FROM kept JOIN counts USING (lang) JOIN weights USING (lang)
+"""
+
+
 QUERIES = [
     Query("tx_redact", tx_redact, TX_REDACT_SQL, "PII-style redaction battery (emails/URLs/long numbers)"),
     Query("dd_keepbest", dd_keepbest, DD_KEEPBEST_SQL, "exact-dup keep-best resolution (longest, tie→min id)"),
     Query("sk_salted_agg", sk_salted_agg, SK_SALTED_SQL, "two-phase salted aggregate over a 3-value hot key"),
     Query("cu_pipeline", cu_pipeline, _cu_pipeline_sql(), "e2e curation: quality gate → exact keep-best → LSH near-dup drop → audit"),
     Query("cu_budget", cu_budget, _cu_budget_sql(), "per-language token-budget sampling (quality-ranked greedy fill)"),
+    Query("cu_mixture", cu_mixture, _cu_mixture_sql(), "domain-mixture sampling to a target language distribution"),
 ]
