@@ -105,3 +105,46 @@ def test_real_decoder_stub_raises(spark, sf_small):
     media = media_from_documents(docs)
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         image_features(media, decoder=real_decode_stub).collect()
+
+
+def test_srp_lsh_recall_on_planted_near_dups(spark, tmp_path):
+    """ann_srp_pairs must recover planted near-duplicates: 30 vectors get a
+    jittered copy (cos ≈ 0.95+); at 64 planes / 8x8-bit bands the analytic
+    miss probability per planted pair is < 2%, so recall ≥ 0.9 is a safe
+    hard gate (the driver's testdata has no true near-dups — max pair cos
+    ≈ 0.51 — so this planted-corpus test is the recall evidence)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orc_spark.plans.dedup_q import ann_srp_pairs
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(100, 64)).astype(np.float32)
+    dup_of = np.arange(30)
+    dups = base[dup_of] + rng.normal(scale=0.08, size=(30, 64)).astype(np.float32)
+    vecs = np.vstack([base, dups.astype(np.float32)])
+    cos = [
+        float(
+            np.dot(base[i], dups[k])
+            / (np.linalg.norm(base[i]) * np.linalg.norm(dups[k]))
+        )
+        for k, i in enumerate(dup_of)
+    ]
+    assert min(cos) > 0.9, "fixture must actually contain near-dups"
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(130), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * 130, pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in ann_srp_pairs(spark, str(tmp_path)).collect()
+    }
+    planted = {(int(i), int(100 + k)) for k, i in enumerate(dup_of)}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, f"SRP recall {recall} on planted near-dups"
