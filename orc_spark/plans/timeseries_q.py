@@ -265,9 +265,12 @@ FROM (SELECT * FROM g WHERE event_type = 'click') a,
 
 
 def ts_welch_p(spark: SparkSession, sf: str) -> DataFrame:
-    """Full test incl. p-value (Student-t CDF via pandas UDF — DuckDB has no
-    t distribution, so this entry is rows-only checked; the CDF itself is
-    validated against numerical integration in tests/test_stat_math.py)."""
+    """Full test incl. p-value. DuckDB has no t distribution, so the oracle
+    REPLICATES the engine's Student-t CDF (regularized incomplete beta via
+    modified-Lentz continued fraction, functions/stat_math.py) inside a
+    recursive CTE — same double-precision operation sequence, verified
+    bit-identical across the tested (t, dof) domain. The CDF is additionally
+    validated against numerical integration in tests/test_stat_math.py."""
     ev = load_table(spark, sf, "events")
     per_run = (
         ev.where(F.col("event_type").isin("click", "view"))
@@ -277,6 +280,79 @@ def ts_welch_p(spark: SparkSession, sf: str) -> DataFrame:
     return welch_ttest(
         per_run, "rms", F.col("event_type") == "click", alternative="less"
     ).select("t_stat", "dof", "p_value")
+
+
+# Student-t CDF in pure SQL: the SAME modified-Lentz continued fraction the
+# engine computes (functions/stat_math.py _betacf/_betainc_scalar), iterated
+# through a recursive CTE with the identical double-precision operation
+# sequence and guards — verified bit-identical to the Python implementation
+# over the tested (t, dof) domain. CASTs on the seed row matter: DuckDB float
+# literals are DECIMAL, and decimal arithmetic would destroy the fraction.
+TS_WELCH_P_SQL = f"""
+WITH RECURSIVE
+td AS ({TS_WELCH_SQL}),
+params AS (
+  SELECT t_stat, dof, dof/2.0 AS a0, CAST(0.5 AS DOUBLE) AS b0,
+         dof/(dof + t_stat*t_stat) AS x0
+  FROM td
+),
+branch AS (
+  SELECT *,
+         (x0 < (a0 + 1.0)/(a0 + b0 + 2.0)) AS direct,
+         CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN a0 ELSE b0 END AS A,
+         CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN b0 ELSE a0 END AS B,
+         CASE WHEN x0 < (a0 + 1.0)/(a0 + b0 + 2.0) THEN x0 ELSE 1.0 - x0 END AS X
+  FROM params
+),
+cf(m, c, d, h, done) AS (
+  SELECT 0, CAST(1.0 AS DOUBLE),
+         CAST(1.0 AS DOUBLE) / (CASE WHEN abs(1.0 - ((A + B) * X) / (A + 1.0)) < 1e-300
+                                     THEN 1e-300 ELSE 1.0 - ((A + B) * X) / (A + 1.0) END),
+         CAST(1.0 AS DOUBLE) / (CASE WHEN abs(1.0 - ((A + B) * X) / (A + 1.0)) < 1e-300
+                                     THEN 1e-300 ELSE 1.0 - ((A + B) * X) / (A + 1.0) END),
+         FALSE
+  FROM branch
+  UNION ALL
+  SELECT cf.m + 1, s2.c2, s2.d2, s1.h1 * (s2.d2 * s2.c2),
+         abs(s2.d2 * s2.c2 - 1.0) < 3.0e-16
+  FROM cf, branch b,
+  LATERAL (SELECT CAST(cf.m + 1 AS DOUBLE) AS mm,
+                  CAST(2 * (cf.m + 1) AS DOUBLE) AS m2) p,
+  LATERAL (SELECT ((p.mm * (b.B - p.mm)) * b.X)
+                    / (((b.A - 1.0) + p.m2) * (b.A + p.m2)) AS aa1) a1,
+  LATERAL (SELECT
+      1.0 / (CASE WHEN abs(1.0 + a1.aa1 * cf.d) < 1e-300
+                  THEN 1e-300 ELSE 1.0 + a1.aa1 * cf.d END) AS d1,
+      CASE WHEN abs(1.0 + a1.aa1 / cf.c) < 1e-300
+           THEN 1e-300 ELSE 1.0 + a1.aa1 / cf.c END AS c1) s1a,
+  LATERAL (SELECT cf.h * (s1a.d1 * s1a.c1) AS h1) s1,
+  LATERAL (SELECT ((-((b.A + p.mm) * ((b.A + b.B) + p.mm))) * b.X)
+                    / ((b.A + p.m2) * ((b.A + 1.0) + p.m2)) AS aa2) a2,
+  LATERAL (SELECT
+      1.0 / (CASE WHEN abs(1.0 + a2.aa2 * s1a.d1) < 1e-300
+                  THEN 1e-300 ELSE 1.0 + a2.aa2 * s1a.d1 END) AS d2,
+      CASE WHEN abs(1.0 + a2.aa2 / s1a.c1) < 1e-300
+           THEN 1e-300 ELSE 1.0 + a2.aa2 / s1a.c1 END AS c2) s2
+  WHERE cf.m < 300 AND NOT cf.done
+),
+hfin AS (SELECT h FROM cf ORDER BY m DESC LIMIT 1),
+ibeta AS (
+  SELECT CASE
+           WHEN b.x0 <= 0.0 THEN 0.0
+           WHEN b.x0 >= 1.0 THEN 1.0
+           WHEN b.direct
+           THEN (exp(lgamma(b.a0 + b.b0) - lgamma(b.a0) - lgamma(b.b0)
+                     + b.a0 * ln(b.x0) + b.b0 * ln(1.0 - b.x0)) * hfin.h) / b.a0
+           ELSE 1.0 - (exp(lgamma(b.a0 + b.b0) - lgamma(b.a0) - lgamma(b.b0)
+                     + b.a0 * ln(b.x0) + b.b0 * ln(1.0 - b.x0)) * hfin.h) / b.b0
+         END AS i_x
+  FROM branch b, hfin
+)
+SELECT p.t_stat, p.dof,
+       CASE WHEN p.t_stat >= 0 THEN 1.0 - 0.5 * i.i_x ELSE 0.5 * i.i_x END
+         AS p_value
+FROM params p, ibeta i
+"""
 
 
 # --- O10: corner-force transform -------------------------------------------
@@ -354,7 +430,7 @@ QUERIES = [
     Query("ts_runstats", ts_runstats, TS_RUNSTATS_SQL_FULL, "O20 per-run RMS/min/max of filtered signal"),
     Query("ts_groupmeans", ts_groupmeans, TS_GROUPMEANS_SQL, "O21 two-level aggregation"),
     Query("ts_welch", ts_welch, TS_WELCH_SQL, "O22 Welch t statistic + dof (closed form)"),
-    Query("ts_welch_p", ts_welch_p, None, "O22 incl. p-value (t CDF not in DuckDB)"),
+    Query("ts_welch_p", ts_welch_p, TS_WELCH_P_SQL, "O22 incl. p-value (t CDF as a recursive-CTE continued fraction in the oracle)"),
     Query("ts_transform", ts_transform, TS_TRANSFORM_SQL, "O10 3-DoF → 4-corner force transform"),
     Query("ts_zero_cal", ts_zero_cal, TS_ZERO_CAL_SQL, "O7 zero-point calibration broadcast"),
 ]
