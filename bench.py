@@ -56,13 +56,17 @@ def main() -> None:
     # Sub-second registry queries are bounded below by this number — compare
     # oracle_secs against (query - overhead) when judging the 2x gate on
     # tiny scan sizes.
-    trivial = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-        trivial.append(time.perf_counter() - t0)
-    overhead = round(min(trivial), 3)
-    print(f"# fixed overhead (trivial parquet count): {overhead}s", file=sys.stderr)
+    overhead = None
+    try:
+        trivial = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+            trivial.append(time.perf_counter() - t0)
+        overhead = round(min(trivial), 3)
+        print(f"# fixed overhead (trivial parquet count): {overhead}s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# overhead probe failed: {e}", file=sys.stderr)
     # WARMUP PASS (disclosed): run every query once at sf0.001 so whole-stage
     # codegen classes (cached by generated source, identical across sf) are
     # compiled before timing. Long-lived Spark deployments amortize codegen;
@@ -87,17 +91,28 @@ def main() -> None:
     # process's page-cache pressure lingered); caches are cleared between
     # runs, so this measures steady-state execution, not cached results
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    errors: dict[str, str] = {}
     for name in names:
         q = reg[name]
         best = None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            n = q.spark_fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            # release caches a query may have pinned (LSH signatures etc.) so
-            # later queries aren't measured under accumulated memory pressure
+        # one broken query must not zero out the whole round's bench artifact
+        # (the r02 failure mode: a single AnalysisException crashed the run
+        # before any JSON was printed)
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                n = q.spark_fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                # release caches a query may have pinned (LSH signatures
+                # etc.) so later queries aren't measured under accumulated
+                # memory pressure
+                spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             spark.catalog.clearCache()
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     # flagship reference workload: the full 4-metric analytics pass over the
@@ -107,16 +122,20 @@ def main() -> None:
         "ORCLOG_vibration_HS.CSV"
     )
     if os.path.exists(real_csv):
-        from orc_spark.plans.orclog_e2e import orclog_full_report
+        try:
+            from orc_spark.plans.orclog_e2e import orclog_full_report
 
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        n = orclog_full_report(spark, real_csv).count()
-        timings["orclog_e2e_real129k"] = round(time.perf_counter() - t0, 3)
-        print(
-            f"# orclog_e2e_real129k: {timings['orclog_e2e_real129k']:.3f}s ({n} rows)",
-            file=sys.stderr,
-        )
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = orclog_full_report(spark, real_csv).count()
+            timings["orclog_e2e_real129k"] = round(time.perf_counter() - t0, 3)
+            print(
+                f"# orclog_e2e_real129k: {timings['orclog_e2e_real129k']:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            errors["orclog_e2e_real129k"] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# orclog_e2e_real129k: ERROR {errors['orclog_e2e_real129k']}", file=sys.stderr)
     # DuckDB oracle timings at the same sf: makes BASELINE.md's "within 2x
     # of the single-node engine" gate evaluable per query (VERDICT r01 #6)
     oracle_secs: dict[str, float] = {}
@@ -159,6 +178,7 @@ def main() -> None:
                 "queries": timings,
                 "oracle_secs": oracle_secs,
                 "fixed_overhead_sec": overhead,
+                "errors": errors,
                 "sf": float(sf) if sf else None,
             }
         )
