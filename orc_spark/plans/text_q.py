@@ -176,9 +176,91 @@ FROM base
 """
 
 
+# --- winnowing fingerprints (rolling-hash document fingerprinting) ----------
+
+WINNOW_K = 5  # k-gram size (shared with the MinHash shingler)
+WINNOW_W = 8  # winnowing window: guarantees a shared fingerprint for any
+              # match of length >= W + K - 1 (Schleimer et al., MOSS)
+
+
+def tx_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint selection: hash every k-gram, slide a window of
+    W consecutive hashes, select each window's minimum — the classic
+    rolling-hash fingerprinting scheme (robust to insertions: any
+    sufficiently long shared substring shares a selected fingerprint).
+    Output is the per-doc fingerprint-set summary (count + xor-fold), which
+    hash-checks without exploding the set. One narrow explode + one window
+    min + one groupBy; linear at any corpus size."""
+    docs = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from pyspark.sql import Window
+
+    t = F.lower(F.col("text"))
+    n_pos = F.greatest(F.length(t) - (WINNOW_K - 1), F.lit(1))
+    grams = docs.select(
+        "doc_id",
+        n_pos.alias("n_pos"),
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+        t.alias("t"),
+    ).select(
+        "doc_id",
+        "n_pos",
+        "pos",
+        h60(F.expr(f"substring(t, pos, {WINNOW_K})")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    wins = grams.select(
+        "doc_id",
+        "pos",
+        "n_pos",
+        F.min("h").over(w).alias("fp"),
+    ).where(F.col("pos") <= F.col("n_pos") - (WINNOW_W - 1))
+    fps = wins.select("doc_id", "fp").distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.expr("bit_xor(fp)").alias("fp_xor"),
+        F.min("fp").alias("fp_min"),
+    )
+
+
+TX_WINNOW_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         greatest(length(text) - {WINNOW_K - 1}, 1) AS n_pos,
+         pos,
+         {h60_sql(f'substr(lower(text), pos, {WINNOW_K})')} AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {WINNOW_K - 1}, 1) + 1))
+                 AS pos
+        FROM documents)
+),
+wins AS (
+  SELECT doc_id, pos, n_pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS fp
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n_pos - {WINNOW_W - 1}
+)
+SELECT doc_id,
+       count(*)                     AS n_fp,
+       CAST(bit_xor(fp) AS BIGINT)  AS fp_xor,
+       min(fp)                      AS fp_min
+FROM fps GROUP BY doc_id
+"""
+
+
 QUERIES = [
     Query("tx_tokens", tx_tokens, TX_TOKENS_SQL, "token/word/subtoken counting"),
     Query("tx_quality", tx_quality, TX_QUALITY_SQL, "document quality scoring"),
     Query("tx_langid", tx_langid, TX_LANGID_SQL, "stopword/CJK language heuristic"),
     Query("tx_fingerprint", tx_fingerprint, TX_FINGERPRINT_SQL, "normalized-content fingerprints"),
+    Query("tx_winnow", tx_winnow, TX_WINNOW_SQL, "winnowing rolling-hash fingerprints (MOSS scheme)"),
 ]
