@@ -240,3 +240,49 @@ def test_orclog_distributed_sink_roundtrip(spark, tmp_path):
     # run separators survived: each group re-parses with its max run index
     per_group = back.groupby(["file"])["run_idx"].max()
     assert set(per_group) == {1, 2}
+
+
+def test_pid_tws_matches_batch_and_legacy_api(spark, tmpdirs):
+    """transformWithStateInPandas PID == batch pid_scan across 2 micro-batches
+    (same 4-double state tuple as the applyInPandasWithState route)."""
+    from orc_spark.streaming.windows import pid_streaming_tws
+
+    if pid_streaming_tws is None:
+        pytest.skip("transformWithStateInPandas unavailable")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "TWS driver worker requires google.protobuf (not in this "
+            "container); applyInPandasWithState covers the stateful path here"
+        )
+    rng = np.random.default_rng(11)
+    n1, n2 = 40, 60
+    meas = rng.normal(0, 1, n1 + n2)
+    params = pid_params(*Z_XL_GAINS, 0.01, -30000.0, 30000.0)
+    pdf1 = pd.DataFrame({"k": 1, "ord": np.arange(n1), "meas": meas[:n1]})
+    pdf2 = pd.DataFrame({"k": 1, "ord": np.arange(n1, n1 + n2), "meas": meas[n1:]})
+    src = os.path.join(tmpdirs["in"], "pid_tws")
+    spark.createDataFrame(pdf1).coalesce(1).write.parquet(src)
+    sink = os.path.join(tmpdirs["out"], "pid_tws_sink")
+
+    def run_stream():
+        stream = spark.readStream.schema("k bigint, ord bigint, meas double").parquet(src)
+        out = pid_streaming_tws(stream, "k", params)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", tmpdirs["chk"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_stream()
+    spark.createDataFrame(pdf2).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    got = spark.read.parquet(sink).orderBy("ord").toPandas()
+    assert len(got) == n1 + n2
+    exp = pid_scan(meas, 0.0, params, f32=False)
+    np.testing.assert_allclose(got["pid_out"].to_numpy(), exp, rtol=1e-12)
