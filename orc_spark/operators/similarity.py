@@ -212,3 +212,100 @@ def ivf_topk(
     # per-query exact rerank over the pruned candidate set; one group per
     # query (candidates ≈ corpus·nprobe/k rows — bounded by construction)
     return cand.groupBy("query_id").applyInPandas(per_query, TOPK_SCHEMA)
+
+
+# --- materialized IVF index (build once, query many) -------------------------
+
+def ivf_write_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: a tiny centroid table plus the assignment
+    table PARTITIONED BY centroid_id — so a query probing `nprobe` clusters
+    reads only nprobe/n_centroids of the corpus files (directory-level
+    partition pruning, asserted in tests). This is the production ANN shape:
+    the k-means/assignment cost amortizes across every query batch."""
+    centroids = ivf_build_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    cent_rows = [
+        (int(r.centroid_id), [float(x) for x in r.centroid])
+        for r in centroids.itertuples()
+    ]
+    spark.createDataFrame(
+        cent_rows, "centroid_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/assignments"
+    )
+
+
+def ivf_query_index(
+    spark: SparkSession,
+    path: str,
+    queries_pdf: pd.DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized IVF index: broadcast the (tiny) centroid table,
+    pick `nprobe` clusters per query, scan ONLY those partitions of the
+    assignment table (the isin predicate on the partition column prunes at
+    the directory level), exact-rerank per query. Same result as the inline
+    ivf_topk for the same centroids."""
+    cent = (
+        spark.read.parquet(f"{path}/centroids")
+        .orderBy("centroid_id")
+        .toPandas()
+    )
+    cm = np.vstack(cent["centroid"].map(np.asarray).to_numpy())
+    qm = _to_matrix(queries_pdf, vec_col)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probes = np.argsort(-(qm @ cm.T), axis=1)[:, :nprobe]
+    qids = queries_pdf[id_col].to_numpy()
+    qvec = {int(qids[i]): qm[i] for i in range(qm.shape[0])}
+    probe_rows = [
+        (int(qids[qi]), int(c)) for qi in range(qm.shape[0]) for c in probes[qi]
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id bigint, centroid_id int")
+    probed_cids = sorted({c for _, c in probe_rows})
+    assigned = spark.read.parquet(f"{path}/assignments").where(
+        F.col("centroid_id").isin(probed_cids)
+    )
+    cand = assigned.join(F.broadcast(probe_df), "centroid_id").select(
+        "query_id", id_col, vec_col
+    )
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        q = qvec[qid]
+        ids = pdf[id_col].to_numpy()
+        m = _to_matrix(pdf, vec_col)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ q
+        order = np.lexsort((ids, -sims))
+        rows = []
+        rank = 0
+        for j in order:
+            if int(ids[j]) == qid:
+                continue
+            rank += 1
+            if rank > k:
+                break
+            rows.append(
+                {
+                    "query_id": qid,
+                    "neighbor_id": int(ids[j]),
+                    "cos_sim": float(sims[j]),
+                    "rank": rank,
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in TOPK_SCHEMA])
+
+    return cand.groupBy("query_id").applyInPandas(per_query, TOPK_SCHEMA)

@@ -189,10 +189,57 @@ FROM embeddings WHERE vec_id < {ANN_N_Q}
 """
 
 
+def ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-index ANN: build the cid-partitioned IVF index on disk,
+    then answer the query batch through partition-pruned probes — the
+    amortized production shape (ivf_write_index/ivf_query_index). Same
+    in-query recall gate as ann_ivf: each query must recover
+    ≥ IVF_RECALL_MIN of its exact top-k, so the driver hash is a hard
+    signal on index quality."""
+    import hashlib
+
+    from orc_spark.operators.similarity import ivf_query_index, ivf_write_index
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = (
+        emb.where(F.col("vec_id") < ANN_N_Q).select("vec_id", "embedding").toPandas()
+    )
+    idx_path = "/tmp/orc_spark_ivf_index_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    ivf_write_index(spark, emb, idx_path, n_centroids=16)
+    k = 5
+    ivf = ivf_query_index(spark, idx_path, queries, k=k, nprobe=12).select(
+        "query_id", "neighbor_id"
+    )
+    exact = brute_force_topk(emb, queries, k=k, round_to=6).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor")
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.query_id)
+            & (exact.exact_neighbor == ivf.neighbor_id),
+            "left",
+        )
+        .groupBy(exact.query_id.alias("query_id"))
+        .agg(
+            (
+                F.count("neighbor_id").cast("double") / k >= IVF_RECALL_MIN
+            ).alias("recall_ok")
+        )
+    )
+
+
+ANN_IVF_INDEX_SQL = f"""
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < {ANN_N_Q}
+"""
+
+
 QUERIES = [
     Query("mm_image_features", mm_image_features, None, "binary decode → luma stats + 8x8 thumbnail (stubbed codec)"),
     Query("mm_frame_sample", mm_frame_sample, MM_FRAME_SQL, "video frame-sampling plumbing, hash-checked via hex-slice digests"),
     Query("mm_audio_windows", mm_audio_windows, MM_AUDIO_SQL, "audio windowing plumbing (sample-rate-aware), hash-checked via h60 energy proxy"),
     Query("ann_bruteforce_fast", ann_bruteforce_fast, ANN_FAST_SQL, "broadcast-matmul exact top-k (production path), hash-checked"),
     Query("ann_ivf", ann_ivf, ANN_IVF_SQL, "IVF ANN with in-query recall gate vs exact top-k"),
+    Query("ann_ivf_index", ann_ivf_index, ANN_IVF_INDEX_SQL, "materialized cid-partitioned IVF index: build + partition-pruned probe + recall gate"),
 ]

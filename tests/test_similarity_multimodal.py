@@ -148,3 +148,33 @@ def test_srp_lsh_recall_on_planted_near_dups(spark, tmp_path):
     planted = {(int(i), int(100 + k)) for k, i in enumerate(dup_of)}
     recall = len(planted & found) / len(planted)
     assert recall >= 0.9, f"SRP recall {recall} on planted near-dups"
+
+
+def test_ivf_index_matches_inline_and_prunes_partitions(spark, sf_mid, tmp_path):
+    """The materialized index path returns the SAME neighbors as the inline
+    ivf_topk (same centroid sample/seed), and the probe scan carries a
+    PartitionFilters predicate on centroid_id (directory-level pruning — the
+    reason the index exists)."""
+    from orc_spark.operators.similarity import (
+        ivf_query_index,
+        ivf_topk,
+        ivf_write_index,
+    )
+    from orc_spark.plans.explain import formatted_plan
+    from orc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_mid, "embeddings")
+    queries = emb.where("vec_id < 8").select("vec_id", "embedding").toPandas()
+    path = str(tmp_path / "ivf")
+    ivf_write_index(spark, emb, path, n_centroids=16)
+    idx = ivf_query_index(spark, path, queries, k=5, nprobe=4)
+    plan = formatted_plan(idx)
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan
+    inline = ivf_topk(spark, emb, queries, k=5, n_centroids=16, nprobe=4)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in idx.collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in inline.collect()
+    )
+    assert got == want
