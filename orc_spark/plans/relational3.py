@@ -311,8 +311,80 @@ GROUP BY r_name
 """
 
 
+# --- sequential-pattern funnel (view → click → purchase) ---------------------
+
+def ev_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-funnel analysis over the event stream: per user, the first
+    'view', the first 'click' strictly after it, and the first 'purchase'
+    strictly after that; aggregated to stage conversion counts plus mean
+    view→purchase latency. The match-recognize-style sequential pattern as
+    three conditional min-aggregations — each stage is one equi-join on
+    user_id + one groupBy (no window over the full stream, no per-user
+    explode), so the plan is three bounded shuffles at any event volume."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.first("t1").alias("t1"))
+    )
+    return (
+        t1.join(t2.select("user_id", F.col("t2").alias("_t2")), "user_id", "left")
+        .join(t3.select("user_id", F.col("t3").alias("_t3"), F.col("t1").alias("_t1")), "user_id", "left")
+        .agg(
+            F.count("t1").alias("n_viewed"),
+            F.count("_t2").alias("n_clicked_after"),
+            F.count("_t3").alias("n_purchased_after"),
+            F.round(
+                F.avg((F.col("_t3") - F.col("_t1")) / 1000000.0), 6
+            ).alias("avg_view_to_purchase_s"),
+        )
+    )
+
+
+EV_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(t1.t1) AS t1
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3, min(t2.t1) AS t1
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+  GROUP BY e.user_id
+)
+SELECT count(t1.t1)                            AS n_viewed,
+       count(t2.t2)                            AS n_clicked_after,
+       count(t3.t3)                            AS n_purchased_after,
+       round(avg((t3.t3 - t3.t1) / 1000000.0), 6) AS avg_view_to_purchase_s
+FROM t1
+LEFT JOIN t2 ON t2.user_id = t1.user_id
+LEFT JOIN t3 ON t3.user_id = t1.user_id
+"""
+
+
 QUERIES = [
     Query("r9_scalar_subquery", r9_scalar_subquery, R9_SQL, "correlated scalar subquery, decorrelated (TPC-H Q17 shape)"),
+    Query("ev_funnel", ev_funnel, EV_FUNNEL_SQL, "sequential-pattern funnel (view → click → purchase) with stage latencies"),
     Query("r10_outer_hist", r10_outer_hist, R10_SQL, "left outer join + count histogram (TPC-H Q13 shape)"),
     Query("r11_stats_agg", r11_stats_agg, R11_SQL, "stddev/percentile/corr/covar/regression battery"),
     Query("r12_unpivot", r12_unpivot, R12_SQL, "unpivot wide aggregates to long form"),
