@@ -382,9 +382,55 @@ LEFT JOIN t3 ON t3.user_id = t1.user_id
 """
 
 
+# --- cohort retention matrix -------------------------------------------------
+
+_WEEK_US = 7 * 86400 * 1000000
+
+
+def ev_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week; for each (cohort
+    week, weeks-since-first-seen) cell, how many of the cohort's users were
+    active. Two aggregations: per-user first event (one shuffle on user_id),
+    then distinct (user, cohort, age) → cell counts — both bounded by
+    |users| and the matrix is |weeks|², so the output never scales with raw
+    event volume."""
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            (F.col("t0") / _WEEK_US).cast("bigint").alias("cohort_week"),
+            ((F.col("ts") - F.col("t0")) / _WEEK_US).cast("bigint").alias(
+                "age_week"
+            ),
+        )
+        .distinct()
+        .groupBy("cohort_week", "age_week")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+EV_RETENTION_SQL = f"""
+WITH first AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT DISTINCT e.user_id,
+         CAST(floor(f.t0 / {_WEEK_US}.0) AS BIGINT) AS cohort_week,
+         CAST(floor((epoch_us(e.ts) - f.t0) / {_WEEK_US}.0) AS BIGINT)
+           AS age_week
+  FROM events e JOIN first f ON f.user_id = e.user_id
+)
+SELECT cohort_week, age_week, count(*) AS n_active_users
+FROM cells GROUP BY cohort_week, age_week
+"""
+
+
 QUERIES = [
     Query("r9_scalar_subquery", r9_scalar_subquery, R9_SQL, "correlated scalar subquery, decorrelated (TPC-H Q17 shape)"),
     Query("ev_funnel", ev_funnel, EV_FUNNEL_SQL, "sequential-pattern funnel (view → click → purchase) with stage latencies"),
+    Query("ev_retention", ev_retention, EV_RETENTION_SQL, "cohort retention matrix (first-seen week × weeks active)"),
     Query("r10_outer_hist", r10_outer_hist, R10_SQL, "left outer join + count histogram (TPC-H Q13 shape)"),
     Query("r11_stats_agg", r11_stats_agg, R11_SQL, "stddev/percentile/corr/covar/regression battery"),
     Query("r12_unpivot", r12_unpivot, R12_SQL, "unpivot wide aggregates to long form"),
