@@ -65,10 +65,14 @@ _PRIORITY_FIRST = [
 ]
 _DEFERRED_LAST = [
     # twice-green (r01+r02) stable queries: weakest marginal signal, rotate
-    # past the budget this round
+    # past the budget this round. dd_cluster/dd_embcos additionally carry the
+    # two most expensive oracles (recursive-CTE closure ~60s, all-pairs
+    # join-sum ~11s at sf0.01) — deferring them frees most of the gate's
+    # time budget for first-time rows.
     "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
     "dd_simhash_pairs", "dd_keepbest", "tx_fingerprint", "tx_redact",
     "sk_salted_agg", "dp_profile", "dp_sample", "dp_stratified",
+    "dd_embcos", "dd_cluster",
 ]
 
 
