@@ -54,7 +54,7 @@ _PRIORITY_FIRST = [
     # audio windowing plumbing
     "ann_srp_pairs", "cu_pipeline", "cu_budget", "cu_mixture",
     "mm_audio_windows", "ts_welch_p", "tx_winnow", "ann_ivf_index",
-    "ev_funnel", "ev_retention", "dq_expectations",
+    "ev_funnel", "ev_retention", "dq_expectations", "sk_countmin",
     # green in r01 but past the r02 gate budget — rotate forward
     "r7b_dates", "r7c_json_map", "r12_unpivot", "r_pivot",
     "r9_scalar_subquery", "r11_stats_agg", "r10_outer_hist", "r5b_range_frame",

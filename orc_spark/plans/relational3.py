@@ -382,6 +382,104 @@ LEFT JOIN t3 ON t3.user_id = t1.user_id
 """
 
 
+# --- count-min sketch (mergeable frequency estimation) -----------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_QUERY_USERS = [0, 1, 2, 3, 4]
+
+
+def sk_countmin(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch over events.user_id, built as a plain aggregation:
+    every event lands in CMS_DEPTH (row, h_row(user) % width) cells; the
+    cell table IS the sketch (depth×width counters — mergeable by cell-wise
+    sum, the same partial-aggregation contract HLL rides). Point estimates
+    for a fixed user set = min over rows of the user's cells; CMS never
+    underestimates, so the in-query `never_under` flag is a hard correctness
+    signal and the exact count rides along for the error check. The h60 hash
+    keeps cells bit-identical across engines, so unlike HLL the WHOLE sketch
+    path hash-checks."""
+    from orc_spark.functions.hashing import h60
+
+    ev = load_table(spark, sf, "events").select("user_id")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
+    cells = (
+        ev.select("user_id", rows)
+        .select(
+            "j",
+            (
+                h60(F.concat(F.lit("cms"), F.col("j").cast("string"),
+                             F.lit(":"), F.col("user_id").cast("string")))
+                % CMS_WIDTH
+            ).alias("col"),
+        )
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q_users = spark.createDataFrame(
+        [(u,) for u in CMS_QUERY_USERS], "user_id bigint"
+    )
+    probes = q_users.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
+    ).select(
+        "user_id",
+        "j",
+        (
+            h60(F.concat(F.lit("cms"), F.col("j").cast("string"),
+                         F.lit(":"), F.col("user_id").cast("string")))
+            % CMS_WIDTH
+        ).alias("col"),
+    )
+    est = (
+        probes.join(cells, ["j", "col"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    true_n = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    return (
+        est.join(true_n, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("true_n", F.lit(0)).alias("true_n"),
+            "cms_est",
+            (F.col("cms_est") >= F.coalesce("true_n", F.lit(0))).alias(
+                "never_under"
+            ),
+        )
+    )
+
+
+def _cms_sql() -> str:
+    from orc_spark.functions.hashing import h60_sql
+
+    h = h60_sql("'cms' || j || ':' || user_id")
+    users = ", ".join(f"({u})" for u in CMS_QUERY_USERS)
+    return f"""
+WITH cells AS (
+  SELECT j, {h} % {CMS_WIDTH} AS col, count(*) AS cnt
+  FROM events, (SELECT unnest(range(0, {CMS_DEPTH})) AS j)
+  GROUP BY 1, 2
+),
+qu(user_id) AS (VALUES {users}),
+probes AS (
+  SELECT user_id, j, {h} % {CMS_WIDTH} AS col
+  FROM qu, (SELECT unnest(range(0, {CMS_DEPTH})) AS j)
+),
+est AS (
+  SELECT p.user_id,
+         CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+  FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.col = p.col
+  GROUP BY p.user_id
+),
+tn AS (SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id)
+SELECT e.user_id,
+       CAST(coalesce(tn.true_n, 0) AS BIGINT) AS true_n,
+       e.cms_est,
+       e.cms_est >= coalesce(tn.true_n, 0) AS never_under
+FROM est e LEFT JOIN tn ON tn.user_id = e.user_id
+"""
+
+
 # --- cohort retention matrix -------------------------------------------------
 
 _WEEK_US = 7 * 86400 * 1000000
@@ -437,4 +535,5 @@ QUERIES = [
     Query("dp_sample", dp_sample, DP_SAMPLE_SQL, "deterministic hash-bucket 1% sample + stats"),
     Query("dp_stratified", dp_stratified, DP_STRATIFIED_SQL, "per-language deterministic stratified sampling"),
     Query("sk_hll_merge", sk_hll_merge, SK_HLL_SQL, "mergeable HLL sketches, exact side + error-bound boolean hash-checked"),
+    Query("sk_countmin", sk_countmin, _cms_sql(), "count-min sketch build + point estimates, fully hash-checked"),
 ]
