@@ -1,7 +1,10 @@
 """Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line (kept well under the driver's ~2 KB stdout-tail capture):
+{"metric": ..., "value": total_sec, "unit": "sec", "n_queries": N,
+"n_errors": N, "e2e_sec": S, "queries": {<top-8 slowest>}, "sf": ...}.
+Full per-query timings + DuckDB oracle timings + errors are written to
+BENCH_DETAIL.json next to this file.
 
 Timing counts full execution materialized via a cheap count-style action
 (df.foreach would double-serialize; count() executes the whole plan).
@@ -90,7 +93,8 @@ def main() -> None:
     # transient machine-load spikes (observed 6x outliers when a prior
     # process's page-cache pressure lingered); caches are cleared between
     # runs, so this measures steady-state execution, not cached results
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # clamp to >=1: reps=0 would leave `best` None and crash the whole run
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     errors: dict[str, str] = {}
     for name in names:
         q = reg[name]
@@ -169,20 +173,43 @@ def main() -> None:
         print(f"# oracle timing skipped: {e}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "oracle_secs": oracle_secs,
-                "fixed_overhead_sec": overhead,
-                "errors": errors,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    # full detail goes to disk (the driver's stdout capture keeps only a
+    # ~2 KB tail — BENCH_r03.json came back `parsed: null` when the single
+    # line grew past that); stdout stays compact and parseable.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "oracle_secs": oracle_secs,
+        "fixed_overhead_sec": overhead,
+        "errors": errors,
+        "sf": float(sf) if sf else None,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"# full detail written to {detail_path}", file=sys.stderr)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "e2e_sec": timings.get("orclog_e2e_real129k"),
+        "fixed_overhead_sec": overhead,
+        # top-8 slowest only — full map is in BENCH_DETAIL.json
+        "queries": slowest,
+        "sf": float(sf) if sf else None,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard guard: never outgrow the driver capture again
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

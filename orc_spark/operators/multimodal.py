@@ -50,15 +50,20 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def fake_decode_image(payload: bytes, meta) -> np.ndarray:
-    """Deterministic stand-in for a real image decoder: derives an
-    (h, w, c) uint8 array from the payload digest. Replace with a real
-    codec (PIL/libjpeg) in production."""
+    """Deterministic stand-in for a real image decoder: an (h, w, c) uint8
+    array from a MINSTD (Lehmer 48271 mod 2^31-1) stream seeded by the
+    payload's md5. Chosen over an opaque RNG because the pixel stream is
+    pure int64 modular arithmetic, so the SAME pixels are reproducible in
+    ANSI SQL and the whole decode→features path hash-checks against the
+    DuckDB oracle (plans/mm_q.py MM_IMAGE_SQL). Replace with a real codec
+    (PIL/libjpeg) in production."""
     h = meta["height"] or 8
     w = meta["width"] or 8
     c = meta["n_channels"] or 3
-    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    seed = int(hashlib.md5(payload or b"").hexdigest()[:15], 16) % 2147483647
+    t = np.arange(h * w * c, dtype=np.int64)
+    v = ((seed + 1 + t) * 48271) % 2147483647 % 256
+    return v.astype(np.uint8).reshape(h, w, c)
 
 
 def real_decode_stub(payload: bytes, meta) -> np.ndarray:
@@ -72,10 +77,19 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
         T.StructField("std_luma", T.DoubleType()),
         T.StructField("aspect_ratio", T.DoubleType()),
         T.StructField("thumb8", T.ArrayType(T.DoubleType())),
+        # integer-exact companions to the float stats: channel-sum pixel
+        # values (3·luma is integral) summed / squared-summed over the image,
+        # plus an md5 over the 64 integer 8×8 block sums. These are what the
+        # cross-engine oracle hash-checks — no float-comparison hazard.
+        T.StructField("luma_sum3", T.LongType()),
+        T.StructField("luma_sumsq3", T.LongType()),
+        T.StructField("thumb_digest", T.StringType()),
     ]
 )
 
@@ -107,29 +121,56 @@ def image_features(
             mean_l = np.empty(n)
             std_l = np.empty(n)
             aspect = np.empty(n)
+            width = np.empty(n, dtype=np.int32)
+            height = np.empty(n, dtype=np.int32)
+            sum3 = np.empty(n, dtype=np.int64)
+            sumsq3 = np.empty(n, dtype=np.int64)
             thumbs: list[list[float]] = []
+            digests: list[str] = []
             for i in range(n):
-                img = decoder(payloads[i], metas[i]).astype(np.float64)
+                raw = decoder(payloads[i], metas[i])
+                img = raw.astype(np.float64)
                 luma = img.mean(axis=2)
                 hh, ww = luma.shape
+                # integer channel-sum image (3·luma): exact int64 domain for
+                # the cross-engine-checkable stats and block sums
+                l3 = raw.astype(np.int64).sum(axis=2)
                 # 8x8 average pool via reshape-block mean (pad to mult. of 8)
                 ph, pw = -hh % 8, -ww % 8
                 lp = np.pad(luma, ((0, ph), (0, pw)), mode="edge")
                 t8 = lp.reshape(
                     8, lp.shape[0] // 8, 8, lp.shape[1] // 8
                 ).mean(axis=(1, 3))
+                lp3 = np.pad(l3, ((0, ph), (0, pw)), mode="edge")
+                bs = lp3.reshape(
+                    8, lp3.shape[0] // 8, 8, lp3.shape[1] // 8
+                ).sum(axis=(1, 3))
                 mean_l[i] = luma.mean()
                 std_l[i] = luma.std()
                 aspect[i] = ww / hh
+                width[i] = ww
+                height[i] = hh
+                sum3[i] = l3.sum()
+                sumsq3[i] = (l3 * l3).sum()
                 thumbs.append(t8.ravel().tolist())
+                digests.append(
+                    hashlib.md5(
+                        ",".join(str(int(x)) for x in bs.ravel()).encode()
+                    ).hexdigest()
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
                     "n_bytes": n_bytes.astype(np.int32),
+                    "width": width,
+                    "height": height,
                     "mean_luma": mean_l,
                     "std_luma": std_l,
                     "aspect_ratio": aspect,
                     "thumb8": thumbs,
+                    "luma_sum3": sum3,
+                    "luma_sumsq3": sumsq3,
+                    "thumb_digest": digests,
                 },
                 columns=cols,
             )

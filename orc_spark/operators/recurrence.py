@@ -44,10 +44,20 @@ def partitioned_group_scan(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: pd.DataFrame | None = None
 
+        def boundaries(keys: pd.DataFrame) -> np.ndarray:
+            # Null-aware group-boundary detection: plain `!= shift()` calls
+            # every null-keyed row a new group (NaN != NaN), splitting a
+            # null-keyed run into per-row kernel calls. A boundary is a real
+            # value change OR a null<->non-null transition, matching
+            # groupBy().applyInPandas null-key grouping.
+            sh = keys.shift()
+            diff = keys.ne(sh) & ~(keys.isna() & sh.isna())
+            change = diff.any(axis=1).to_numpy()
+            change[0] = True  # first row always starts a group
+            return np.flatnonzero(change)
+
         def emit(chunk: pd.DataFrame) -> Iterator[pd.DataFrame]:
-            keys = chunk[pcols]
-            change = (keys != keys.shift()).any(axis=1).to_numpy()
-            starts = np.flatnonzero(change)
+            starts = boundaries(chunk[pcols])
             bounds = np.append(starts, len(chunk))
             outs = [
                 kernel(chunk.iloc[s:e]) for s, e in zip(bounds[:-1], bounds[1:])
@@ -61,9 +71,7 @@ def partitioned_group_scan(
             if buf is not None:
                 pdf = pd.concat([buf, pdf], ignore_index=True)
                 buf = None
-            keys = pdf[pcols]
-            change = (keys != keys.shift()).any(axis=1).to_numpy()
-            starts = np.flatnonzero(change)
+            starts = boundaries(pdf[pcols])
             if len(starts) > 1:
                 # all complete groups; the last group may continue next batch
                 cut = int(starts[-1])

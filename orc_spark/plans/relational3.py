@@ -15,7 +15,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orc_spark.plans import Query
@@ -375,7 +375,7 @@ t3 AS (
 SELECT count(t1.t1)                            AS n_viewed,
        count(t2.t2)                            AS n_clicked_after,
        count(t3.t3)                            AS n_purchased_after,
-       round(avg((t3.t3 - t3.t1) / 1000000.0), 6) AS avg_view_to_purchase_s
+       round(avg((t3.t3 - t3.t1) / CAST(1000000 AS DOUBLE)), 6) AS avg_view_to_purchase_s
 FROM t1
 LEFT JOIN t2 ON t2.user_id = t1.user_id
 LEFT JOIN t3 ON t3.user_id = t1.user_id
@@ -488,14 +488,16 @@ _WEEK_US = 7 * 86400 * 1000000
 def ev_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen week; for each (cohort
     week, weeks-since-first-seen) cell, how many of the cohort's users were
-    active. Two aggregations: per-user first event (one shuffle on user_id),
-    then distinct (user, cohort, age) → cell counts — both bounded by
-    |users| and the matrix is |weeks|², so the output never scales with raw
-    event volume."""
+    active. Exactly TWO shuffles at any event volume: ``min(ts) over
+    (partition by user_id)`` computes the cohort anchor in the same exchange
+    that co-locates each user's events (no agg+join-back), and the per-user
+    dedup reuses that partitioning (HashPartitioning(user_id) satisfies
+    clustering on (user_id, cohort, age)), so only the final tiny
+    cohort×age roll-up shuffles again. Output is bounded by |weeks|²."""
     ev = load_table(spark, sf, "events").select("user_id", "ts")
-    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    w = Window.partitionBy("user_id")
     return (
-        ev.join(first, "user_id")
+        ev.withColumn("t0", F.min("ts").over(w))
         .select(
             "user_id",
             (F.col("t0") / _WEEK_US).cast("bigint").alias("cohort_week"),
@@ -503,7 +505,7 @@ def ev_retention(spark: SparkSession, sf: str) -> DataFrame:
                 "age_week"
             ),
         )
-        .distinct()
+        .dropDuplicates(["user_id", "cohort_week", "age_week"])
         .groupBy("cohort_week", "age_week")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )

@@ -63,7 +63,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     " cast(ts as timestamp_ntz))"
                 ),
             )
-        return df
+        # A third physical type would silently break the BIGINT-epoch-micros
+        # contract every downstream plan relies on — fail loudly instead.
+        raise ValueError(
+            f"events.ts read as unexpected dtype {ts_type!r}; "
+            "extend sources/tables.py normalization for this generation"
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -166,6 +166,21 @@ def test_cu_pipeline_single_docs_scan_family(spark, sf_small):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ev_retention_two_exchanges(spark, sf_small):
+    """ev_retention: the cohort anchor is a window min over user_id, and the
+    per-user dedup must REUSE that partitioning (HashPartitioning(user_id)
+    satisfies clustering on (user_id, cohort, age)) — so the whole query is
+    exactly two exchanges: events→user_id, then the tiny cohort×age rollup.
+    Three exchanges means the agg+join-back shape regressed (VERDICT r03)."""
+    from orc_spark.plans.explain import formatted_plan
+    from orc_spark.plans.relational3 import ev_retention
+
+    df = ev_retention(spark, sf_small)
+    plan = formatted_plan(df)
+    assert plan.count("+- Exchange") == 2, plan
+    assert "Join" not in plan, "window-min shape must not join back"
+
+
 def test_recurrence_harness_partitions_by_cores(spark, sf_small):
     """partitioned_group_scan: the recurrence stage must hash-partition on the
     run key into defaultParallelism partitions (cores-not-bytes) and execute
