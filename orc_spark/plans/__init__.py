@@ -44,35 +44,48 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # r02 rows ERRORED on the testdata events.ts schema change (fixed in
-    # sources/tables.py this round) — every one needs a green row
+    # NEW oracles this round (r04): the PID recurrence replayed by a DuckDB
+    # recursive CTE, and the MINSTD image stub regenerated pixel-by-pixel in
+    # SQL — first driver rows ever for both components
+    "st_pid_replay", "mm_image_features",
+    # changed this round: ev_retention plan rewritten (window-min, 2
+    # exchanges), ev_funnel oracle cast fix, ann_ivf_index build-once cache
+    "ev_retention", "ev_funnel", "ann_ivf_index",
+    # once-green only (r02): rotate in ahead of twice-green stock
+    "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
+    "dp_profile",
+    # r02-only-green family — no row since the schema-change round
+    "ann_ivf", "ann_bruteforce_fast", "approx_sketches", "mm_frame_sample",
+    "sk_hll_merge", "ann_topk",
+    # green r01+r02, deferred past r03's budget — every one needs a
+    # trailing-two-rounds refresh
+    "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
+    "dd_simhash_pairs", "dp_sample", "dp_stratified",
+    "r4b_cube", "rj_range_join", "r5c_rank_battery",
+    # the two most expensive oracles (recursive-CTE closure ~42 s, all-pairs
+    # join-sum ~12 s at sf0.01): deferred since r02, due a fresh row now that
+    # the rest of the budget is cheap re-greens (VERDICT r03 item 7)
+    "dd_embcos", "dd_cluster",
+]
+_DEFERRED_LAST = [
+    # fresh r03 greens (all 50 checked queries passed): weakest marginal
+    # signal this round — rotate past the budget; they re-enter in r05.
+    # Order mirrors CORRECTNESS_r03 so next round's rotation can take a
+    # prefix. (ev_retention/ev_funnel/ann_ivf_index moved to the head tier
+    # because they changed this round.)
     "ts_medfilt", "ts_gradient", "ts_runstats", "ts_groupmeans", "ts_welch",
     "ts_deadband", "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
     "r8_tumbling", "r8b_sliding", "r8c_sessions", "aj_asof_join",
     "tr_hier_rollup", "ts_resample", "ts_e2e_report", "io_orc_roundtrip",
-    # new this round: SRP-LSH ANN, curation pipeline, token-budget sampler,
-    # audio windowing plumbing
     "ann_srp_pairs", "cu_pipeline", "cu_budget", "cu_mixture",
-    "mm_audio_windows", "ts_welch_p", "tx_winnow", "ann_ivf_index",
-    "ev_funnel", "ev_retention", "dq_expectations", "sk_countmin",
-    # green in r01 but past the r02 gate budget — rotate forward
+    "mm_audio_windows", "ts_welch_p", "tx_winnow",
+    "dq_expectations", "sk_countmin",
     "r7b_dates", "r7c_json_map", "r12_unpivot", "r_pivot",
     "r9_scalar_subquery", "r11_stats_agg", "r10_outer_hist", "r5b_range_frame",
-    "tx_langid", "tx_quality", "tx_tokens",
-    # re-engineered this round (array-shipped grid; rerank once per pair) —
-    # re-verify ahead of the stable tier
-    "dd_ngram_jaccard",
-]
-_DEFERRED_LAST = [
-    # twice-green (r01+r02) stable queries: weakest marginal signal, rotate
-    # past the budget this round. dd_cluster/dd_embcos additionally carry the
-    # two most expensive oracles (recursive-CTE closure ~60s, all-pairs
-    # join-sum ~11s at sf0.01) — deferring them frees most of the gate's
-    # time budget for first-time rows.
-    "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
-    "dd_simhash_pairs", "dd_keepbest", "tx_fingerprint", "tx_redact",
-    "sk_salted_agg", "dp_profile", "dp_sample", "dp_stratified",
-    "dd_embcos", "dd_cluster",
+    "tx_langid", "tx_quality", "tx_tokens", "dd_ngram_jaccard",
+    "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
+    "r3_shipping_priority", "r4_rollup", "r5_window_topk", "r6_setops",
+    "r7_scalar_battery",
 ]
 
 

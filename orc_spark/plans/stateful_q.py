@@ -1,9 +1,17 @@
 """Stateful-recurrence queries (AHRS O4, PID O9, full steady-loop replay).
 
-These are genuinely non-SQL-expressible (per-sample state), so they carry no
-oracle entry — the driver records the rows-only check, and the semantics are
-covered by tests/test_stateful_replay.py (physical-sanity + distributed ==
-local recurrence equality).
+The AHRS and full-pipeline replays are non-SQL-expressible (quaternion
+state per sample), so they carry no oracle entry — the driver records the
+rows-only check, and the semantics are covered by
+tests/test_stateful_replay.py (physical-sanity + distributed == local
+recurrence equality).
+
+The PID replay, however, IS oracle-checked: with the fixture's Z_XL gains
+(ki = -0.0) the integrator term is identically +0.0, so the recurrence
+reduces to a strict per-row sequential form (P term + band-limited
+derivative, PID.c:24-91) that a DuckDB RECURSIVE CTE replays one sample
+per iteration with bit-identical IEEE-double operation order — the same
+pattern that made the Welch t CDF hash-checkable (ts_welch_p).
 
 Inputs are synthesized deterministically FROM the driver's events table
 (value → int16 counts), since the firmware never logged raw counts
@@ -71,6 +79,58 @@ def st_pid_replay(spark: SparkSession, sf: str) -> DataFrame:
     return pid_replay(series, "meas", ["user_id"], "ord", params, f32=False)
 
 
+def _pid_sql() -> str:
+    """DuckDB recursive-CTE replay of st_pid_replay, one sample per
+    iteration for every run in parallel (max run length ≈ 90 → ≈ 90
+    iterations). Every float constant is the repr round-trip of the exact
+    double the Python engine folds (e.g. -2.0·kd → 3600.0), every
+    expression mirrors _pid_scan_fast_f64's operation order, and the
+    integrator is omitted because ki = -0.0 keeps it at +0.0 (adding +0.0
+    cannot change prop + diff, and diff can never be -0.0 starting from
+    0.0). Seed row is ord = -1 with zero state so every real sample goes
+    through the one uniform recursive step."""
+    import numpy as np
+
+    kp, _ki, kd = Z_XL_GAINS
+    tau = 1.0 / (np.pi * 100.0)  # DERIVATIVE_CUTOFF_HZ, ORC_Main.c:429-430
+    n2kd = -2.0 * kd
+    ttm = 2.0 * tau - DT
+    ttp = 2.0 * tau + DT
+    lim_min, lim_max = -30000.0, 30000.0
+    d = "CAST(0 AS DOUBLE)"
+    diff_expr = (
+        f"(CAST({n2kd!r} AS DOUBLE) * (b.meas - s.prev_m)"
+        f" + CAST({ttm!r} AS DOUBLE) * s.diff)"
+        f" / CAST({ttp!r} AS DOUBLE)"
+    )
+    prop_expr = f"CAST({kp!r} AS DOUBLE) * ({d} - b.meas)"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS ord,
+         value / CAST(100 AS DOUBLE) AS meas
+  FROM events
+),
+scan AS (
+  SELECT user_id, CAST(-1 AS BIGINT) AS ord, {d} AS meas,
+         {d} AS diff, {d} AS prev_m, CAST(NULL AS DOUBLE) AS pid_out
+  FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL
+  SELECT b.user_id, b.ord, b.meas,
+         {diff_expr} AS diff,
+         b.meas AS prev_m,
+         least(greatest({prop_expr} + {diff_expr},
+                        CAST({lim_min!r} AS DOUBLE)),
+               CAST({lim_max!r} AS DOUBLE)) AS pid_out
+  FROM scan s
+  JOIN base b ON b.user_id = s.user_id AND b.ord = s.ord + 1
+)
+SELECT user_id, ord, meas, pid_out
+FROM scan WHERE ord >= 0
+"""
+
+
 def st_imu_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return imu_pipeline_replay(
         _imu_fixture(spark, sf), ["run_idx"], "sample_idx", f32=False
@@ -79,6 +139,6 @@ def st_imu_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = [
     Query("st_ahrs_replay", st_ahrs_replay, None, "O4 AHRS fusion recurrence (applyInPandas)"),
-    Query("st_pid_replay", st_pid_replay, None, "O9 PID recurrence (applyInPandas)"),
+    Query("st_pid_replay", st_pid_replay, _pid_sql(), "O9 PID recurrence, hash-checked via recursive-CTE sequential replay"),
     Query("st_imu_pipeline", st_imu_pipeline, None, "full firmware steady-loop replay"),
 ]
