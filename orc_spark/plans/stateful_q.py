@@ -1,17 +1,28 @@
 """Stateful-recurrence queries (AHRS O4, PID O9, full steady-loop replay).
 
-The AHRS and full-pipeline replays are non-SQL-expressible (quaternion
-state per sample), so they carry no oracle entry — the driver records the
-rows-only check, and the semantics are covered by
-tests/test_stateful_replay.py (physical-sanity + distributed == local
-recurrence equality).
+Both single-operator replays are oracle-checked by DuckDB RECURSIVE CTEs
+that step one sample per iteration for every run in parallel, mirroring
+the f64 engines' IEEE operation order exactly (the pattern that made the
+Welch t CDF hash-checkable, ts_welch_p):
 
-The PID replay, however, IS oracle-checked: with the fixture's Z_XL gains
-(ki = -0.0) the integrator term is identically +0.0, so the recurrence
-reduces to a strict per-row sequential form (P term + band-limited
-derivative, PID.c:24-91) that a DuckDB RECURSIVE CTE replays one sample
-per iteration with bit-identical IEEE-double operation order — the same
-pattern that made the Welch t CDF hash-checkable (ts_welch_p).
+- st_pid_replay: with the fixture's Z_XL gains (ki = -0.0) the integrator
+  term is identically +0.0, so the recurrence reduces to P + band-limited
+  derivative (PID.c:24-91) — complete in ~15 SQL expressions.
+- st_ahrs_replay: the full quaternion update (FusionAhrs.c:113-217) —
+  half-gravity, accel cross-product feedback with >90° renormalization,
+  gyro-range reset, gain ramp, per-step heading-zeroing, normalization,
+  Euler + linear-accel outputs — as 12 layered derived tables inside the
+  recursive member. Valid while every run stays inside the initialisation
+  ramp (< (10-0.5)/ramp_step ≈ 10 634 samples/run; driver runs are ≤ ~100,
+  asserted bit-identical vs ahrs_scan_fast_f64 at sf0.001/0.01/0.1
+  including gyro-range trips). DuckDB and CPython share libm on this
+  platform, so sin/cos/atan2/asin/sqrt agree bit-for-bit (verified over
+  120 k probes); the gate's 9-sig-fig rounding adds ~1e7 ulp of margin on
+  top.
+
+The composed st_imu_pipeline stays rows-only (its f32-faithful stages are
+not portable SQL); semantics are covered by tests/test_stateful_replay.py
+(physical-sanity + distributed == local recurrence equality).
 
 Inputs are synthesized deterministically FROM the driver's events table
 (value → int16 counts), since the firmware never logged raw counts
@@ -131,6 +142,145 @@ FROM scan WHERE ord >= 0
 """
 
 
+def _ahrs_sql() -> str:
+    """DuckDB recursive-CTE replay of st_ahrs_replay (see module docstring
+    for the validity envelope). Layered derived tables mirror
+    ahrs_scan_fast_f64's per-step sequence: gyro-range reset → gain ramp →
+    half gravity → normalized accel → cross-product feedback (with the
+    >90°-error renormalization branch) → adjusted rates → quaternion
+    integrate → normalize → heading-zero rotation → Euler/linear outputs.
+    Every constant is the repr round-trip of the exact double the engine
+    folds; every expression keeps the engine's association order."""
+    import math
+
+    from orc_spark.operators.ahrs import (
+        INITIAL_GAIN,
+        INITIALISATION_PERIOD,
+        AhrsSettings,
+    )
+
+    s = AhrsSettings()
+    rs = ((INITIAL_GAIN - s.gain) / INITIALISATION_PERIOD) * DT
+    gr = 0.98 * s.gyroscope_range_dps
+    hr = math.radians(0.5)
+    d = "CAST(0 AS DOUBLE)"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT user_id AS run_idx,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS sample_idx,
+         CAST(trunc(value * 53) AS BIGINT) * CAST(0.0175 AS DOUBLE) AS gx,
+         CAST(trunc(value * -41) AS BIGINT) * CAST(0.0175 AS DOUBLE) AS gy,
+         CAST(trunc(value * 29) AS BIGINT) * CAST(0.0175 AS DOUBLE) AS gz,
+         CAST(trunc(value * 37) AS BIGINT) * CAST(0.000122 AS DOUBLE) AS ax,
+         CAST(trunc(value * -23) AS BIGINT) * CAST(0.000122 AS DOUBLE) AS ay,
+         (8197 + CAST(trunc(value * 11) AS BIGINT)) * CAST(0.000122 AS DOUBLE) AS az
+  FROM events
+),
+scan AS (
+  SELECT user_id AS run_idx, CAST(-1 AS BIGINT) AS sample_idx,
+         CAST(1 AS DOUBLE) AS qw, {d} AS qx, {d} AS qy, {d} AS qz,
+         CAST({INITIAL_GAIN!r} AS DOUBLE) AS rg,
+         CAST(NULL AS DOUBLE) AS roll_deg, CAST(NULL AS DOUBLE) AS pitch_deg,
+         CAST(NULL AS DOUBLE) AS yaw_deg, CAST(NULL AS DOUBLE) AS lin_x,
+         CAST(NULL AS DOUBLE) AS lin_y, CAST(NULL AS DOUBLE) AS lin_z
+  FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL
+  SELECT run_idx, sample_idx, fw AS qw, fx AS qx, fy AS qy, fz AS qz, rg1 AS rg,
+         degrees(atan2(fw*fx + fy*fz, (0.5 - fy*fy) - fx*fx)) AS roll_deg,
+         degrees(asin(least(greatest(2.0*(fw*fy - fz*fx), CAST(-1 AS DOUBLE)), CAST(1 AS DOUBLE)))) AS pitch_deg,
+         degrees(atan2(fw*fz + fx*fy, (0.5 - fy*fy) - fz*fz)) AS yaw_deg,
+         ax - 2.0*(fx*fz - fw*fy) AS lin_x,
+         ay - 2.0*(fy*fz + fw*fx) AS lin_y,
+         az - 2.0*((fw*fw - 0.5) + fz*fz) AS lin_z
+  FROM (
+    SELECT *,
+           rw*uw - rz*uz AS fw, rw*ux - rz*uy AS fx,
+           rw*uy + rz*ux AS fy, rw*uz + rz*uw AS fz
+    FROM (
+      SELECT *, cos(half) AS rw, -sin(half) AS rz
+      FROM (
+        SELECT *, 0.5 * atan2(uw*uz + ux*uy, (0.5 - uy*uy) - uz*uz) AS half
+        FROM (
+          SELECT *, nqw*invq AS uw, nqx*invq AS ux, nqy*invq AS uy, nqz*invq AS uz
+          FROM (
+            SELECT *, 1.0/sqrt(((nqw*nqw + nqx*nqx) + nqy*nqy) + nqz*nqz) AS invq
+            FROM (
+              SELECT *,
+                     qw + ((-(qx*adjx) - qy*adjy) - qz*adjz) AS nqw,
+                     qx + ((qw*adjx + qy*adjz) - qz*adjy) AS nqx,
+                     qy + ((qw*adjy - qx*adjz) + qz*adjx) AS nqy,
+                     qz + ((qw*adjz + qx*adjy) - qy*adjx) AS nqz
+              FROM (
+                SELECT *,
+                       (gx * CAST({hr!r} AS DOUBLE) + fbx * rg1) * CAST({DT!r} AS DOUBLE) AS adjx,
+                       (gy * CAST({hr!r} AS DOUBLE) + fby * rg1) * CAST({DT!r} AS DOUBLE) AS adjy,
+                       (gz * CAST({hr!r} AS DOUBLE) + fbz * rg1) * CAST({DT!r} AS DOUBLE) AS adjz
+                FROM (
+                  SELECT *,
+                         CASE WHEN azero THEN {d}
+                              WHEN dotsh < 0.0 AND m2 > 0.0 THEN cx * (1.0/sqrt(m2))
+                              ELSE cx END AS fbx,
+                         CASE WHEN azero THEN {d}
+                              WHEN dotsh < 0.0 AND m2 > 0.0 THEN cy * (1.0/sqrt(m2))
+                              ELSE cy END AS fby,
+                         CASE WHEN azero THEN {d}
+                              WHEN dotsh < 0.0 AND m2 > 0.0 THEN cz * (1.0/sqrt(m2))
+                              ELSE cz END AS fbz
+                  FROM (
+                    SELECT *,
+                           (cx*cx + cy*cy) + cz*cz AS m2,
+                           (sx*hgx + sy*hgy) + sz*hgz AS dotsh
+                    FROM (
+                      SELECT *,
+                             sy*hgz - sz*hgy AS cx,
+                             sz*hgx - sx*hgz AS cy,
+                             sx*hgy - sy*hgx AS cz
+                      FROM (
+                        SELECT *, ax*inva AS sx, ay*inva AS sy, az*inva AS sz
+                        FROM (
+                          SELECT *,
+                                 CASE WHEN azero THEN {d}
+                                      ELSE 1.0/sqrt((ax*ax + ay*ay) + az*az) END AS inva
+                          FROM (
+                            SELECT *,
+                                   (CASE WHEN abs(gx) > CAST({gr!r} AS DOUBLE)
+                                          OR abs(gy) > CAST({gr!r} AS DOUBLE)
+                                          OR abs(gz) > CAST({gr!r} AS DOUBLE)
+                                         THEN CAST({INITIAL_GAIN!r} AS DOUBLE) ELSE rg END)
+                                   - CAST({rs!r} AS DOUBLE) AS rg1,
+                                   qx*qz - qw*qy AS hgx,
+                                   qy*qz + qw*qx AS hgy,
+                                   (qw*qw - 0.5) + qz*qz AS hgz,
+                                   (ax = 0.0 AND ay = 0.0 AND az = 0.0) AS azero
+                            FROM (
+                              SELECT s.qw, s.qx, s.qy, s.qz, s.rg,
+                                     b.run_idx, b.sample_idx,
+                                     b.gx, b.gy, b.gz, b.ax, b.ay, b.az
+                              FROM scan s
+                              JOIN base b ON b.run_idx = s.run_idx
+                                         AND b.sample_idx = s.sample_idx + 1
+                            )
+                          )
+                        )
+                      )
+                    )
+                  )
+                )
+              )
+            )
+          )
+        )
+      )
+    )
+  )
+)
+SELECT run_idx, sample_idx, qw, qx, qy, qz,
+       roll_deg, pitch_deg, yaw_deg, lin_x, lin_y, lin_z
+FROM scan WHERE sample_idx >= 0
+"""
+
+
 def st_imu_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return imu_pipeline_replay(
         _imu_fixture(spark, sf), ["run_idx"], "sample_idx", f32=False
@@ -138,7 +288,7 @@ def st_imu_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = [
-    Query("st_ahrs_replay", st_ahrs_replay, None, "O4 AHRS fusion recurrence (applyInPandas)"),
+    Query("st_ahrs_replay", st_ahrs_replay, _ahrs_sql(), "O4 AHRS fusion recurrence, hash-checked via recursive-CTE quaternion replay"),
     Query("st_pid_replay", st_pid_replay, _pid_sql(), "O9 PID recurrence, hash-checked via recursive-CTE sequential replay"),
     Query("st_imu_pipeline", st_imu_pipeline, None, "full firmware steady-loop replay"),
 ]
