@@ -44,10 +44,11 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # NEW oracles this round (r04): the PID and AHRS recurrences replayed by
-    # DuckDB recursive CTEs (bit-identical f64), and the MINSTD image stub
-    # regenerated pixel-by-pixel in SQL — first driver rows ever for all three
-    "st_pid_replay", "st_ahrs_replay", "mm_image_features",
+    # NEW oracles this round (r04): the PID / AHRS / full-firmware-pipeline
+    # recurrences replayed by DuckDB recursive CTEs (bit-identical f64), and
+    # the MINSTD image stub regenerated pixel-by-pixel in SQL — first driver
+    # rows ever for all four; the registry is now 77/77 oracle-bearing
+    "st_pid_replay", "st_ahrs_replay", "st_imu_pipeline", "mm_image_features",
     # changed this round: ev_retention plan rewritten (window-min, 2
     # exchanges), ev_funnel oracle cast fix, ann_ivf_index build-once cache
     "ev_retention", "ev_funnel", "ann_ivf_index",

@@ -20,9 +20,15 @@ Welch t CDF hash-checkable, ts_welch_p):
   120 k probes); the gate's 9-sig-fig rounding adds ~1e7 ulp of margin on
   top.
 
-The composed st_imu_pipeline stays rows-only (its f32-faithful stages are
-not portable SQL); semantics are covered by tests/test_stateful_replay.py
-(physical-sanity + distributed == local recurrence equality).
+st_imu_pipeline composes the same machinery end to end — LOCF-gated unit
+conversion (gyro-gates-accel quirk), the AHRS update, the noise-floor
+deadband, THREE full PID controllers (nonzero integrators, dynamic
+anti-windup clamping, swapped-gain quirk, int16 output cast) and the
+4-corner transform with its uint16 cast — in one recursive CTE with a
+23-column state vector. Same validity envelope as the AHRS oracle;
+asserted bit-identical vs replay_run_fast_f64 at sf0.001/0.01/0.1.
+tests/test_stateful_replay.py additionally covers physical sanity and
+distributed == local recurrence equality.
 
 Inputs are synthesized deterministically FROM the driver's events table
 (value → int16 counts), since the firmware never logged raw counts
@@ -287,8 +293,252 @@ def st_imu_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _imu_sql() -> str:
+    """DuckDB recursive-CTE replay of st_imu_pipeline: the entire firmware
+    steady loop (ORC_Main.c:227-289) as one recurrence with a 23-column
+    state vector — carried LOCF floats (6), AHRS quaternion + ramped gain
+    (5), and 4 PID state variables × 3 controllers (12). Layer order and
+    float association mirror replay_run_fast_f64 exactly; int16/uint16
+    output casts are trunc-after-clip, matching numpy's cast of clipped
+    floats. Validity envelope: runs inside the AHRS initialisation ramp
+    (see module docstring); bit-identical at sf0.001/0.01/0.1."""
+    import math
+
+    import numpy as np
+
+    from orc_spark.operators.ahrs import (
+        INITIAL_GAIN,
+        INITIALISATION_PERIOD,
+        AhrsSettings,
+    )
+    from orc_spark.operators.control import (
+        A_2AB,
+        B_2AB,
+        INV_2AB,
+        INV_2CD,
+        PITCH_GAINS,
+        ROLL_GAINS,
+    )
+    from orc_spark.operators.imu_pipeline import IMU_NOISE_FLOOR
+    from orc_spark.operators.timeseries import (
+        ACCEL_G_PER_LSB,
+        ACCEL_REJECT_COUNTS,
+        GYRO_DPS_PER_LSB,
+        GYRO_REJECT_COUNTS,
+    )
+
+    s = AhrsSettings(sample_time=DT, recovery_trigger_period=int(5.0 / DT))
+    rs = ((INITIAL_GAIN - s.gain) / INITIALISATION_PERIOD) * DT
+    gr = 0.98 * s.gyroscope_range_dps
+    hr = math.radians(0.5)
+    tau = 1.0 / (np.pi * 100.0)
+    max_accel_coeff = 1.1 * max(A_2AB, B_2AB)
+    max_angle_coeff = 1.1 * max(INV_2AB, INV_2CD)
+    accel_lims = (-32768.0 / max_accel_coeff, 32767.0 / max_accel_coeff)
+    angle_lims = (-32768.0 / max_angle_coeff, 32767.0 / max_angle_coeff)
+    ttm = 2.0 * tau - DT
+    ttp = 2.0 * tau + DT
+    nf = IMU_NOISE_FLOOR
+    d = "CAST(0 AS DOUBLE)"
+
+    def pid_layers(tag: str, gains, lims, meas: str) -> tuple[str, str, str]:
+        """Three per-controller layers: (err/prop/trapezoid-integ/diff),
+        (dynamic anti-windup clamp), (output clamp + int16 cast)."""
+        kp, ki, kd = gains
+        kit = (0.5 * ki) * DT  # constant the engine folds per step
+        n2kd = -2.0 * kd
+        lmin, lmax = lims
+        l1 = f"""
+           CAST({kp!r} AS DOUBLE) * ({d} - {meas}) AS {tag}_prop,
+           {tag}_integ + CAST({kit!r} AS DOUBLE) * (({d} - {meas}) + {tag}_perr) AS {tag}_integ1,
+           (CAST({n2kd!r} AS DOUBLE) * ({meas} - {tag}_pm) + CAST({ttm!r} AS DOUBLE) * {tag}_diff) / CAST({ttp!r} AS DOUBLE) AS {tag}_diff1"""
+        l2 = f"""
+           CASE WHEN {tag}_integ1 > (CASE WHEN CAST({lmax!r} AS DOUBLE) > {tag}_prop THEN CAST({lmax!r} AS DOUBLE) - {tag}_prop ELSE {d} END)
+                THEN (CASE WHEN CAST({lmax!r} AS DOUBLE) > {tag}_prop THEN CAST({lmax!r} AS DOUBLE) - {tag}_prop ELSE {d} END)
+                WHEN {tag}_integ1 < (CASE WHEN CAST({lmin!r} AS DOUBLE) < {tag}_prop THEN CAST({lmin!r} AS DOUBLE) - {tag}_prop ELSE {d} END)
+                THEN (CASE WHEN CAST({lmin!r} AS DOUBLE) < {tag}_prop THEN CAST({lmin!r} AS DOUBLE) - {tag}_prop ELSE {d} END)
+                ELSE {tag}_integ1 END AS {tag}_integ2"""
+        l3 = f"""
+           CAST(CAST(trunc(least(greatest(
+             least(greatest(({tag}_prop + {tag}_integ2) + {tag}_diff1, CAST({lmin!r} AS DOUBLE)), CAST({lmax!r} AS DOUBLE)),
+             CAST(-32768 AS DOUBLE)), CAST(32767 AS DOUBLE))) AS BIGINT) AS DOUBLE) AS {tag}_out"""
+        return l1, l2, l3
+
+    z1, z2, z3 = pid_layers("z", Z_XL_GAINS, accel_lims, "cond_accel")
+    # swapped-gain quirk (ORC_Main.c:456-470): pitch runs ROLL_K*, roll PITCH_K*
+    p1, p2, p3 = pid_layers("p", ROLL_GAINS, angle_lims, "pitch_deg")
+    r1, r2, r3 = pid_layers("r", PITCH_GAINS, angle_lims, "roll_deg")
+
+    def act(zs: str, ps: str) -> str:
+        zc = B_2AB if zs == "b" else A_2AB
+        return (
+            f"CAST(CAST(trunc(least(greatest(((CAST({zc!r} AS DOUBLE) * z_out"
+            f" {'-' if zs == 'b' else '+'} CAST({INV_2AB!r} AS DOUBLE) * p_out)"
+            f" {ps} CAST({INV_2CD!r} AS DOUBLE) * r_out) + 32768.0, {d}),"
+            f" CAST(65535 AS DOUBLE))) AS BIGINT) AS DOUBLE)"
+        )
+
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT user_id AS run_idx,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS sample_idx,
+         CAST(trunc(value * 53) AS BIGINT) AS rgx,
+         CAST(trunc(value * -41) AS BIGINT) AS rgy,
+         CAST(trunc(value * 29) AS BIGINT) AS rgz,
+         CAST(trunc(value * 37) AS BIGINT) AS rax,
+         CAST(trunc(value * -23) AS BIGINT) AS ray,
+         8197 + CAST(trunc(value * 11) AS BIGINT) AS raz
+  FROM events
+),
+scan AS (
+  SELECT user_id AS run_idx, CAST(-1 AS BIGINT) AS sample_idx,
+         CAST(1 AS DOUBLE) AS qw, {d} AS qx, {d} AS qy, {d} AS qz,
+         CAST({INITIAL_GAIN!r} AS DOUBLE) AS rg,
+         {d} AS cgx, {d} AS cgy, {d} AS cgz,
+         {d} AS cax, {d} AS cay, {d} AS caz,
+         {d} AS z_integ, {d} AS z_diff, {d} AS z_perr, {d} AS z_pm,
+         {d} AS p_integ, {d} AS p_diff, {d} AS p_perr, {d} AS p_pm,
+         {d} AS r_integ, {d} AS r_diff, {d} AS r_perr, {d} AS r_pm,
+         CAST(NULL AS DOUBLE) AS accel_g, CAST(NULL AS DOUBLE) AS pitch_deg,
+         CAST(NULL AS DOUBLE) AS roll_deg, CAST(NULL AS DOUBLE) AS cond_accel,
+         CAST(NULL AS DOUBLE) AS act1, CAST(NULL AS DOUBLE) AS act2,
+         CAST(NULL AS DOUBLE) AS act3, CAST(NULL AS DOUBLE) AS act4
+  FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL
+  SELECT run_idx, sample_idx, fw AS qw, fx AS qx, fy AS qy, fz_ AS qz, rg1 AS rg,
+         cgx, cgy, cgz, cax, cay, caz,
+         z_integ2 AS z_integ, z_diff1 AS z_diff,
+         ({d} - cond_accel) AS z_perr, cond_accel AS z_pm,
+         p_integ2 AS p_integ, p_diff1 AS p_diff,
+         ({d} - pitch_deg) AS p_perr, pitch_deg AS p_pm,
+         r_integ2 AS r_integ, r_diff1 AS r_diff,
+         ({d} - roll_deg) AS r_perr, roll_deg AS r_pm,
+         accel_g, pitch_deg, roll_deg, cond_accel,
+         {act("b", "+")} AS act1,
+         {act("b", "-")} AS act2,
+         {act("a", "+")} AS act3,
+         {act("a", "-")} AS act4
+  FROM (
+    SELECT *, {z3}, {p3}, {r3}
+    FROM (
+      SELECT *, {z2}, {p2}, {r2}
+      FROM (
+        SELECT *, {z1}, {p1}, {r1}
+        FROM (
+          SELECT *,
+                 az_lin AS accel_g,
+                 CASE WHEN az_lin > CAST({nf!r} AS DOUBLE) THEN az_lin - CAST({nf!r} AS DOUBLE)
+                      WHEN az_lin < -CAST({nf!r} AS DOUBLE) THEN az_lin + CAST({nf!r} AS DOUBLE)
+                      ELSE {d} END AS cond_accel
+          FROM (
+            SELECT *,
+                   degrees(atan2(fw*fx + fy*fz_, (0.5 - fy*fy) - fx*fx)) AS roll_deg,
+                   degrees(asin(least(greatest(2.0*(fw*fy - fz_*fx), CAST(-1 AS DOUBLE)), CAST(1 AS DOUBLE)))) AS pitch_deg,
+                   caz - 2.0*((fw*fw - 0.5) + fz_*fz_) AS az_lin
+            FROM (
+              SELECT *,
+                     rw*uw - rz_*uz AS fw, rw*ux - rz_*uy AS fx,
+                     rw*uy + rz_*ux AS fy, rw*uz + rz_*uw AS fz_
+              FROM (
+                SELECT *, cos(half) AS rw, -sin(half) AS rz_
+                FROM (
+                  SELECT *, 0.5 * atan2(uw*uz + ux*uy, (0.5 - uy*uy) - uz*uz) AS half
+                  FROM (
+                    SELECT *, nqw*invq AS uw, nqx*invq AS ux, nqy*invq AS uy, nqz*invq AS uz
+                    FROM (
+                      SELECT *, 1.0/sqrt(((nqw*nqw + nqx*nqx) + nqy*nqy) + nqz*nqz) AS invq
+                      FROM (
+                        SELECT *,
+                               qw + ((-(qx*adjx) - qy*adjy) - qz*adjz) AS nqw,
+                               qx + ((qw*adjx + qy*adjz) - qz*adjy) AS nqx,
+                               qy + ((qw*adjy - qx*adjz) + qz*adjx) AS nqy,
+                               qz + ((qw*adjz + qx*adjy) - qy*adjx) AS nqz
+                        FROM (
+                          SELECT *,
+                                 (cgx * CAST({hr!r} AS DOUBLE) + fbx * rg1) * CAST({DT!r} AS DOUBLE) AS adjx,
+                                 (cgy * CAST({hr!r} AS DOUBLE) + fby * rg1) * CAST({DT!r} AS DOUBLE) AS adjy,
+                                 (cgz * CAST({hr!r} AS DOUBLE) + fbz * rg1) * CAST({DT!r} AS DOUBLE) AS adjz
+                          FROM (
+                            SELECT *,
+                                   CASE WHEN azero THEN {d}
+                                        WHEN dotsh < 0.0 AND m2 > 0.0 THEN cxp * (1.0/sqrt(m2))
+                                        ELSE cxp END AS fbx,
+                                   CASE WHEN azero THEN {d}
+                                        WHEN dotsh < 0.0 AND m2 > 0.0 THEN cyp * (1.0/sqrt(m2))
+                                        ELSE cyp END AS fby,
+                                   CASE WHEN azero THEN {d}
+                                        WHEN dotsh < 0.0 AND m2 > 0.0 THEN czp * (1.0/sqrt(m2))
+                                        ELSE czp END AS fbz
+                            FROM (
+                              SELECT *,
+                                     (cxp*cxp + cyp*cyp) + czp*czp AS m2,
+                                     (sx*hgx + sy*hgy) + sz*hgz AS dotsh
+                              FROM (
+                                SELECT *,
+                                       sy*hgz - sz*hgy AS cxp,
+                                       sz*hgx - sx*hgz AS cyp,
+                                       sx*hgy - sy*hgx AS czp
+                                FROM (
+                                  SELECT *, cax*inva AS sx, cay*inva AS sy, caz*inva AS sz
+                                  FROM (
+                                    SELECT *,
+                                           CASE WHEN azero THEN {d}
+                                                ELSE 1.0/sqrt((cax*cax + cay*cay) + caz*caz) END AS inva
+                                    FROM (
+                                      SELECT *,
+                                             (CASE WHEN abs(cgx) > CAST({gr!r} AS DOUBLE)
+                                                    OR abs(cgy) > CAST({gr!r} AS DOUBLE)
+                                                    OR abs(cgz) > CAST({gr!r} AS DOUBLE)
+                                                   THEN CAST({INITIAL_GAIN!r} AS DOUBLE) ELSE rg END)
+                                             - CAST({rs!r} AS DOUBLE) AS rg1,
+                                             qx*qz - qw*qy AS hgx,
+                                             qy*qz + qw*qx AS hgy,
+                                             (qw*qw - 0.5) + qz*qz AS hgz,
+                                             (cax = 0.0 AND cay = 0.0 AND caz = 0.0) AS azero
+                                      FROM (
+                                        SELECT s.qw, s.qx, s.qy, s.qz, s.rg,
+                                               s.z_integ, s.z_diff, s.z_perr, s.z_pm,
+                                               s.p_integ, s.p_diff, s.p_perr, s.p_pm,
+                                               s.r_integ, s.r_diff, s.r_perr, s.r_pm,
+                                               b.run_idx, b.sample_idx,
+                                               CASE WHEN abs(b.rgx) < {GYRO_REJECT_COUNTS} THEN CAST(b.rgx AS DOUBLE) * CAST({GYRO_DPS_PER_LSB!r} AS DOUBLE) ELSE s.cgx END AS cgx,
+                                               CASE WHEN abs(b.rgy) < {GYRO_REJECT_COUNTS} THEN CAST(b.rgy AS DOUBLE) * CAST({GYRO_DPS_PER_LSB!r} AS DOUBLE) ELSE s.cgy END AS cgy,
+                                               CASE WHEN abs(b.rgz) < {GYRO_REJECT_COUNTS} THEN CAST(b.rgz AS DOUBLE) * CAST({GYRO_DPS_PER_LSB!r} AS DOUBLE) ELSE s.cgz END AS cgz,
+                                               CASE WHEN abs(b.rgx) < {ACCEL_REJECT_COUNTS} THEN CAST(b.rax AS DOUBLE) * CAST({ACCEL_G_PER_LSB!r} AS DOUBLE) ELSE s.cax END AS cax,
+                                               CASE WHEN abs(b.rgy) < {ACCEL_REJECT_COUNTS} THEN CAST(b.ray AS DOUBLE) * CAST({ACCEL_G_PER_LSB!r} AS DOUBLE) ELSE s.cay END AS cay,
+                                               CASE WHEN abs(b.rgz) < {ACCEL_REJECT_COUNTS} THEN CAST(b.raz AS DOUBLE) * CAST({ACCEL_G_PER_LSB!r} AS DOUBLE) ELSE s.caz END AS caz
+                                        FROM scan s
+                                        JOIN base b ON b.run_idx = s.run_idx
+                                                   AND b.sample_idx = s.sample_idx + 1
+                                      )
+                                    )
+                                  )
+                                )
+                              )
+                            )
+                          )
+                        )
+                      )
+                    )
+                  )
+                )
+              )
+            )
+          )
+        )
+      )
+    )
+  )
+)
+SELECT run_idx, sample_idx, accel_g, pitch_deg, roll_deg, cond_accel,
+       act1, act2, act3, act4
+FROM scan WHERE sample_idx >= 0
+"""
+
+
 QUERIES = [
     Query("st_ahrs_replay", st_ahrs_replay, _ahrs_sql(), "O4 AHRS fusion recurrence, hash-checked via recursive-CTE quaternion replay"),
     Query("st_pid_replay", st_pid_replay, _pid_sql(), "O9 PID recurrence, hash-checked via recursive-CTE sequential replay"),
-    Query("st_imu_pipeline", st_imu_pipeline, None, "full firmware steady-loop replay"),
+    Query("st_imu_pipeline", st_imu_pipeline, _imu_sql(), "full firmware steady-loop replay, hash-checked via recursive-CTE (LOCF + AHRS + 3xPID + transform)"),
 ]
