@@ -340,48 +340,50 @@ def cu_mixture(spark: SparkSession, sf: str) -> DataFrame:
     md5-hash rank (same docs on every engine/run/partitioning — the same
     contract as dp_sample). Output: per-language audit of the achieved mix.
 
-    Scale: one count agg, one broadcast of the 5-row weights/scale, one
-    window rank per language partition (salt per-lang shards if one language
-    dominates), one final agg. No driver-side scalars — the global k rides a
-    broadcast join."""
+    Scale: ONE scan of documents — the per-language count rides the same
+    lang-partitioned exchange as the hash rank (two window functions, one
+    shuffle), the 5-row weight table broadcasts, and the global k is a
+    single-partition window over the already-filter-reduced rows (salt
+    per-lang shards if one language dominates). No driver-side scalars."""
     weights = spark.createDataFrame(
         list(CU_MIX.items()), "lang string, w double"
     )
     docs = load_table(spark, sf, "documents").select("doc_id", "lang")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    scale = (
-        counts.join(weights, "lang")
-        .select((F.col("n").cast("double") / F.col("w")).alias("s"))
-        .agg(F.min("s").alias("k"))
-    )
-    w_rank = Window.partitionBy("lang").orderBy(
+    w_lang = Window.partitionBy("lang")
+    w_rank = w_lang.orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
-    ranked = docs.withColumn("rnk", F.row_number().over(w_rank))
-    kept = (
-        ranked.join(F.broadcast(weights), "lang")
-        .crossJoin(F.broadcast(scale))
-        .where(
-            F.col("rnk")
-            <= F.floor(F.col("k") * F.col("w")).cast("bigint")
-        )
-    )
-    per_lang = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
-    total = Window.partitionBy()
-    return (
-        per_lang.join(counts, "lang")
-        .join(weights, "lang")
+    ranked = (
+        docs.join(F.broadcast(weights), "lang")
         .select(
             "lang",
-            F.col("n").alias("n_total"),
-            "n_kept",
-            F.round(F.col("w"), 6).alias("target_share"),
-            F.round(
-                F.col("n_kept").cast("double")
-                / F.sum("n_kept").over(total).cast("double"),
-                6,
-            ).alias("achieved_share"),
+            "w",
+            F.row_number().over(w_rank).alias("rnk"),
+            F.count(F.lit(1)).over(w_lang).alias("n"),
         )
+    )
+    total = Window.partitionBy()
+    kept = (
+        ranked.withColumn(
+            "k", F.min(F.col("n").cast("double") / F.col("w")).over(total)
+        )
+        .where(F.col("rnk") <= F.floor(F.col("k") * F.col("w")).cast("bigint"))
+    )
+    per_lang = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.first("n").alias("n"),
+        F.first("w").alias("w"),
+    )
+    return per_lang.select(
+        "lang",
+        F.col("n").alias("n_total"),
+        "n_kept",
+        F.round(F.col("w"), 6).alias("target_share"),
+        F.round(
+            F.col("n_kept").cast("double")
+            / F.sum("n_kept").over(total).cast("double"),
+            6,
+        ).alias("achieved_share"),
     )
 
 
