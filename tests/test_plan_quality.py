@@ -181,6 +181,37 @@ def test_ev_retention_two_exchanges(spark, sf_small):
     assert "Join" not in plan, "window-min shape must not join back"
 
 
+def test_cu_mixture_single_scan(spark, sf_small):
+    """cu_mixture: one documents scan feeds rank AND per-language count
+    (both windows share the lang exchange); regression = a second FileScan
+    (the old agg+join-back shape) or >3 exchanges."""
+    from orc_spark.plans.curation_q import cu_mixture
+    from orc_spark.plans.explain import formatted_plan
+
+    import re
+
+    df = cu_mixture(spark, sf_small)
+    plan = formatted_plan(df)
+    # formatted plans list each node in the tree AND the detail section —
+    # count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_dq_expectations_one_scan_per_table(spark, sf_small):
+    """dq_expectations: 5 tables, 6 checks, exactly 6 scans (5 audit scans
+    + the customer broadcast build) — both lineitem checks must ride one
+    scan and the FK check must not re-scan orders."""
+    from orc_spark.plans.dq_q import dq_expectations
+    from orc_spark.plans.explain import formatted_plan
+
+    import re
+
+    df = dq_expectations(spark, sf_small)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 6, plan
+
+
 def test_recurrence_harness_partitions_by_cores(spark, sf_small):
     """partitioned_group_scan: the recurrence stage must hash-partition on the
     run key into defaultParallelism partitions (cores-not-bytes) and execute
