@@ -49,9 +49,12 @@ _PRIORITY_FIRST = [
     # the MINSTD image stub regenerated pixel-by-pixel in SQL — first driver
     # rows ever for all four; the registry is now 77/77 oracle-bearing
     "st_pid_replay", "st_ahrs_replay", "st_imu_pipeline", "mm_image_features",
+    "sk_bloom",
     # changed this round: ev_retention plan rewritten (window-min, 2
-    # exchanges), ev_funnel oracle cast fix, ann_ivf_index build-once cache
-    "ev_retention", "ev_funnel", "ann_ivf_index",
+    # exchanges), ev_funnel oracle cast fix, ann_ivf_index build-once cache,
+    # cu_mixture single-scan rewrite, dq_expectations scan-fused audit
+    "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
+    "dq_expectations",
     # once-green only (r02): rotate in ahead of twice-green stock
     "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
     "dp_profile",
@@ -78,9 +81,8 @@ _DEFERRED_LAST = [
     "ts_deadband", "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
     "r8_tumbling", "r8b_sliding", "r8c_sessions", "aj_asof_join",
     "tr_hier_rollup", "ts_resample", "ts_e2e_report", "io_orc_roundtrip",
-    "ann_srp_pairs", "cu_pipeline", "cu_budget", "cu_mixture",
-    "mm_audio_windows", "ts_welch_p", "tx_winnow",
-    "dq_expectations", "sk_countmin",
+    "ann_srp_pairs", "cu_pipeline", "cu_budget",
+    "mm_audio_windows", "ts_welch_p", "tx_winnow", "sk_countmin",
     "r7b_dates", "r7c_json_map", "r12_unpivot", "r_pivot",
     "r9_scalar_subquery", "r11_stats_agg", "r10_outer_hist", "r5b_range_frame",
     "tx_langid", "tx_quality", "tx_tokens", "dd_ngram_jaccard",

@@ -480,6 +480,112 @@ FROM est e LEFT JOIN tn ON tn.user_id = e.user_id
 """
 
 
+# --- Bloom filter (mergeable set-membership sketch) --------------------------
+
+BLOOM_BITS = 512
+BLOOM_K = 4
+# negative ids never occur in events → guaranteed-absent probes exercise the
+# false-positive side; 0..4 are guaranteed-present at every sf
+BLOOM_PROBES = [0, 1, 2, 3, 4, -1, -2, -3, -4, -5]
+
+
+def sk_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership sketch over events.user_id, built as a plain
+    aggregation: each id sets BLOOM_K of BLOOM_BITS positions (the distinct
+    (j, pos) table IS the sketch — mergeable by union, the same partial-agg
+    contract HLL and CMS ride; at 100 TB each partition contributes its set
+    bits and the union is the merged filter). Probes: a fixed id set, half
+    guaranteed present, half guaranteed absent; membership = all K positions
+    set. Bloom filters have NO false negatives, so `no_false_negative` is a
+    hard correctness signal per row, and the h60 positions make the whole
+    sketch bit-identical cross-engine — like sk_countmin, the entire build
+    path hash-checks, including any false positives (deterministic given
+    the hash family)."""
+    from orc_spark.functions.hashing import h60
+
+    ev = load_table(spark, sf, "events").select("user_id")
+    js = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+
+    def pos(uid_col):
+        return (
+            h60(
+                F.concat(
+                    F.lit("bloom"), F.col("j").cast("string"),
+                    F.lit(":"), uid_col.cast("string"),
+                )
+            )
+            % BLOOM_BITS
+        )
+
+    bits = (
+        ev.select("user_id", js)
+        .select("j", pos(F.col("user_id")).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probes = spark.createDataFrame(
+        [(u,) for u in BLOOM_PROBES], "probe_id bigint"
+    ).select(
+        "probe_id", F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    ).select("probe_id", "j", pos(F.col("probe_id")).alias("pos"))
+    member = (
+        probes.join(F.broadcast(bits), ["j", "pos"], "left")
+        .groupBy("probe_id")
+        .agg((F.count("hit") == BLOOM_K).alias("bloom_member"))
+    )
+    present = (
+        ev.where(F.col("user_id").isin(BLOOM_PROBES))
+        .select(F.col("user_id").alias("probe_id"))
+        .distinct()
+        .withColumn("in_set", F.lit(True))
+    )
+    return (
+        member.join(present, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("in_set", F.lit(False)).alias("in_set"),
+            "bloom_member",
+            (F.col("bloom_member") | ~F.coalesce("in_set", F.lit(False))).alias(
+                "no_false_negative"
+            ),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    from orc_spark.functions.hashing import h60_sql
+
+    probes = ", ".join(f"({u})" for u in BLOOM_PROBES)
+    h_build = h60_sql("'bloom' || j || ':' || user_id")
+    h_probe = h60_sql("'bloom' || j || ':' || probe_id")
+    return f"""
+WITH bits AS (
+  SELECT DISTINCT j, {h_build} % {BLOOM_BITS} AS pos
+  FROM events, (SELECT unnest(range(0, {BLOOM_K})) AS j)
+),
+pr(probe_id) AS (VALUES {probes}),
+probe_pos AS (
+  SELECT probe_id, j, {h_probe} % {BLOOM_BITS} AS pos
+  FROM pr, (SELECT unnest(range(0, {BLOOM_K})) AS j)
+),
+member AS (
+  SELECT p.probe_id,
+         count(b.pos) = {BLOOM_K} AS bloom_member
+  FROM probe_pos p LEFT JOIN bits b ON b.j = p.j AND b.pos = p.pos
+  GROUP BY p.probe_id
+),
+present AS (
+  SELECT DISTINCT user_id AS probe_id, TRUE AS in_set
+  FROM events WHERE user_id IN (SELECT probe_id FROM pr)
+)
+SELECT m.probe_id,
+       coalesce(p.in_set, FALSE) AS in_set,
+       m.bloom_member,
+       m.bloom_member OR NOT coalesce(p.in_set, FALSE) AS no_false_negative
+FROM member m LEFT JOIN present p ON p.probe_id = m.probe_id
+"""
+
+
 # --- cohort retention matrix -------------------------------------------------
 
 _WEEK_US = 7 * 86400 * 1000000
@@ -538,4 +644,5 @@ QUERIES = [
     Query("dp_stratified", dp_stratified, DP_STRATIFIED_SQL, "per-language deterministic stratified sampling"),
     Query("sk_hll_merge", sk_hll_merge, SK_HLL_SQL, "mergeable HLL sketches, exact side + error-bound boolean hash-checked"),
     Query("sk_countmin", sk_countmin, _cms_sql(), "count-min sketch build + point estimates, fully hash-checked"),
+    Query("sk_bloom", sk_bloom, _bloom_sql(), "Bloom membership sketch + probe battery, fully hash-checked (no-false-negative guarantee asserted per row)"),
 ]
