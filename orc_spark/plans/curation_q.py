@@ -325,6 +325,118 @@ GROUP BY lang
 """
 
 
+# --- benchmark decontamination ----------------------------------------------
+
+# 20-gram winnowing (window 8): the n-gram length real pretraining pipelines
+# use for eval-set overlap removal (13-20 chars/tokens) — long enough that
+# shared fingerprints mean real reuse, not common short substrings
+DECON_K = 20
+DECON_W = 8
+DECON_EVAL_MOD = 13  # doc_id % 13 == 0 plays the held-out benchmark set
+
+
+def cu_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing winnowing
+    fingerprints with a held-out eval set (the test-set-overlap removal
+    step of a pretraining pipeline; any shared substring of length
+    >= W + K - 1 = 27 chars guarantees a shared fingerprint — MOSS bound).
+    Output: one audit row per contaminated doc with the shared-fingerprint
+    count and contamination fraction.
+
+    Scale: fingerprints are one explode + one constant-width window min +
+    one dedup per side — linear; the eval side is small by construction
+    (it's a benchmark suite), so the overlap test is a BROADCAST join on
+    fp; output is bounded by the contaminated-doc count."""
+    from orc_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    t = F.lower(F.col("text"))
+    n_pos = F.greatest(F.length(t) - (DECON_K - 1), F.lit(1))
+    grams = docs.select(
+        "doc_id",
+        n_pos.alias("n_pos"),
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+        t.alias("t"),
+    ).select(
+        "doc_id",
+        "n_pos",
+        "pos",
+        h60(F.expr(f"substring(t, pos, {DECON_K})")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, DECON_W - 1)
+    )
+    fps = (
+        grams.select(
+            "doc_id", "pos", "n_pos", F.min("h").over(w).alias("fp")
+        )
+        .where(F.col("pos") <= F.col("n_pos") - (DECON_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    ev_fps = (
+        fps.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("fp")
+        .distinct()
+    )
+    train = fps.where(F.col("doc_id") % DECON_EVAL_MOD != 0).withColumn(
+        "n_fp", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    return (
+        train.join(F.broadcast(ev_fps), "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_fp").alias("n_fp"),
+            F.count(F.lit(1)).alias("n_shared_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_fp",
+            "n_shared_fp",
+            F.round(
+                F.col("n_shared_fp").cast("double") / F.col("n_fp"), 6
+            ).alias("contam_frac"),
+        )
+    )
+
+
+def _cu_decon_sql() -> str:
+    from orc_spark.functions.hashing import h60_sql
+
+    k, w, m = DECON_K, DECON_W, DECON_EVAL_MOD
+    return f"""
+WITH grams AS (
+  SELECT doc_id, pos,
+         greatest(length(text) - {k - 1}, 1) AS n_pos,
+         {h60_sql(f'substr(lower(text), pos, {k})')} AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {k - 1}, 1) + 1)) AS pos
+        FROM documents)
+),
+wins AS (
+  SELECT doc_id, pos, n_pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n_pos - {w - 1}),
+ev AS (SELECT DISTINCT fp FROM fps WHERE doc_id % {m} = 0),
+train AS (
+  SELECT doc_id, fp,
+         count(*) OVER (PARTITION BY doc_id) AS n_fp
+  FROM fps WHERE doc_id % {m} <> 0
+)
+SELECT t.doc_id,
+       CAST(min(t.n_fp) AS BIGINT) AS n_fp,
+       CAST(count(*) AS BIGINT) AS n_shared_fp,
+       round(CAST(count(*) AS DOUBLE) / min(t.n_fp), 6) AS contam_frac
+FROM train t JOIN ev ON t.fp = ev.fp
+GROUP BY t.doc_id
+"""
+
+
 # --- domain-mixture sampling -------------------------------------------------
 
 # target language mix for the training corpus (the "data mixing" step of a
@@ -426,4 +538,5 @@ QUERIES = [
     Query("cu_pipeline", cu_pipeline, _cu_pipeline_sql(), "e2e curation: quality gate → exact keep-best → LSH near-dup drop → audit"),
     Query("cu_budget", cu_budget, _cu_budget_sql(), "per-language token-budget sampling (quality-ranked greedy fill)"),
     Query("cu_mixture", cu_mixture, _cu_mixture_sql(), "domain-mixture sampling to a target language distribution"),
+    Query("cu_decontaminate", cu_decontaminate, _cu_decon_sql(), "benchmark decontamination: 20-gram winnowing overlap vs a held-out eval split"),
 ]
