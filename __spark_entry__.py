@@ -3,10 +3,10 @@
 entry(spark)  — flagship query smoke check at sf0.001.
 queries()     — every implemented operator/query (SURVEY.md §2) as
                 (spark, sf_dir) -> DataFrame.
-oracle_sql()  — DuckDB-runnable ANSI SQL equivalents; queries without an
-                entry here are genuinely non-SQL-expressible (stateful
-                recurrences, p-values needing the t distribution) and get
-                the driver's rows-only check.
+oracle_sql()  — DuckDB-runnable ANSI SQL equivalents for EVERY query
+                (since round 4 the stateful recurrences are covered too,
+                via recursive-CTE sequential replays — see
+                orc_spark/plans/stateful_q.py).
 
 Implementation lives in the orc_spark package (orc_spark/plans/* registry).
 """
