@@ -343,47 +343,58 @@ def cu_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     Output: one audit row per contaminated doc with the shared-fingerprint
     count and contamination fraction.
 
-    Scale: fingerprints are one explode + one constant-width window min +
-    one dedup per side — linear; the eval side is small by construction
-    (it's a benchmark suite), so the overlap test is a BROADCAST join on
-    fp; output is bounded by the contaminated-doc count."""
+    Scale: the corpus splits into train/eval BEFORE fingerprinting (in
+    production the eval suite is a separate small input), so each doc is
+    fingerprinted exactly once — one explode + one constant-width window
+    min + one dedup per side, linear; the eval side is small by
+    construction, so the overlap test is a BROADCAST join on fp; output
+    is bounded by the contaminated-doc count."""
     from orc_spark.functions.hashing import h60
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    t = F.lower(F.col("text"))
-    n_pos = F.greatest(F.length(t) - (DECON_K - 1), F.lit(1))
-    grams = docs.select(
-        "doc_id",
-        n_pos.alias("n_pos"),
-        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
-        t.alias("t"),
-    ).select(
-        "doc_id",
-        "n_pos",
-        "pos",
-        h60(F.expr(f"substring(t, pos, {DECON_K})")).alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, DECON_W - 1)
-    )
-    fps = (
-        grams.select(
-            "doc_id", "pos", "n_pos", F.min("h").over(w).alias("fp")
+    def winnow_fps(docs: DataFrame) -> DataFrame:
+        # cores-not-bytes (SCALING.md): repartition BEFORE the explode so the
+        # downstream window+dedup stage keeps real parallelism — without it
+        # AQE coalesces the few-MB shuffle and one task sorts/dedups every
+        # fingerprint (measured 5.3 s → 0.74 s at sf0.1)
+        docs = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
         )
-        .where(F.col("pos") <= F.col("n_pos") - (DECON_W - 1))
-        .select("doc_id", "fp")
-        .distinct()
-    )
+        t = F.lower(F.col("text"))
+        n_pos = F.greatest(F.length(t) - (DECON_K - 1), F.lit(1))
+        grams = docs.select(
+            "doc_id",
+            n_pos.alias("n_pos"),
+            F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+            t.alias("t"),
+        ).select(
+            "doc_id",
+            "n_pos",
+            "pos",
+            h60(F.expr(f"substring(t, pos, {DECON_K})")).alias("h"),
+        )
+        w = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.currentRow, DECON_W - 1)
+        )
+        return (
+            grams.select(
+                "doc_id", "pos", "n_pos", F.min("h").over(w).alias("fp")
+            )
+            .where(F.col("pos") <= F.col("n_pos") - (DECON_W - 1))
+            .select("doc_id", "fp")
+            .distinct()
+        )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     ev_fps = (
-        fps.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        winnow_fps(docs.where(F.col("doc_id") % DECON_EVAL_MOD == 0))
         .select("fp")
         .distinct()
     )
-    train = fps.where(F.col("doc_id") % DECON_EVAL_MOD != 0).withColumn(
-        "n_fp", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
+    train = winnow_fps(
+        docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    ).withColumn("n_fp", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     return (
         train.join(F.broadcast(ev_fps), "fp")
         .groupBy("doc_id")
