@@ -49,7 +49,7 @@ _PRIORITY_FIRST = [
     # the MINSTD image stub regenerated pixel-by-pixel in SQL — first driver
     # rows ever for all four; the registry is now 77/77 oracle-bearing
     "st_pid_replay", "st_ahrs_replay", "st_imu_pipeline", "mm_image_features",
-    "sk_bloom", "cu_decontaminate",
+    "sk_bloom", "cu_decontaminate", "cu_pack",
     # changed this round: ev_retention plan rewritten (window-min, 2
     # exchanges), ev_funnel oracle cast fix, ann_ivf_index build-once cache,
     # cu_mixture single-scan rewrite, dq_expectations scan-fused audit

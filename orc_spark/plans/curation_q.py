@@ -325,6 +325,87 @@ GROUP BY lang
 """
 
 
+# --- sequence packing (concat-and-chunk into context-length bins) -----------
+
+CU_SEQ_LEN = 2048  # target context length in tokens
+
+
+def cu_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: concatenate the corpus per language in a
+    deterministic order (md5-hash rank, the same shuffle-proof order the
+    samplers use) and chunk the token stream into CU_SEQ_LEN bins — the
+    concat-and-chunk packing step that turns a curated corpus into training
+    sequences. A doc belongs to the bin containing its START offset; the
+    output is the per-(lang, bin) audit: docs packed, tokens, fill fraction
+    (only the last bin of a language may be short).
+
+    Scale: one window cumsum per language partition — identical contract to
+    cu_budget (salt into per-lang shards and merge shard prefix sums if one
+    language dominates); output is bounded by total_tokens / CU_SEQ_LEN."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = base.select(
+        "lang",
+        "n_tokens",
+        (
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / CU_SEQ_LEN
+        ).cast("bigint").alias("bin_id"),
+    )
+    return (
+        placed.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .select(
+            "lang",
+            "bin_id",
+            "n_docs",
+            "tokens",
+            F.round(
+                F.least(F.col("tokens").cast("double") / CU_SEQ_LEN, F.lit(1.0)),
+                6,
+            ).alias("fill_frac"),
+        )
+    )
+
+
+CU_PACK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT lang, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / CAST({CU_SEQ_LEN} AS DOUBLE)) AS BIGINT)
+           AS bin_id
+  FROM base
+)
+SELECT lang, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       round(least(CAST(sum(n_tokens) AS DOUBLE) / {CU_SEQ_LEN}, 1.0), 6)
+         AS fill_frac
+FROM placed
+GROUP BY lang, bin_id
+"""
+
+
 # --- benchmark decontamination ----------------------------------------------
 
 # 20-gram winnowing (window 8): the n-gram length real pretraining pipelines
@@ -550,4 +631,5 @@ QUERIES = [
     Query("cu_budget", cu_budget, _cu_budget_sql(), "per-language token-budget sampling (quality-ranked greedy fill)"),
     Query("cu_mixture", cu_mixture, _cu_mixture_sql(), "domain-mixture sampling to a target language distribution"),
     Query("cu_decontaminate", cu_decontaminate, _cu_decon_sql(), "benchmark decontamination: 20-gram winnowing overlap vs a held-out eval split"),
+    Query("cu_pack", cu_pack, CU_PACK_SQL, "sequence packing: concat-and-chunk the corpus into context-length bins"),
 ]
