@@ -389,6 +389,25 @@ CMS_WIDTH = 64
 CMS_QUERY_USERS = [0, 1, 2, 3, 4]
 
 
+def cms_positions(ev: DataFrame) -> DataFrame:
+    """(j, col) cell-coordinate stream for the count-min sketch — one row
+    per event per depth row. Works on batch AND streaming DataFrames: the
+    sketch build is `cms_positions(...).groupBy("j","col").count()`, a pure
+    incremental streaming aggregation (tests/test_streaming.py proves
+    batch == stream across micro-batches)."""
+    from orc_spark.functions.hashing import h60
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
+    return ev.select("user_id", rows).select(
+        "j",
+        (
+            h60(F.concat(F.lit("cms"), F.col("j").cast("string"),
+                         F.lit(":"), F.col("user_id").cast("string")))
+            % CMS_WIDTH
+        ).alias("col"),
+    )
+
+
 def sk_countmin(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min sketch over events.user_id, built as a plain aggregation:
     every event lands in CMS_DEPTH (row, h_row(user) % width) cells; the
@@ -402,19 +421,8 @@ def sk_countmin(spark: SparkSession, sf: str) -> DataFrame:
     from orc_spark.functions.hashing import h60
 
     ev = load_table(spark, sf, "events").select("user_id")
-    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
-    cells = (
-        ev.select("user_id", rows)
-        .select(
-            "j",
-            (
-                h60(F.concat(F.lit("cms"), F.col("j").cast("string"),
-                             F.lit(":"), F.col("user_id").cast("string")))
-                % CMS_WIDTH
-            ).alias("col"),
-        )
-        .groupBy("j", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    cells = cms_positions(ev).groupBy("j", "col").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     q_users = spark.createDataFrame(
         [(u,) for u in CMS_QUERY_USERS], "user_id bigint"
@@ -489,6 +497,25 @@ BLOOM_K = 4
 BLOOM_PROBES = [0, 1, 2, 3, 4, -1, -2, -3, -4, -5]
 
 
+def bloom_positions(df: DataFrame, id_col: str = "user_id") -> DataFrame:
+    """(id, j, pos) set-bit stream for the Bloom filter — one row per input
+    row per hash function. Batch AND streaming: the filter build is
+    `bloom_positions(...).groupBy("j","pos").count()` (membership = the
+    key exists), an incremental streaming aggregation."""
+    from orc_spark.functions.hashing import h60
+
+    js = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    return df.select(id_col, js).select(
+        id_col,
+        "j",
+        (
+            h60(F.concat(F.lit("bloom"), F.col("j").cast("string"),
+                         F.lit(":"), F.col(id_col).cast("string")))
+            % BLOOM_BITS
+        ).alias("pos"),
+    )
+
+
 def sk_bloom(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-filter membership sketch over events.user_id, built as a plain
     aggregation: each id sets BLOOM_K of BLOOM_BITS positions (the distinct
@@ -501,33 +528,15 @@ def sk_bloom(spark: SparkSession, sf: str) -> DataFrame:
     sketch bit-identical cross-engine — like sk_countmin, the entire build
     path hash-checks, including any false positives (deterministic given
     the hash family)."""
-    from orc_spark.functions.hashing import h60
-
     ev = load_table(spark, sf, "events").select("user_id")
-    js = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
-
-    def pos(uid_col):
-        return (
-            h60(
-                F.concat(
-                    F.lit("bloom"), F.col("j").cast("string"),
-                    F.lit(":"), uid_col.cast("string"),
-                )
-            )
-            % BLOOM_BITS
-        )
-
     bits = (
-        ev.select("user_id", js)
-        .select("j", pos(F.col("user_id")).alias("pos"))
-        .distinct()
+        bloom_positions(ev).select("j", "pos").distinct()
         .withColumn("hit", F.lit(1))
     )
-    probes = spark.createDataFrame(
-        [(u,) for u in BLOOM_PROBES], "probe_id bigint"
-    ).select(
-        "probe_id", F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
-    ).select("probe_id", "j", pos(F.col("probe_id")).alias("pos"))
+    probes = bloom_positions(
+        spark.createDataFrame([(u,) for u in BLOOM_PROBES], "probe_id bigint"),
+        id_col="probe_id",
+    )
     member = (
         probes.join(F.broadcast(bits), ["j", "pos"], "left")
         .groupBy("probe_id")

@@ -286,3 +286,57 @@ def test_pid_tws_matches_batch_and_legacy_api(spark, tmpdirs):
     assert len(got) == n1 + n2
     exp = pid_scan(meas, 0.0, params, f32=False)
     np.testing.assert_allclose(got["pid_out"].to_numpy(), exp, rtol=1e-12)
+
+
+def test_streaming_sketch_build_matches_batch(spark, sf_small, tmpdirs):
+    """The mergeable sketches (count-min cells, Bloom set bits) are pure
+    incremental streaming aggregations: built over a file stream one file
+    per micro-batch, the final state equals the batch build — the
+    production shape for maintaining sketches over an event firehose."""
+    from orc_spark.plans.relational3 import bloom_positions, cms_positions
+
+    ev = load_table(spark, sf_small, "events").select("user_id")
+    # 4 files -> 4 micro-batches: the aggregation state must carry across
+    src = os.path.join(tmpdirs["in"], "p")
+    ev.repartition(4).write.parquet(src)
+
+    batch_cells = (
+        cms_positions(ev).groupBy("j", "col").count()
+        .orderBy("j", "col").toPandas()
+    )
+    batch_bits = (
+        bloom_positions(ev).select("j", "pos").distinct()
+        .orderBy("j", "pos").toPandas()
+    )
+
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q1 = (
+        cms_positions(stream).groupBy("j", "col").count()
+        .writeStream.format("memory").queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", tmpdirs["chk"] + "_cms")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(180)
+    got_cells = spark.table("cms_stream").orderBy("j", "col").toPandas()
+    pd.testing.assert_frame_equal(got_cells, batch_cells)
+
+    q2 = (
+        bloom_positions(stream).groupBy("j", "pos").count()
+        .writeStream.format("memory").queryName("bloom_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", tmpdirs["chk"] + "_bloom")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got_bits = (
+        spark.table("bloom_stream").select("j", "pos")
+        .orderBy("j", "pos").toPandas()
+    )
+    pd.testing.assert_frame_equal(got_bits, batch_bits)
