@@ -109,6 +109,9 @@ def registry() -> dict[str, Query]:
         curation_q,
         dq_q,
         e2e_q,
+        ir_q,
+        cdc_q,
+        graph_q,
     )
 
     out: dict[str, Query] = {}
@@ -127,6 +130,9 @@ def registry() -> dict[str, Query]:
         curation_q,
         dq_q,
         e2e_q,
+        ir_q,
+        cdc_q,
+        graph_q,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -1,0 +1,241 @@
+"""Changelog / event-stream operator pack: SCD2 change-data-capture merge,
+marketing-style last-touch attribution, and rolling anomaly detection.
+
+Reference analog: the engine's state-over-a-stream operators (SURVEY §2.A
+O9/O12 lineage — per-key ordered state) re-expressed as declarative window
+plans over the relational tables.
+
+100 TB shape: every query here is exactly one shuffle — a window (or
+groupBy) partitioned by the natural key (o_custkey / user_id) — with all
+per-row math in whole-stage codegen. No iterative driver loops, no Python.
+
+Cross-engine determinism: all accumulations that feed comparisons are done
+in fixed-point BIGINT (cents, 1e-4 value units), so sums are
+order-independent and bit-exact in both engines; the only float ops are
+final single-expression projections computed identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orc_spark.plans import Query
+from orc_spark.sources.tables import load_table
+
+# --- SCD2 / CDC merge over the orders changelog ------------------------------
+
+def cdc_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Treat each customer's orders as a change-data-capture stream and
+    build the slowly-changing-dimension (type 2) history: one row per
+    version with [valid_from, valid_to) interval, current-row flag, and the
+    running account state (cumulative spend in integer cents — exact).
+    This is the MERGE INTO / CDC-upsert shape: at 100 TB it is one window
+    shuffle by o_custkey; Spark's AQE handles skewed customers."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vf = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("version"),
+        vf.alias("valid_from_ms"),
+        F.lead(vf).over(w).alias("valid_to_ms"),
+        F.when(F.lead(vf).over(w).isNull(), 1).otherwise(0).alias("is_current"),
+        cents.alias("order_cents"),
+        F.sum(cents).over(cum).alias("cum_spend_cents"),
+    )
+
+
+CDC_SCD2_SQL = """
+SELECT o_custkey,
+       o_orderkey,
+       CAST(row_number() OVER w AS INTEGER) AS version,
+       epoch_ms(o_orderdate)                AS valid_from_ms,
+       lead(epoch_ms(o_orderdate)) OVER w   AS valid_to_ms,
+       CASE WHEN lead(epoch_ms(o_orderdate)) OVER w IS NULL
+            THEN 1 ELSE 0 END               AS is_current,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS order_cents,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT)                      AS cum_spend_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --- last-touch attribution --------------------------------------------------
+
+ATTR_WINDOW_US = 7 * 86400 * 1000000  # 7 days in epoch micros
+
+
+def ev_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most recent
+    view/click by the same user, if that touch happened within a 7-day
+    window (the staleness test is pure integer micros — exact). One window
+    by user_id over the filtered event stream; the running "last touch" is
+    last_value(IGNORE NULLS), which streams in a single pass."""
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type") != "purchase"
+    touch_id = F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    touch_type = F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w)
+    fresh = (F.col("ts") - F.col("_tts")) <= F.lit(ATTR_WINDOW_US)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            "value",
+            touch_id.alias("_tid"),
+            touch_ts.alias("_tts"),
+            touch_type.alias("_tty"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("purchase_value"),
+            F.when(fresh, F.col("_tid")).alias("touch_event_id"),
+            F.when(fresh, F.col("_tty")).alias("touch_type"),
+            F.when(fresh, (F.col("ts") - F.col("_tts")) / F.lit(1000000.0))
+            .alias("latency_s_raw"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_value",
+            "touch_event_id",
+            "touch_type",
+            F.round("latency_s_raw", 6).alias("touch_latency_s"),
+        )
+    )
+
+
+EV_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts, value
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+tagged AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+                    IGNORE NULLS) OVER w AS tid,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS) OVER w AS tts,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS tty
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       round(value, 6) AS purchase_value,
+       CASE WHEN ts - tts <= {ATTR_WINDOW_US} THEN tid END AS touch_event_id,
+       CASE WHEN ts - tts <= {ATTR_WINDOW_US} THEN tty END AS touch_type,
+       round(CASE WHEN ts - tts <= {ATTR_WINDOW_US}
+                  THEN (ts - tts) / CAST(1000000 AS DOUBLE) END, 6)
+         AS touch_latency_s
+FROM tagged WHERE event_type = 'purchase'
+"""
+
+
+# --- rolling z-score anomaly detection ---------------------------------------
+
+ANOM_LOOKBACK = 20   # trailing window size (rows), excluding the current row
+ANOM_MIN_N = 10      # minimum trailing samples before scoring
+ANOM_SCALE = 10000   # fixed-point scale for exact integer moments
+ANOM_Z = 3.0
+
+
+def ev_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score anomaly detection over each user's event values:
+    score each event against the mean/stddev of its trailing 20 events.
+    The moments are accumulated in fixed-point BIGINT (value × 1e4), so the
+    windowed sums are bit-exact in both engines regardless of accumulation
+    order (double windowed stddev differs between Spark's buffer rebuild
+    and DuckDB's segment tree); the z-score itself is one identical float
+    expression over those exact integers:
+        z = (n·v − s) · sqrt((n−1) / (n · (n·ss − s²)))
+    One window shuffle by user_id; per-row codegen math."""
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    v = F.floor(F.col("value") * ANOM_SCALE).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_LOOKBACK, -1)
+    )
+    base = ev.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        F.count(v).over(w).alias("n"),
+        F.sum(v).over(w).alias("s"),
+        F.sum(v * v).over(w).alias("ss"),
+    ).where(F.col("n") >= ANOM_MIN_N)
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    z = (
+        (F.col("n") * F.col("v") - F.col("s")).cast("double")
+        * F.sqrt(
+            (F.col("n") - 1).cast("double")
+            / (F.col("n") * var_num).cast("double")
+        )
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.col("n").cast("int").alias("win_n"),
+        F.when(var_num > 0, F.round(z, 6)).alias("z_score"),
+        F.when(var_num > 0, (F.abs(z) > ANOM_Z).cast("int"))
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )
+
+
+EV_ANOMALY_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * {ANOM_SCALE}) AS BIGINT) AS v,
+         CAST(count(CAST(floor(value * {ANOM_SCALE}) AS BIGINT)) OVER w AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * {ANOM_SCALE}) AS BIGINT)) OVER w AS BIGINT)   AS s,
+         CAST(sum(CAST(floor(value * {ANOM_SCALE}) AS BIGINT)
+                  * CAST(floor(value * {ANOM_SCALE}) AS BIGINT)) OVER w AS BIGINT) AS ss
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN {ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_id, user_id, n,
+         n * ss - s * s AS var_num,
+         CAST(n * v - s AS DOUBLE)
+           * sqrt(CAST(n - 1 AS DOUBLE) / CAST(n * (n * ss - s * s) AS DOUBLE))
+           AS z
+  FROM base WHERE n >= {ANOM_MIN_N}
+)
+SELECT event_id, user_id,
+       CAST(n AS INTEGER) AS win_n,
+       CASE WHEN var_num > 0 THEN round(z, 6) END AS z_score,
+       CASE WHEN var_num > 0 THEN CAST(abs(z) > {ANOM_Z} AS INTEGER)
+            ELSE 0 END AS is_anomaly
+FROM scored
+"""
+
+
+QUERIES = [
+    Query("cdc_scd2", cdc_scd2, CDC_SCD2_SQL, "CDC → SCD2 history (valid intervals, current flag, exact running state)"),
+    Query("ev_attribution", ev_attribution, EV_ATTRIBUTION_SQL, "last-touch attribution within a 7-day window"),
+    Query("ev_anomaly", ev_anomaly, EV_ANOMALY_SQL, "rolling fixed-point z-score anomaly detection"),
+]

@@ -1,0 +1,163 @@
+"""Corpus-statistics / information-retrieval pack over `documents`:
+TF-IDF term weighting with per-document top-k terms, and inverted-index
+(posting list) construction.
+
+Reference analog: the text-analysis extensions mandated by the build plan
+(SURVEY §7.1 — training-data pipeline operators are first-class).
+
+100 TB shape:
+- tokenize/explode is a narrow per-row map (no shuffle);
+- term frequency is one groupBy(doc_id, term) shuffle with map-side
+  partial aggregation;
+- document frequency is a window over `term` on the tf table (one shuffle
+  by term; the tf table is |doc×distinct-term| rows, far smaller than the
+  token stream);
+- the corpus size N is a 1-row aggregate broadcast-joined in;
+- top-k per document is one window by doc_id.
+No driver-side collection anywhere; vocabulary never materializes on one
+node (posting digests are xor-folds, order-independent and mergeable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orc_spark.functions.hashing import h60, h60_sql
+from orc_spark.plans import Query
+from orc_spark.sources.tables import load_table
+
+TOPK = 5
+
+
+def _tf(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    return terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+_TF_SQL = """
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+"""
+
+
+# --- TF-IDF with per-doc top-k ----------------------------------------------
+
+def tx_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF: idf = ln((N+1)/(df+1)) + 1 (smoothed), score = tf * idf;
+    top-5 terms per document (ties broken by term asc). The float math is
+    identical expression-for-expression on both engines over exact integer
+    inputs, so the scores are bit-identical before the 6-decimal round."""
+    tf = _tf(spark, sf)
+    docs = load_table(spark, sf, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # df: one window by term on the tf table (rows are per doc-term, so the
+    # partition count IS the document frequency)
+    dfw = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(dfw))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("n_docs") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_raw").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= TOPK)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.col("df").cast("bigint").alias("df"),
+            F.round("tfidf_raw", 6).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+TX_TFIDF_SQL = f"""
+WITH tf AS ({_TF_SQL}),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(count(*) OVER (PARTITION BY tf.term) AS BIGINT) AS df,
+         CAST(tf.tf AS DOUBLE)
+           * (ln(CAST(n.n_docs + 1 AS DOUBLE)
+                 / CAST(count(*) OVER (PARTITION BY tf.term) + 1 AS DOUBLE))
+              + 1.0) AS tfidf_raw
+  FROM tf, n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf_raw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_raw DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, round(tfidf_raw, 6) AS tfidf,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+# --- inverted index (posting lists) -----------------------------------------
+
+def tx_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index construction: per term, the posting-list summary —
+    document frequency, total term frequency, min/max doc id, and an
+    order-independent xor digest of the (doc_id, tf) postings. The digest
+    hash-checks the full posting-list CONTENT without shipping the list;
+    xor-folds are mergeable, so at 100 TB this is a single combinable
+    groupBy(term) over the tf table."""
+    tf = _tf(spark, sf)
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.min("doc_id").alias("doc_min"),
+        F.max("doc_id").alias("doc_max"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(concat_ws(':', doc_id, tf)), 1, 15),"
+            " 16, 10) as bigint))"
+        ).cast("bigint").alias("postings_digest"),
+    ).select(
+        "term", "df", F.col("total_tf").cast("bigint").alias("total_tf"),
+        "doc_min", "doc_max", "postings_digest",
+    )
+
+
+TX_POSTINGS_SQL = f"""
+WITH tf AS ({_TF_SQL})
+SELECT term,
+       CAST(count(*) AS BIGINT)  AS df,
+       CAST(sum(tf) AS BIGINT)   AS total_tf,
+       min(doc_id)               AS doc_min,
+       max(doc_id)               AS doc_max,
+       CAST(bit_xor({h60_sql("concat_ws(':', doc_id, tf)")}) AS BIGINT)
+                                 AS postings_digest
+FROM tf GROUP BY term
+"""
+
+
+QUERIES = [
+    Query("tx_tfidf", tx_tfidf, TX_TFIDF_SQL, "TF-IDF weighting, top-5 terms per doc"),
+    Query("tx_postings", tx_postings, TX_POSTINGS_SQL, "inverted-index posting-list digests"),
+]
