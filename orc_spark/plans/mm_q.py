@@ -342,6 +342,52 @@ FROM embeddings WHERE vec_id < {ANN_N_Q}
 """
 
 
+PQ_RECALL_MIN = 0.6
+
+
+def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. PQ/ADC) with the same
+    in-query recall gate as ann_ivf: 64-dim vectors compress to 8 codes
+    (one per 8-dim subspace, 64-entry codebooks); the scan reads only the
+    codes through per-query lookup tables, keeps top-192 ADC candidates,
+    exact-reranks those, and each query must recover >= PQ_RECALL_MIN of
+    its true top-5. The oracle emits literal TRUE per query, so the driver
+    hash is a hard signal on compressed-domain ANN quality."""
+    from orc_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = (
+        emb.where(F.col("vec_id") < ANN_N_Q).select("vec_id", "embedding").toPandas()
+    )
+    k = 5
+    pq = pq_topk(spark, emb, queries, k=k, m=8, ksub=64, r_cand=192).select(
+        "query_id", "neighbor_id"
+    )
+    exact = brute_force_topk(emb, queries, k=k, round_to=6).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor")
+    )
+    return (
+        exact.join(
+            pq,
+            (exact.query_id == pq.query_id)
+            & (exact.exact_neighbor == pq.neighbor_id),
+            "left",
+        )
+        .groupBy(exact.query_id.alias("query_id"))
+        .agg(
+            (
+                F.count("neighbor_id").cast("double") / k >= PQ_RECALL_MIN
+            ).alias("recall_ok")
+        )
+    )
+
+
+ANN_PQ_SQL = f"""
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < {ANN_N_Q}
+"""
+
+
 QUERIES = [
     Query("mm_image_features", mm_image_features, MM_IMAGE_SQL, "binary decode → pixel stats + 8x8 block digest, MINSTD stub fully hash-checked"),
     Query("mm_frame_sample", mm_frame_sample, MM_FRAME_SQL, "video frame-sampling plumbing, hash-checked via hex-slice digests"),
@@ -349,4 +395,5 @@ QUERIES = [
     Query("ann_bruteforce_fast", ann_bruteforce_fast, ANN_FAST_SQL, "broadcast-matmul exact top-k (production path), hash-checked"),
     Query("ann_ivf", ann_ivf, ANN_IVF_SQL, "IVF ANN with in-query recall gate vs exact top-k"),
     Query("ann_ivf_index", ann_ivf_index, ANN_IVF_INDEX_SQL, "materialized cid-partitioned IVF index: build + partition-pruned probe + recall gate"),
+    Query("ann_pq", ann_pq, ANN_PQ_SQL, "product-quantization ADC ANN with in-query recall gate"),
 ]
