@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from orc_spark.functions.hashing import h60_sql
 from orc_spark.plans import Query
 from orc_spark.sources.tables import load_table
 
@@ -642,6 +643,117 @@ FROM cells GROUP BY cohort_week, age_week
 """
 
 
+
+# --- histogram quantile sketch (mergeable approximate percentiles) ----------
+
+HISTQ_BINS = 128
+
+
+def sk_histq(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable histogram quantile sketch over l_extendedprice: one pass
+    for (min, max, count), one combinable groupBy over the 128 fixed-width
+    bin counts, then p50/p95/p99 by linear interpolation inside the target
+    bin. Bin counts are integers (exact, order-independent, sum-mergeable —
+    the distributed-sketch property: shards build partial histograms and a
+    reduce adds them); every float step is the identical expression on both
+    engines, so the estimates and the full bin-table xor digest hash-check.
+    At 100 TB: two scans (or one with a pre-known domain), no wide rows,
+    no driver collection."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    stats = li.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    binned = (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("x") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn")) * HISTQ_BINS),
+                F.lit(HISTQ_BINS - 1),
+            ).cast("int").alias("bin"),
+            "mn", "mx", "total",
+        )
+        .groupBy("bin", "mn", "mx", "total")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.select(
+        "bin", "mn", "mx", "total", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    width = (F.col("mx") - F.col("mn")) / HISTQ_BINS
+
+    def est(q: float):
+        rank = F.lit(q) * F.col("total").cast("double")
+        in_bin = ((F.col("cum") - F.col("cnt")).cast("double") < rank) & (
+            rank <= F.col("cum").cast("double")
+        )
+        interp = F.col("mn") + width * (
+            F.col("bin").cast("double")
+            + (rank - (F.col("cum") - F.col("cnt")).cast("double"))
+            / F.col("cnt").cast("double")
+        )
+        return F.sum(F.when(in_bin, interp))
+
+    return cum.groupBy("total", "mn", "mx").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bins_used"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(concat_ws(':', bin, cnt)), 1, 15),"
+            " 16, 10) as bigint))"
+        ).cast("bigint").alias("bins_digest"),
+        F.round(est(0.5), 6).alias("p50_est"),
+        F.round(est(0.95), 6).alias("p95_est"),
+        F.round(est(0.99), 6).alias("p99_est"),
+    ).select(
+        "total", F.round("mn", 6).alias("x_min"), F.round("mx", 6).alias("x_max"),
+        "n_bins_used", "bins_digest", "p50_est", "p95_est", "p99_est",
+    )
+
+
+SK_HISTQ_SQL = f"""
+WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
+stats AS (SELECT min(x) AS mn, max(x) AS mx, CAST(count(*) AS BIGINT) AS total FROM li),
+binned AS (
+  SELECT CAST(least(floor((x - mn) / (mx - mn) * {HISTQ_BINS}),
+                    {HISTQ_BINS - 1}) AS INTEGER) AS bin,
+         mn, mx, total, CAST(count(*) AS BIGINT) AS cnt
+  FROM li, stats
+  GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT bin, mn, mx, total, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM binned
+)
+SELECT total,
+       round(mn, 6) AS x_min,
+       round(mx, 6) AS x_max,
+       CAST(count(*) AS INTEGER) AS n_bins_used,
+       CAST(bit_xor({h60_sql("concat_ws(':', bin, cnt)")}) AS BIGINT) AS bins_digest,
+       round(sum(CASE WHEN CAST(cum - cnt AS DOUBLE) < 0.5 * CAST(total AS DOUBLE)
+                       AND 0.5 * CAST(total AS DOUBLE) <= CAST(cum AS DOUBLE)
+                      THEN mn + (mx - mn) / {HISTQ_BINS} * (CAST(bin AS DOUBLE)
+                           + (0.5 * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                             / CAST(cnt AS DOUBLE)) END), 6) AS p50_est,
+       round(sum(CASE WHEN CAST(cum - cnt AS DOUBLE) < 0.95 * CAST(total AS DOUBLE)
+                       AND 0.95 * CAST(total AS DOUBLE) <= CAST(cum AS DOUBLE)
+                      THEN mn + (mx - mn) / {HISTQ_BINS} * (CAST(bin AS DOUBLE)
+                           + (0.95 * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                             / CAST(cnt AS DOUBLE)) END), 6) AS p95_est,
+       round(sum(CASE WHEN CAST(cum - cnt AS DOUBLE) < 0.99 * CAST(total AS DOUBLE)
+                       AND 0.99 * CAST(total AS DOUBLE) <= CAST(cum AS DOUBLE)
+                      THEN mn + (mx - mn) / {HISTQ_BINS} * (CAST(bin AS DOUBLE)
+                           + (0.99 * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                             / CAST(cnt AS DOUBLE)) END), 6) AS p99_est
+FROM cum GROUP BY total, mn, mx
+"""
+
+
 QUERIES = [
     Query("r9_scalar_subquery", r9_scalar_subquery, R9_SQL, "correlated scalar subquery, decorrelated (TPC-H Q17 shape)"),
     Query("ev_funnel", ev_funnel, EV_FUNNEL_SQL, "sequential-pattern funnel (view → click → purchase) with stage latencies"),
@@ -654,4 +766,5 @@ QUERIES = [
     Query("sk_hll_merge", sk_hll_merge, SK_HLL_SQL, "mergeable HLL sketches, exact side + error-bound boolean hash-checked"),
     Query("sk_countmin", sk_countmin, _cms_sql(), "count-min sketch build + point estimates, fully hash-checked"),
     Query("sk_bloom", sk_bloom, _bloom_sql(), "Bloom membership sketch + probe battery, fully hash-checked (no-false-negative guarantee asserted per row)"),
+    Query("sk_histq", sk_histq, SK_HISTQ_SQL, "mergeable 128-bin histogram quantile sketch, fully hash-checked"),
 ]
