@@ -421,6 +421,95 @@ FROM s JOIN base ON s.user_id = base.user_id
 """
 
 
+
+# --- LTTB downsampling (plot-prep, reference plot-sink analog) ---------------
+
+def ts_lttb(spark: SparkSession, sf: str) -> DataFrame:
+    """LTTB downsample of each user's event-value series to 6 points
+    (operators/downsample.py — integer-exact triangle selection, so the
+    chosen points hash-check against the oracle's unrolled 4-bucket SQL)."""
+    from orc_spark.operators.downsample import lttb_downsample
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return lttb_downsample(ev)
+
+
+def _lttb_step_sql(step: int) -> str:
+    """One unrolled LTTB bucket step: pick from bucket {step-1} the point
+    maximizing the integer triangle area against a{step-1} and the next
+    bucket's (count-scaled) centroid."""
+    k = step - 1
+    if k < 3:
+        nxt = f"JOIN bs b ON b.user_id = m.user_id AND b.k = {k + 1}"
+        cnt, sx, sy = "b.cnt", "b.sx", "b.sy"
+    else:
+        nxt = "JOIN lastp l ON l.user_id = m.user_id"
+        cnt, sx, sy = "CAST(1 AS BIGINT)", "l.x", "l.y"
+    return f"""
+s{step} AS (
+  SELECT m.user_id, m.event_id, m.x, m.y,
+         row_number() OVER (
+           PARTITION BY m.user_id
+           ORDER BY abs((a.x * {cnt} - {sx}) * (m.y - a.y)
+                        - (a.x - m.x) * (a.y * {cnt} - {sy})) DESC,
+                    m.rn ASC) AS r
+  FROM mid m
+  JOIN a{step - 1} a ON m.user_id = a.user_id
+  {nxt}
+  WHERE m.k = {k}
+),
+a{step} AS (SELECT user_id, event_id, x, y FROM s{step} WHERE r = 1)"""
+
+
+def _lttb_sql() -> str:
+    steps = ",".join(_lttb_step_sql(s) for s in (1, 2, 3, 4))
+    sels = "\n  UNION ALL ".join(
+        f"SELECT user_id, event_id, {i} AS sel_idx, x, y FROM a{i}"
+        for i in range(0, 5)
+    )
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS tsu,
+         CAST(floor(value * 10000) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0
+  FROM events
+),
+base AS (
+  SELECT user_id, event_id, rn, n, (tsu - t0) // 1000000 AS x, y FROM pts
+),
+small AS (
+  SELECT user_id, event_id, CAST(rn - 1 AS INTEGER) AS sel_idx, x, y
+  FROM base WHERE n <= 6
+),
+big AS (SELECT * FROM base WHERE n > 6),
+mid AS (
+  SELECT user_id, event_id, rn, x, y,
+         (4 * (rn - 2)) // (n - 2) AS k
+  FROM big WHERE rn >= 2 AND rn <= n - 1
+),
+bs AS (
+  SELECT user_id, k, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+  FROM mid GROUP BY 1, 2
+),
+lastp AS (SELECT user_id, event_id, x, y FROM big WHERE rn = n),
+a0 AS (SELECT user_id, event_id, x, y FROM big WHERE rn = 1),
+{steps}
+SELECT user_id, event_id, CAST(sel_idx AS INTEGER) AS sel_idx,
+       x AS x_s, y AS y_fp
+FROM (
+  {sels}
+  UNION ALL SELECT user_id, event_id, 5 AS sel_idx, x, y FROM lastp
+  UNION ALL SELECT user_id, event_id, sel_idx, x, y FROM small
+)
+"""
+
 QUERIES = [
     Query("ts_medfilt", ts_medfilt, _medfilt_sql(15), "O18 zero-padded median filter k=15"),
     Query("ts_gradient", ts_gradient, TS_GRADIENT_SQL, "O19 np.gradient edge semantics"),
@@ -433,4 +522,5 @@ QUERIES = [
     Query("ts_welch_p", ts_welch_p, TS_WELCH_P_SQL, "O22 incl. p-value (t CDF as a recursive-CTE continued fraction in the oracle)"),
     Query("ts_transform", ts_transform, TS_TRANSFORM_SQL, "O10 3-DoF → 4-corner force transform"),
     Query("ts_zero_cal", ts_zero_cal, TS_ZERO_CAL_SQL, "O7 zero-point calibration broadcast"),
+    Query("ts_lttb", ts_lttb, _lttb_sql(), "LTTB plot downsampling, integer-exact triangle selection, fully hash-checked"),
 ]
