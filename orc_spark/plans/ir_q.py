@@ -157,7 +157,91 @@ FROM tf GROUP BY term
 """
 
 
+
+# --- PMI collocation mining --------------------------------------------------
+
+COLLOC_MIN_C = 5
+COLLOC_TOPK = 20
+
+
+def tx_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information:
+    PMI = ln(N · c_xy / (c_x · c_y)) over adjacent-token bigrams, top-20
+    by PMI (min bigram count 5, ties by bigram asc). Bigrams come from one
+    window-lead by doc (not a self-join); unigram counts attach by two term
+    joins; N is a 1-row broadcast. All counts integer → identical doubles."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("pos", "term"),
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("nxt", F.lead("term").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("term").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= COLLOC_MIN_C)
+    )
+    scored = (
+        bi.join(uni.select(F.col("term").alias("a"), F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("term").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "c_xy",
+            F.col("c_a").alias("c_x"),
+            F.col("c_b").alias("c_y"),
+            F.round(
+                F.log(
+                    F.col("n_tok").cast("double") * F.col("c_xy").cast("double")
+                    / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(
+        COLLOC_TOPK
+    )
+
+
+TX_COLLOC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, pos - 1 AS pos, term
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term,
+               generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1)
+                 AS pos
+        FROM documents)
+),
+uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM toks),
+bi AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_xy
+  FROM (SELECT term AS a,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM toks)
+  WHERE b IS NOT NULL
+  GROUP BY a, b
+  HAVING count(*) >= {COLLOC_MIN_C}
+)
+SELECT a || ' ' || b AS bigram, c_xy,
+       ua.c AS c_x, ub.c AS c_y,
+       round(ln(CAST(n_tok AS DOUBLE) * CAST(c_xy AS DOUBLE)
+                / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 6) AS pmi
+FROM bi JOIN uni ua ON bi.a = ua.term
+        JOIN uni ub ON bi.b = ub.term, n
+ORDER BY pmi DESC, bigram ASC
+LIMIT {COLLOC_TOPK}
+"""
+
 QUERIES = [
     Query("tx_tfidf", tx_tfidf, TX_TFIDF_SQL, "TF-IDF weighting, top-5 terms per doc"),
     Query("tx_postings", tx_postings, TX_POSTINGS_SQL, "inverted-index posting-list digests"),
+    Query("tx_collocations", tx_collocations, TX_COLLOC_SQL, "PMI bigram collocation mining, top-20"),
 ]

@@ -349,6 +349,143 @@ GROUP BY l_returnflag
 """
 
 
+
+# --- r13: revenue view + scalar-max subquery (TPC-H Q15 shape) ---------------
+
+def r13_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15 shape: a per-supplier revenue view over a 90-day window, then the
+    supplier(s) whose revenue equals the view's max — a scalar aggregate
+    subquery over an aggregated view. Spark: the max is a 1-row broadcast
+    joined back (no second scan of lineitem — the view reuses). Revenue is
+    summed in integer hundredths-of-cents so the max-equality predicate is
+    exact in both engines."""
+    li = load_table(spark, sf, "lineitem")
+    sup = load_table(spark, sf, "supplier")
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1996-03-31"))
+    rev = (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi))
+        .select(
+            "l_suppkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+            ).cast("bigint").alias("rev_fp"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_fp").alias("total_rev_fp"))
+    )
+    mx = rev.agg(F.max("total_rev_fp").alias("max_rev_fp"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev_fp") == F.col("max_rev_fp"))
+        .join(sup, rev.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev_fp").cast("double") / 10000.0, 6).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+R13_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                       AS BIGINT)) AS BIGINT) AS total_rev_fp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <= TIMESTAMP '1996-03-31 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(CAST(total_rev_fp AS DOUBLE) / 10000.0, 6) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_fp = (SELECT max(total_rev_fp) FROM rev)
+"""
+
+
+# --- r14: EXISTS / NOT-EXISTS chain (TPC-H Q21 shape) ------------------------
+
+def r14_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier finished order (late := shipped > 60 days after order
+    date). The correlated EXISTS / NOT EXISTS pair decorrelates into
+    per-order supplier/late-supplier distinct counts — two combinable
+    aggregations instead of two correlated re-scans; top 10 by wait count.
+    At scale: one join lineitem⋈orders (orderdate attach), one
+    groupBy(orderkey), one broadcast-back join — no correlated execution."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    sup = load_table(spark, sf, "supplier")
+    lo = (
+        li.join(
+            orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        lo.where(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.where(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+R14_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+         CAST(count(DISTINCT CASE WHEN late THEN l_suppkey END) AS BIGINT)
+           AS n_late_supp
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late) w
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON w.l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
 QUERIES = [
     Query("r4b_cube", r4b_cube, R4B_SQL, "cube grouping sets"),
     Query("r_pivot", r_pivot, R_PIVOT_SQL, "pivot via conditional aggregation"),
@@ -359,4 +496,6 @@ QUERIES = [
     Query("r5b_range_frame", r5b_range_frame, R5B_SQL, "value-based RANGE window frame"),
     Query("r5c_rank_battery", r5c_rank_battery, R5C_SQL, "ranking function battery"),
     Query("approx_sketches", approx_sketches, APPROX_SKETCHES_SQL, "HLL++ + approx percentile, exact sides + error-bound booleans hash-checked"),
+    Query("r13_top_supplier", r13_top_supplier, R13_SQL, "revenue view + scalar-max subquery (Q15 shape)"),
+    Query("r14_waiting_supplier", r14_waiting_supplier, R14_SQL, "EXISTS/NOT-EXISTS chain decorrelated (Q21 shape)"),
 ]
