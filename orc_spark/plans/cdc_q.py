@@ -234,8 +234,71 @@ FROM scored
 """
 
 
+
+# --- MERGE INTO snapshot (batch face of the streaming upsert) ----------------
+
+def cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO semantics through streaming/upsert.py merge_upsert: the
+    customer table is the base snapshot; a change set derived from orders
+    (latest per key, delete when n_orders % 7 == 0) upserts/deletes into
+    it. Balances are integer cents so the merged snapshot hash-checks.
+    Scale: latest-per-key is one window, the merge is two keyed anti-joins
+    + a union — all co-partitionable by the merge key."""
+    from orc_spark.streaming.upsert import merge_upsert
+
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    base = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("acctbal_cents"),
+        F.lit(0).alias("ver"),
+        F.lit("base").alias("src"),
+    )
+    chg = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("acctbal_cents"),
+            F.count(F.lit(1)).cast("int").alias("ver"),
+        )
+        .select(
+            "c_custkey",
+            "acctbal_cents",
+            "ver",
+            F.lit("chg").alias("src"),
+            F.when(F.col("ver") % 7 == 0, "d").otherwise("u").alias("op"),
+        )
+    )
+    return merge_upsert(base, chg, ["c_custkey"], "ver")
+
+
+CDC_MERGE_SQL = """
+WITH base AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+         0 AS ver, 'base' AS src
+  FROM customer
+),
+chg AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents,
+         CAST(count(*) AS INTEGER) AS ver,
+         'chg' AS src,
+         CASE WHEN count(*) % 7 = 0 THEN 'd' ELSE 'u' END AS op
+  FROM orders GROUP BY o_custkey
+)
+SELECT b.c_custkey, b.acctbal_cents, b.ver, b.src
+FROM base b LEFT JOIN chg c ON b.c_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT c_custkey, acctbal_cents, ver, src FROM chg WHERE op = 'u'
+"""
+
 QUERIES = [
     Query("cdc_scd2", cdc_scd2, CDC_SCD2_SQL, "CDC → SCD2 history (valid intervals, current flag, exact running state)"),
     Query("ev_attribution", ev_attribution, EV_ATTRIBUTION_SQL, "last-touch attribution within a 7-day window"),
     Query("ev_anomaly", ev_anomaly, EV_ANOMALY_SQL, "rolling fixed-point z-score anomaly detection"),
+    Query("cdc_merge", cdc_merge, CDC_MERGE_SQL, "MERGE INTO snapshot via the streaming upsert operator (latest-per-key, delete tombstones)"),
 ]
