@@ -225,3 +225,53 @@ def test_recurrence_harness_partitions_by_cores(spark, sf_small):
     assert "FlatMapGroupsInPandas" not in plan
     n = spark.sparkContext.defaultParallelism
     assert f"hashpartitioning(user_id#" in plan and f", {n})" in plan, plan
+
+
+def test_cdc_scd2_single_exchange(spark, sf_small):
+    from orc_spark.plans.cdc_q import cdc_scd2
+
+    from orc_spark.plans.explain import formatted_plan
+
+    df = cdc_scd2(spark, sf_small)
+    plan = formatted_plan(df)
+    # one window family partitioned by o_custkey: exactly one shuffle
+    assert plan.count("+- Exchange") == 1, plan
+
+
+def test_ev_anomaly_single_exchange_and_pruning(spark, sf_small):
+    from orc_spark.plans.cdc_q import ev_anomaly
+
+    from orc_spark.plans.explain import formatted_plan
+
+    df = ev_anomaly(spark, sf_small)
+    plan = formatted_plan(df)
+    assert plan.count("+- Exchange") == 1, plan
+    cols = set(pruned_columns(df))
+    assert "props" not in cols and "event_type" not in cols
+
+
+def test_tfidf_scan_pruned_and_single_docs_scan(spark, sf_small):
+    from orc_spark.plans.ir_q import tx_tfidf
+
+    from orc_spark.plans.explain import formatted_plan
+
+    df = tx_tfidf(spark, sf_small)
+    plan = formatted_plan(df)
+    cols = set(pruned_columns(df))
+    assert "lang" not in cols and "source" not in cols
+    # N attaches as a broadcast (1-row aggregate), never a shuffle join,
+    # and the top-k filter runs as a pushed WindowGroupLimit
+    assert "BroadcastNestedLoopJoin" in plan and "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_lttb_no_join_one_repartition(spark, sf_small):
+    from orc_spark.plans.timeseries_q import ts_lttb
+
+    from orc_spark.plans.explain import formatted_plan
+
+    df = ts_lttb(spark, sf_small)
+    plan = formatted_plan(df)
+    # recurrence harness: one hash repartition, sort within partitions, no joins
+    assert "Join" not in plan, plan
+    assert plan.count("+- Exchange") == 1, plan
