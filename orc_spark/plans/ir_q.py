@@ -240,8 +240,104 @@ ORDER BY pmi DESC, bigram ASC
 LIMIT {COLLOC_TOPK}
 """
 
+
+# --- BM25 ranking ------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def tx_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 term weights (k1=1.2, b=0.75): the standard IR ranking
+    function over the same tf/df tables as tx_tfidf, plus per-doc length
+    and corpus average length. idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    Top-5 terms per doc. Same scale shape as tx_tfidf: tf groupBy, df
+    window, (N, avgdl) as a 1-row broadcast, one top-k window — the length
+    normalization adds a doc-length groupBy that reuses the tf table."""
+    tf = _tf(spark, sf)
+    # doc length = total tokens in doc (from the tf table, no re-scan of text)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_and_avg = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tot_dl"),
+    )
+    dfw = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(dfw))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .withColumn(
+            "bm25_raw",
+            F.log(
+                F.lit(1.0)
+                + (
+                    (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+                )
+                / (F.col("df").cast("double") + F.lit(0.5))
+            )
+            * (
+                F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
+            )
+            / (
+                F.col("tf").cast("double")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B)
+                    * (F.col("dl").cast("double") * F.col("n_docs").cast("double"))
+                    / F.col("tot_dl").cast("double")
+                )
+            ),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("bm25_raw").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= TOPK)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.col("dl").cast("bigint").alias("dl"),
+            F.round("bm25_raw", 6).alias("bm25"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+TX_BM25_SQL = f"""
+WITH tf AS ({_TF_SQL}),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+         ln(1.0 + (CAST(n_docs - count(*) OVER (PARTITION BY tf.term) AS DOUBLE) + 0.5)
+                  / (CAST(count(*) OVER (PARTITION BY tf.term) AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+           / (CAST(tf.tf AS DOUBLE)
+              + CAST({BM25_K1!r} AS DOUBLE) * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                 + CAST({BM25_B!r} AS DOUBLE) * (CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                   / CAST(tot_dl AS DOUBLE)))
+           AS bm25_raw
+  FROM tf JOIN dl USING (doc_id), na
+),
+ranked AS (
+  SELECT doc_id, term, tf, dl, bm25_raw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY bm25_raw DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, dl, round(bm25_raw, 6) AS bm25,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOPK}
+"""
+
 QUERIES = [
     Query("tx_tfidf", tx_tfidf, TX_TFIDF_SQL, "TF-IDF weighting, top-5 terms per doc"),
     Query("tx_postings", tx_postings, TX_POSTINGS_SQL, "inverted-index posting-list digests"),
     Query("tx_collocations", tx_collocations, TX_COLLOC_SQL, "PMI bigram collocation mining, top-20"),
+    Query("tx_bm25", tx_bm25, TX_BM25_SQL, "Okapi BM25 term weighting, top-5 terms per doc"),
 ]
