@@ -71,6 +71,12 @@ _PRIORITY_FIRST = [
     # the rest of the budget is cheap re-greens (VERDICT r03 item 7)
     "dd_embcos", "dd_cluster",
 ]
+# The 14 queries ADDED mid-round-4 (tx_tfidf, tx_postings, tx_collocations,
+# tx_bm25, cdc_scd2, cdc_merge, ev_attribution, ev_anomaly, gr_pagerank,
+# ann_pq, sk_histq, ts_lttb, r13_top_supplier, r14_waiting_supplier) are in
+# NEITHER list: the tier function slots oracle-bearing unlisted queries
+# between _PRIORITY_FIRST and _DEFERRED_LAST, i.e. straight into the gate
+# budget for their first driver row.
 _DEFERRED_LAST = [
     # fresh r03 greens (all 50 checked queries passed): weakest marginal
     # signal this round — rotate past the budget; they re-enter in r05.
