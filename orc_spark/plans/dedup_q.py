@@ -850,10 +850,116 @@ FROM scored WHERE rank <= {ANN_K}
 """
 
 
+
+# --- directional containment rerank of LSH candidates ------------------------
+
+CONTAIN_MIN = 0.5
+
+
+def dd_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document duplication: exact directional trigram containment
+    C(A→B) = |A∩B| / |A| for every LSH candidate pair, classifying each as
+    mutual near-dup / A-inside-B / B-inside-A. Containment is asymmetric —
+    Jaccard misses a short doc embedded in a long one — so this is the
+    rerank that catches quote/excerpt duplication.
+
+    Scale contract: pair generation is the banded MinHash self-join
+    (bounded candidates, never all-pairs); each candidate pair costs one
+    array_intersect over ~|doc|-sized distinct-gram sets (codegen, no
+    Python). At corpus scale a containment-recall generator (winnowing
+    buckets with hot-bucket caps) would widen candidates; the rerank
+    kernel is identical."""
+    pairs = dd_minhash_pairs(spark, sf).select("doc_a", "doc_b")
+    t = F.lower(F.col("text"))
+    pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (NGRAM_N - 1), F.lit(1)))
+    gram_sets = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", F.explode(pos).alias("pos"), t.alias("t"))
+        .select(
+            "doc_id",
+            F.xxhash64(F.expr(f"substring(t, pos, {NGRAM_N})")).alias("gh"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("gh").alias("grams"))
+    )
+    ga = gram_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
+    )
+    gb = gram_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    na = F.size("grams_a").cast("double")
+    nb = F.size("grams_b").cast("double")
+    scored = (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / na).alias("c_ab"),
+            (inter / nb).alias("c_ba"),
+        )
+        .where(
+            (F.col("c_ab") >= CONTAIN_MIN) | (F.col("c_ba") >= CONTAIN_MIN)
+        )
+    )
+    rel = (
+        F.when(
+            (F.col("c_ab") >= CONTAIN_MIN) & (F.col("c_ba") >= CONTAIN_MIN),
+            "mutual",
+        )
+        .when(F.col("c_ab") >= CONTAIN_MIN, "a_in_b")
+        .otherwise("b_in_a")
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        F.round("c_ab", 6).alias("cont_a_in_b"),
+        F.round("c_ba", 6).alias("cont_b_in_a"),
+        rel.alias("relation"),
+    )
+
+
+def _containment_sql() -> str:
+    return f"""
+WITH cand AS (SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()})),
+grams AS (
+  SELECT DISTINCT doc_id, substr(lower(text), pos, {NGRAM_N}) AS g
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {NGRAM_N - 1}, 1) + 1))
+                 AS pos
+        FROM documents)
+),
+counts AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS DOUBLE) AS i
+  FROM cand c
+  JOIN grams a ON a.doc_id = c.doc_a
+  JOIN grams b ON b.doc_id = c.doc_b AND a.g = b.g
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b, i / ca.n AS c_ab, i / cb.n AS c_ba
+  FROM inter
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE i / ca.n >= {CONTAIN_MIN} OR i / cb.n >= {CONTAIN_MIN}
+)
+SELECT doc_a, doc_b,
+       round(c_ab, 6) AS cont_a_in_b,
+       round(c_ba, 6) AS cont_b_in_a,
+       CASE WHEN c_ab >= {CONTAIN_MIN} AND c_ba >= {CONTAIN_MIN} THEN 'mutual'
+            WHEN c_ab >= {CONTAIN_MIN} THEN 'a_in_b'
+            ELSE 'b_in_a' END AS relation
+FROM scored
+"""
+
 QUERIES = [
     Query("dd_exact", dd_exact, DD_EXACT_SQL, "exact dedup via content digest group-by"),
     Query("dd_minhash_sig", dd_minhash_sig, _minhash_sig_sql(), "MinHash signatures (16 perms, 5-shingles)"),
     Query("dd_minhash_pairs", dd_minhash_pairs, _minhash_pairs_sql(), "LSH banded candidate pairs + estimated jaccard"),
+    Query("dd_containment", dd_containment, _containment_sql(), "directional trigram containment rerank of LSH candidates (sub-document dup)"),
     Query("dd_simhash", dd_simhash, DD_SIMHASH_SQL, "60-bit SimHash document fingerprints"),
     Query("dd_simhash_pairs", dd_simhash_pairs, DD_SIMHASH_PAIRS_SQL, "SimHash banded near-dup pairs (hamming ≤ 3)"),
     Query("dd_ngram_jaccard", dd_ngram_jaccard, DD_NGRAM_SQL, "exact trigram Jaccard near-dup (blocked)"),
