@@ -231,6 +231,85 @@ GROUP BY event_type
 """
 
 
+
+# --- z-order layout + 2-D data-skipping query --------------------------------
+
+_ZORDER_CACHE: dict[str, tuple[str, int, int]] = {}
+
+
+def _zorder_path(spark: SparkSession, sf: str) -> tuple[str, int, int]:
+    """Build the z-ordered lineitem copy once per (sf, process) — layout is
+    write-once/query-many, like the IVF index."""
+    from orc_spark.operators.layout import write_zordered
+
+    hit = _ZORDER_CACHE.get(sf)
+    if hit is None:
+        li = load_table(spark, sf, "lineitem")
+        mx = li.agg(
+            F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+        ).collect()[0]
+        tag = os.path.basename(sf.rstrip("/"))
+        path = f"/tmp/orc_spark_zorder/lineitem_{tag}_{os.getpid()}"
+        write_zordered(
+            li.select(
+                "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_returnflag",
+            ),
+            path,
+            "l_partkey", int(mx.mp),
+            "l_suppkey", int(mx.ms),
+        )
+        hit = (path, int(mx.mp), int(mx.ms))
+        _ZORDER_CACHE[sf] = hit
+    return hit
+
+
+def io_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D rectangle query against the z-ordered lineitem layout
+    (operators/layout.py): both range predicates push down to the parquet
+    scan, and because every file is a Morton tile the footer stats exclude
+    most files before any IO (pruning factor asserted in
+    tests/test_zorder.py). The oracle runs the same rectangle on the raw
+    table — a hash match proves the layout rewrite preserved every value."""
+    path, mp, ms = _zorder_path(spark, sf)
+    lo1, hi1 = mp // 4, mp // 4 + mp // 8
+    lo2, hi2 = ms // 4, ms // 4 + ms // 8
+    z = spark.read.parquet(path)
+    return (
+        z.where(
+            (F.col("l_partkey") >= lo1) & (F.col("l_partkey") <= hi1)
+            & (F.col("l_suppkey") >= lo2) & (F.col("l_suppkey") <= hi2)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            ).alias("price_cents"),
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("qty"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+        )
+    )
+
+
+IO_ZORDER_SQL = """
+WITH mx AS (
+  SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty,
+       min(l_orderkey) AS min_ok,
+       max(l_orderkey) AS max_ok
+FROM lineitem, mx
+WHERE l_partkey >= mp // 4 AND l_partkey <= mp // 4 + mp // 8
+  AND l_suppkey >= ms // 4 AND l_suppkey <= ms // 4 + ms // 8
+GROUP BY l_returnflag
+"""
+
 QUERIES = [
     Query(
         "ts_e2e_report",
@@ -244,4 +323,5 @@ QUERIES = [
         IO_ORC_SQL,
         "ORC write/read round-trip fidelity (north-star format)",
     ),
+    Query("io_zorder", io_zorder, IO_ZORDER_SQL, "z-order (Morton) layout + 2-D range query; footer-stat data skipping"),
 ]
