@@ -296,9 +296,59 @@ UNION ALL
 SELECT c_custkey, acctbal_cents, ver, src FROM chg WHERE op = 'u'
 """
 
+
+# --- event-type transition matrix (first-order Markov) -----------------------
+
+def ev_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    sequence: count(from → to) and the row-normalized transition
+    probability. One window-lead by user + one combinable groupBy; the
+    probability is one integer-ratio division (identical doubles).
+    This is the sequence model behind session analysis — ev_funnel checks
+    one path, this materializes all of them."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(tot).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+EV_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+),
+cnt AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+FROM cnt
+"""
+
 QUERIES = [
     Query("cdc_scd2", cdc_scd2, CDC_SCD2_SQL, "CDC → SCD2 history (valid intervals, current flag, exact running state)"),
     Query("ev_attribution", ev_attribution, EV_ATTRIBUTION_SQL, "last-touch attribution within a 7-day window"),
     Query("ev_anomaly", ev_anomaly, EV_ANOMALY_SQL, "rolling fixed-point z-score anomaly detection"),
     Query("cdc_merge", cdc_merge, CDC_MERGE_SQL, "MERGE INTO snapshot via the streaming upsert operator (latest-per-key, delete tombstones)"),
+    Query("ev_transitions", ev_transitions, EV_TRANSITIONS_SQL, "first-order Markov event-type transition matrix"),
 ]

@@ -15,7 +15,7 @@ incremental.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orc_spark.plans import Query
@@ -177,6 +177,121 @@ FROM documents
 """
 
 
+
+# --- distribution drift (population stability index) -------------------------
+
+PSI_BINS = 10
+
+
+def dq_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift between the first and second half of the event
+    stream, per event_type: 10-bin PSI over `value` plus the per-bin count
+    table digest. PSI = Σ (p−q)·ln(p/q) with Laplace-smoothed bin shares —
+    the standard production drift monitor for ML feature pipelines.
+
+    Determinism: bins come from the GLOBAL min/max (two-pass, 1-row
+    broadcast) and every count is integer; p, q, and the PSI sum are the
+    identical float expression on both engines, and the Σ is over exactly
+    PSI_BINS terms collected with sum() over integer-keyed bins — the
+    accumulation order ambiguity is gone because each (type, bin) appears
+    once. Scale: two combinable aggregations over events, output
+    |event_type| rows."""
+    ev = load_table(spark, sf, "events").select("event_type", "ts", "value")
+    # the reference/current split point just has to be THE SAME on both
+    # engines — midpoint of min/max ts (pure integer arithmetic)
+    stats = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        # integer div: Spark / would be double division (trunc on cast)
+        # while DuckDB CAST rounds — div/// sidesteps the invariant trap
+        F.expr("(min(ts) + max(ts)) div 2").alias("ts_mid"),
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn")) * PSI_BINS
+                ),
+                F.lit(PSI_BINS - 1),
+            ).cast("int").alias("bin"),
+            (F.col("ts") <= F.col("ts_mid")).alias("is_ref"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
+        )
+    )
+    tot = Window.partitionBy("event_type")
+    p = (F.col("c_ref") + 1).cast("double") / (
+        F.sum(F.col("c_ref") + 1).over(tot)
+    ).cast("double")
+    q = (F.col("c_cur") + 1).cast("double") / (
+        F.sum(F.col("c_cur") + 1).over(tot)
+    ).cast("double")
+    term = (p - q) * F.log(p / q)
+    return (
+        binned.select(
+            "event_type",
+            "bin",
+            "c_ref",
+            "c_cur",
+            term.alias("term"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("term"), 6).alias("psi"),
+            F.sum("c_ref").alias("n_ref"),
+            F.sum("c_cur").alias("n_cur"),
+            F.expr(
+                "bit_xor(cast(conv(substr(md5(concat_ws(':', bin, c_ref, c_cur)),"
+                " 1, 15), 16, 10) as bigint))"
+            ).cast("bigint").alias("bins_digest"),
+        )
+    )
+
+
+DQ_DRIFT_SQL = f"""
+WITH ev AS (SELECT event_type, epoch_us(ts) AS ts, value FROM events),
+stats AS (
+  SELECT min(value) AS mn, max(value) AS mx,
+         (min(ts) + max(ts)) // 2 AS ts_mid
+  FROM ev
+),
+binned AS (
+  SELECT event_type,
+         CAST(least(floor((value - mn) / (mx - mn) * {PSI_BINS}),
+                    {PSI_BINS - 1}) AS INTEGER) AS bin,
+         ts <= ts_mid AS is_ref
+  FROM ev, stats
+),
+cnt AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+  FROM binned GROUP BY 1, 2
+),
+shares AS (
+  SELECT event_type, bin, c_ref, c_cur,
+         CAST(c_ref + 1 AS DOUBLE)
+           / CAST(sum(c_ref + 1) OVER (PARTITION BY event_type) AS DOUBLE) AS p,
+         CAST(c_cur + 1 AS DOUBLE)
+           / CAST(sum(c_cur + 1) OVER (PARTITION BY event_type) AS DOUBLE) AS q
+  FROM cnt
+)
+SELECT event_type,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       CAST(sum(c_ref) AS BIGINT) AS n_ref,
+       CAST(sum(c_cur) AS BIGINT) AS n_cur,
+       CAST(bit_xor(('0x' || substr(md5(concat_ws(':', bin, c_ref, c_cur)), 1, 15))::BIGINT)
+            AS BIGINT) AS bins_digest
+FROM shares GROUP BY event_type
+"""
+
 QUERIES = [
     Query("dq_expectations", dq_expectations, DQ_SQL, "data-quality audit: uniqueness, FK integrity, ranges, null/derived-column checks"),
+    Query("dq_drift", dq_drift, DQ_DRIFT_SQL, "10-bin PSI drift between event-stream halves, per event_type"),
 ]
