@@ -55,29 +55,32 @@ _PRIORITY_FIRST = [
     # cu_mixture single-scan rewrite, dq_expectations scan-fused audit
     "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
     "dq_expectations",
+    # the 18 queries ADDED mid-round-4 — first driver row for every one
+    # (tier placement must be explicit: 35 carried-over priority entries +
+    # 18 new = 53 would overflow the ~50-query budget, so four unchanged
+    # twice-green batteries move to _DEFERRED_LAST below)
+    "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
+    "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly", "ev_transitions",
+    "gr_pagerank", "ann_pq", "sk_histq", "ts_lttb", "dd_containment",
+    "io_zorder", "dq_drift", "r13_top_supplier", "r14_waiting_supplier",
     # once-green only (r02): rotate in ahead of twice-green stock
     "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
     "dp_profile",
     # r02-only-green family — no row since the schema-change round
     "ann_ivf", "ann_bruteforce_fast", "approx_sketches", "mm_frame_sample",
     "sk_hll_merge", "ann_topk",
-    # green r01+r02, deferred past r03's budget — every one needs a
-    # trailing-two-rounds refresh
+    # green r01+r02, deferred past r03's budget
     "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
-    "dd_simhash_pairs", "dp_sample", "dp_stratified",
-    "r4b_cube", "rj_range_join", "r5c_rank_battery",
+    "dd_simhash_pairs", "dp_sample",
     # the two most expensive oracles (recursive-CTE closure ~42 s, all-pairs
     # join-sum ~12 s at sf0.01): deferred since r02, due a fresh row now that
     # the rest of the budget is cheap re-greens (VERDICT r03 item 7)
     "dd_embcos", "dd_cluster",
 ]
-# The 14 queries ADDED mid-round-4 (tx_tfidf, tx_postings, tx_collocations,
-# tx_bm25, cdc_scd2, cdc_merge, ev_attribution, ev_anomaly, gr_pagerank,
-# ann_pq, sk_histq, ts_lttb, r13_top_supplier, r14_waiting_supplier) are in
-# NEITHER list: the tier function slots oracle-bearing unlisted queries
-# between _PRIORITY_FIRST and _DEFERRED_LAST, i.e. straight into the gate
-# budget for their first driver row.
 _DEFERRED_LAST = [
+    # twice-green unchanged batteries demoted to make budget room for the 18
+    # new queries' first rows (they re-enter the refresh rotation in r05)
+    "dp_stratified", "r4b_cube", "rj_range_join", "r5c_rank_battery",
     # fresh r03 greens (all 50 checked queries passed): weakest marginal
     # signal this round — rotate past the budget; they re-enter in r05.
     # Order mirrors CORRECTNESS_r03 so next round's rotation can take a
