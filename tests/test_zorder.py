@@ -63,3 +63,33 @@ def test_zorder_prunes_2d_rectangle(spark, sf_mid, tmp_path):
     # and the layout must not lose rows
     zcount = spark.read.parquet(zpath).count()
     assert zcount == li.count()
+
+
+def test_global_sort_produces_disjoint_file_ranges(spark, sf_mid, tmp_path):
+    """Total ordering at scale = repartitionByRange + in-partition sort:
+    every output file must cover a disjoint, ordered l_shipdate range
+    (what makes a time-range scan read one file, not all of them)."""
+    li = load_table(spark, sf_mid, "lineitem").select("l_orderkey", "l_shipdate")
+    path = str(tmp_path / "sorted")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(path)
+    )
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                if col.path_in_schema == "l_shipdate" and col.statistics:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
+        assert a_max <= b_min, (a_max, b_min)
