@@ -62,3 +62,10 @@ def minhash_col(hcol: Column, a: int, b: int) -> Column:
 
 def minhash_sql(hexpr: str, a: int, b: int) -> str:
     return f"(({a} * ({hexpr} % {MERSENNE_P}) + {b}) % {MERSENNE_P})"
+
+
+def xor_digest(*cols) -> Column:
+    """Order-independent 60-bit digest AGGREGATE of ':'-joined columns —
+    the canonical Spark-side partner of ``bit_xor(h60_sql(...))`` oracles
+    (used by posting lists, sketch cell tables, drift bin tables)."""
+    return F.bit_xor(h60(F.concat_ws(":", *[F.col(c) if isinstance(c, str) else c for c in cols]))).cast("bigint")

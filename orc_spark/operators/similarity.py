@@ -336,7 +336,11 @@ def pq_train_codebooks(
     books = np.empty((m, ksub, dsub))
     for sub in range(m):
         x = mtx[:, sub * dsub : (sub + 1) * dsub]
-        cent = x[rng.choice(x.shape[0], size=min(ksub, x.shape[0]), replace=False)]
+        # with-replacement fallback keeps the codebook exactly ksub rows on
+        # tiny corpora (books[sub] assignment requires the full shape)
+        cent = x[
+            rng.choice(x.shape[0], size=ksub, replace=x.shape[0] < ksub)
+        ].copy()
         for _ in range(n_iter):
             d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from orc_spark.functions.hashing import xor_digest
 from orc_spark.plans import Query
 from orc_spark.sources.tables import load_table
 
@@ -246,10 +247,7 @@ def dq_drift(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("term"), 6).alias("psi"),
             F.sum("c_ref").alias("n_ref"),
             F.sum("c_cur").alias("n_cur"),
-            F.expr(
-                "bit_xor(cast(conv(substr(md5(concat_ws(':', bin, c_ref, c_cur)),"
-                " 1, 15), 16, 10) as bigint))"
-            ).cast("bigint").alias("bins_digest"),
+            xor_digest("bin", "c_ref", "c_cur").alias("bins_digest"),
         )
     )
 

@@ -248,7 +248,11 @@ def _zorder_path(spark: SparkSession, sf: str) -> tuple[str, int, int]:
         mx = li.agg(
             F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
         ).collect()[0]
-        tag = os.path.basename(sf.rstrip("/"))
+        import hashlib
+
+        # full-path hash (not basename): two sf dirs sharing a basename in
+        # one process must not cross-contaminate the cached layout
+        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
         path = f"/tmp/orc_spark_zorder/lineitem_{tag}_{os.getpid()}"
         write_zordered(
             li.select(

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from orc_spark.functions.hashing import h60, h60_sql
+from orc_spark.functions.hashing import h60_sql, xor_digest
 from orc_spark.plans import Query
 from orc_spark.sources.tables import load_table
 
@@ -134,10 +134,7 @@ def tx_postings(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("tf").alias("total_tf"),
         F.min("doc_id").alias("doc_min"),
         F.max("doc_id").alias("doc_max"),
-        F.expr(
-            "bit_xor(cast(conv(substr(md5(concat_ws(':', doc_id, tf)), 1, 15),"
-            " 16, 10) as bigint))"
-        ).cast("bigint").alias("postings_digest"),
+        xor_digest("doc_id", "tf").alias("postings_digest"),
     ).select(
         "term", "df", F.col("total_tf").cast("bigint").alias("total_tf"),
         "doc_min", "doc_max", "postings_digest",

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from orc_spark.functions.hashing import h60_sql
+from orc_spark.functions.hashing import h60_sql, xor_digest
 from orc_spark.plans import Query
 from orc_spark.sources.tables import load_table
 
@@ -459,7 +459,7 @@ def sk_countmin(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _cms_sql() -> str:
-    from orc_spark.functions.hashing import h60_sql
+    from orc_spark.functions.hashing import h60_sql, xor_digest
 
     h = h60_sql("'cms' || j || ':' || user_id")
     users = ", ".join(f"({u})" for u in CMS_QUERY_USERS)
@@ -563,7 +563,7 @@ def sk_bloom(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _bloom_sql() -> str:
-    from orc_spark.functions.hashing import h60_sql
+    from orc_spark.functions.hashing import h60_sql, xor_digest
 
     probes = ", ".join(f"({u})" for u in BLOOM_PROBES)
     h_build = h60_sql("'bloom' || j || ':' || user_id")
@@ -700,10 +700,7 @@ def sk_histq(spark: SparkSession, sf: str) -> DataFrame:
 
     return cum.groupBy("total", "mn", "mx").agg(
         F.count(F.lit(1)).cast("int").alias("n_bins_used"),
-        F.expr(
-            "bit_xor(cast(conv(substr(md5(concat_ws(':', bin, cnt)), 1, 15),"
-            " 16, 10) as bigint))"
-        ).cast("bigint").alias("bins_digest"),
+        xor_digest("bin", "cnt").alias("bins_digest"),
         F.round(est(0.5), 6).alias("p50_est"),
         F.round(est(0.95), 6).alias("p95_est"),
         F.round(est(0.99), 6).alias("p99_est"),

@@ -45,13 +45,13 @@ def merge_upsert(
     key wins; 'd' removes the key; unchanged base rows pass through."""
     latest = latest_per_key(changes, keys, version_col)
     upserts = latest.where(F.col("op") == "u").drop("op")
-    deletes = latest.where(F.col("op") == "d").select(*keys)
     touched = latest.select(*keys)
+    # one anti-join removes ALL touched keys (upserted AND deleted) from the
+    # base; re-adding the upserts completes the merge — deletes are simply
+    # the touched keys that never come back
     kept = base.join(touched, keys, "left_anti")
     out_cols = [c for c in base.columns]
-    return kept.select(*out_cols).unionByName(
-        upserts.select(*out_cols)
-    ).join(deletes, keys, "left_anti")
+    return kept.select(*out_cols).unionByName(upserts.select(*out_cols))
 
 
 def apply_changes_stream(
@@ -67,19 +67,30 @@ def apply_changes_stream(
     the rewrite at production scale; the merge plan itself is identical.)"""
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         try:
             base = spark.read.parquet(snapshot_path)
-        except Exception:
-            base = batch.sparkSession.createDataFrame(
-                [], schema=batch.drop("op").schema
-            )
+        except AnalysisException as exc:
+            # ONLY a missing snapshot means "first batch"; any other read
+            # failure (partial files, permissions) must fail the batch —
+            # swallowing it would silently rebuild from empty and drop every
+            # untouched key
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+            base = spark.createDataFrame([], schema=batch.drop("op").schema)
         merged = merge_upsert(base, batch, keys, version_col)
-        merged.write.mode("overwrite").parquet(snapshot_path + "._next")
-        # atomic-ish swap: rewrite target from the staged copy
-        spark.read.parquet(snapshot_path + "._next").write.mode(
-            "overwrite"
-        ).parquet(snapshot_path)
+        staging = snapshot_path + "._next"
+        merged.write.mode("overwrite").parquet(staging)
+        # rewrite target from the staged copy, then drop the staging dir.
+        # The delete+rewrite window is the documented non-atomicity a
+        # transactional table format (Iceberg/Delta) closes at production
+        # scale; the streaming checkpoint replays the batch on crash.
+        spark.read.parquet(staging).write.mode("overwrite").parquet(snapshot_path)
+        shutil.rmtree(staging, ignore_errors=True)
 
     return (
         changes_stream.writeStream.foreachBatch(_merge)
