@@ -345,10 +345,93 @@ SELECT from_type, to_type, n,
 FROM cnt
 """
 
+
+# --- gap-based sessionization ------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1000000  # 30-minute inactivity gap
+
+
+def ev_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after 30 minutes of
+    user inactivity; sessions get a per-user running index (cumsum of gap
+    flags — the classic sessionize idiom), then per-session stats. The
+    batch twin of r8c's session windows: this shape also materializes the
+    session IDs, which the windowed aggregate alone does not. One window
+    by user + one combinable groupBy; gap tests are integer micros."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("session_idx", F.sum(gap).over(run))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_us"),
+            F.max("ts").alias("end_us"),
+            ((F.max("ts") - F.min("ts")) / F.lit(1000000.0)).alias("dur_raw"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+            F.sum(
+                F.floor(F.col("value") * 100).cast("bigint")
+            ).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("int").alias("session_idx"),
+            "n_events",
+            "start_us",
+            "end_us",
+            F.round("dur_raw", 6).alias("duration_s"),
+            F.col("n_purchases").cast("bigint").alias("n_purchases"),
+            "value_cents",
+        )
+    )
+
+
+EV_SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts, event_type, value FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS gap
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_idx AS INTEGER) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS start_us,
+       max(ts) AS end_us,
+       round((max(ts) - min(ts)) / CAST(1000000 AS DOUBLE), 6) AS duration_s,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, session_idx
+"""
+
 QUERIES = [
     Query("cdc_scd2", cdc_scd2, CDC_SCD2_SQL, "CDC → SCD2 history (valid intervals, current flag, exact running state)"),
     Query("ev_attribution", ev_attribution, EV_ATTRIBUTION_SQL, "last-touch attribution within a 7-day window"),
     Query("ev_anomaly", ev_anomaly, EV_ANOMALY_SQL, "rolling fixed-point z-score anomaly detection"),
     Query("cdc_merge", cdc_merge, CDC_MERGE_SQL, "MERGE INTO snapshot via the streaming upsert operator (latest-per-key, delete tombstones)"),
     Query("ev_transitions", ev_transitions, EV_TRANSITIONS_SQL, "first-order Markov event-type transition matrix"),
+    Query("ev_sessionize", ev_sessionize, EV_SESSIONIZE_SQL, "gap-based sessionization: materialized session ids + per-session stats"),
 ]

@@ -84,3 +84,42 @@ def test_stream_upsert_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(snap).toPandas()
     pd.testing.assert_frame_equal(_canon(got), _expected(), check_dtype=False)
+
+
+def test_merge_upsert_random_sequences_match_model(spark):
+    """Property: for random change logs, merge_upsert == a dict-replay
+    model (highest version per key wins; delete beats upsert on a version
+    tie). Change logs are deduped on (k, ver, op) so the only engine
+    tie-break left is the one the operator defines."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        base_keys = rng.sample(range(30), 12)
+        base_rows = [(k, f"b{k}", 0) for k in base_keys]
+        seen, changes = set(), []
+        for i in range(40):
+            k = rng.randrange(30)
+            op = "d" if rng.random() < 0.3 else "u"
+            ver = rng.randrange(1, 6)
+            if (k, ver, op) in seen:
+                continue
+            seen.add((k, ver, op))
+            changes.append((k, f"c{k}_{i}" if op == "u" else None, ver, op))
+        latest = {}
+        for k, val, ver, op in changes:
+            rank = (ver, 1 if op == "d" else 0)  # delete wins a version tie
+            if k not in latest or rank > latest[k][0]:
+                latest[k] = (rank, val, op)
+        model = {k: f"b{k}" for k in base_keys}
+        for k, (_rank, val, op) in latest.items():
+            if op == "d":
+                model.pop(k, None)
+            else:
+                model[k] = val
+        base = spark.createDataFrame(base_rows, "k int, val string, ver int")
+        got = merge_upsert(
+            base, _changes_df(spark, changes), ["k"], "ver"
+        ).toPandas()
+        got_map = dict(zip(got["k"], got["val"]))
+        assert got_map == model, f"trial {trial}"
