@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orc_spark.operators.skew import salted_count_agg
+from orc_spark.functions.hashing import h60_sql
 from orc_spark.plans import Query
 from orc_spark.sources.tables import load_table
 
@@ -623,6 +624,69 @@ FROM kept JOIN counts USING (lang) JOIN weights USING (lang)
 """
 
 
+
+# --- deterministic train/val/test split --------------------------------------
+
+SPLIT_VAL_PCT = 5
+SPLIT_TEST_PCT = 5
+
+
+def cu_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment: each document lands in a
+    split by its content-independent hash bucket (doc_id md5 → 0..99;
+    90/5/5) — reproducible across runs, engines, and cluster sizes, the
+    property a training pipeline needs so no example ever migrates between
+    splits. Output is the per (lang, split) audit: counts, token mass, and
+    membership digest. One narrow map + one combinable groupBy."""
+    docs = load_table(spark, sf, "documents")
+    from orc_spark.functions.hashing import h60, xor_digest
+
+    bucket = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < SPLIT_TEST_PCT, "test")
+        .when(bucket < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("train")
+    )
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            "doc_id",
+            toks.alias("n_tok"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            xor_digest("doc_id").alias("members_digest"),
+        )
+    )
+
+
+CU_SPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tok,
+         ({h60_sql("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < {SPLIT_TEST_PCT} THEN 'test'
+            WHEN bucket < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       CAST(bit_xor({h60_sql("CAST(doc_id AS VARCHAR)")}) AS BIGINT)
+         AS members_digest
+FROM tagged
+GROUP BY 1, 2
+"""
+
 QUERIES = [
     Query("tx_redact", tx_redact, TX_REDACT_SQL, "PII-style redaction battery (emails/URLs/long numbers)"),
     Query("dd_keepbest", dd_keepbest, DD_KEEPBEST_SQL, "exact-dup keep-best resolution (longest, tie→min id)"),
@@ -632,4 +696,5 @@ QUERIES = [
     Query("cu_mixture", cu_mixture, _cu_mixture_sql(), "domain-mixture sampling to a target language distribution"),
     Query("cu_decontaminate", cu_decontaminate, _cu_decon_sql(), "benchmark decontamination: 20-gram winnowing overlap vs a held-out eval split"),
     Query("cu_pack", cu_pack, CU_PACK_SQL, "sequence packing: concat-and-chunk the corpus into context-length bins"),
+    Query("cu_split", cu_split, CU_SPLIT_SQL, "deterministic hash-bucket train/val/test split audit"),
 ]
