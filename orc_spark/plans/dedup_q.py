@@ -888,22 +888,51 @@ def dd_containment(spark: SparkSession, sf: str) -> DataFrame:
     gb = gram_sets.select(
         F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-    na = F.size("grams_a").cast("double")
-    nb = F.size("grams_b").cast("double")
-    scored = (
-        pairs.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter / na).alias("c_ab"),
-            (inter / nb).alias("c_ba"),
-        )
-        .where(
-            (F.col("c_ab") >= CONTAIN_MIN) | (F.col("c_ba") >= CONTAIN_MIN)
-        )
+    joined = pairs.join(ga, "doc_a").join(gb, "doc_b")
+
+    # array_intersect is CodegenFallback — interpreted with boxed sets, it
+    # measured ~7s for 16.6k pairs at sf0.1. The Arrow-batched numpy
+    # intersection is ~10x cheaper; only the integer sizes come back, so
+    # the ratio/threshold float math stays in codegen, mirroring the oracle.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _inter(it):
+        for pdf in it:
+            i = [
+                np.intersect1d(a, b, assume_unique=True).shape[0]
+                for a, b in zip(pdf["grams_a"], pdf["grams_b"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"],
+                    "doc_b": pdf["doc_b"],
+                    "i": np.asarray(i, dtype=np.int64),
+                    "na": pdf["grams_a"].map(len).astype("int64"),
+                    "nb": pdf["grams_b"].map(len).astype("int64"),
+                }
+            )
+
+    sizes = joined.mapInPandas(
+        _inter,
+        T.StructType(
+            [
+                T.StructField("doc_a", T.LongType()),
+                T.StructField("doc_b", T.LongType()),
+                T.StructField("i", T.LongType()),
+                T.StructField("na", T.LongType()),
+                T.StructField("nb", T.LongType()),
+            ]
+        ),
     )
+    inter = F.col("i").cast("double")
+    scored = sizes.select(
+        "doc_a",
+        "doc_b",
+        (inter / F.col("na").cast("double")).alias("c_ab"),
+        (inter / F.col("nb").cast("double")).alias("c_ba"),
+    ).where((F.col("c_ab") >= CONTAIN_MIN) | (F.col("c_ba") >= CONTAIN_MIN))
     rel = (
         F.when(
             (F.col("c_ab") >= CONTAIN_MIN) & (F.col("c_ba") >= CONTAIN_MIN),
