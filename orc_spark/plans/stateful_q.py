@@ -537,8 +537,77 @@ FROM scan WHERE sample_idx >= 0
 """
 
 
+
+# --- EWMA smoothing (recursive stateful, bit-identical f64) ------------------
+
+EWMA_ALPHA = 0.2
+
+
+def st_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially weighted moving average over each user's event values:
+    s_1 = v_1; s_i = α·v_i + (1−α)·s_{i−1} (α = 0.2). The telemetry
+    smoothing filter, run per series through the recurrence harness; the
+    oracle replays the identical IEEE op order (α·v first, then +) one
+    sample per recursive-CTE iteration, so the outputs are bit-identical
+    f64 like the PID/AHRS replays."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        out = np.empty_like(v)
+        s = v[0]
+        out[0] = s
+        for i in range(1, v.shape[0]):
+            s = EWMA_ALPHA * v[i] + (1.0 - EWMA_ALPHA) * s
+            out[i] = s
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "ewma": out,
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    return partitioned_group_scan(ev, ["user_id"], "ts", kernel, schema)
+
+
+ST_EWMA_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+rec (user_id, event_id, rn, s) AS (
+  SELECT user_id, event_id, rn, CAST(value AS DOUBLE) FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn,
+         CAST({EWMA_ALPHA!r} AS DOUBLE) * b.value
+           + CAST({1.0 - EWMA_ALPHA!r} AS DOUBLE) * r.s
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, s AS ewma FROM rec
+"""
+
 QUERIES = [
     Query("st_ahrs_replay", st_ahrs_replay, _ahrs_sql(), "O4 AHRS fusion recurrence, hash-checked via recursive-CTE quaternion replay"),
     Query("st_pid_replay", st_pid_replay, _pid_sql(), "O9 PID recurrence, hash-checked via recursive-CTE sequential replay"),
     Query("st_imu_pipeline", st_imu_pipeline, _imu_sql(), "full firmware steady-loop replay, hash-checked via recursive-CTE (LOCF + AHRS + 3xPID + transform)"),
+    Query("st_ewma", st_ewma, ST_EWMA_SQL, "EWMA smoothing, bit-identical f64 vs recursive-CTE replay"),
 ]
