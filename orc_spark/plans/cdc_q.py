@@ -427,6 +427,62 @@ SELECT user_id,
 FROM sess GROUP BY user_id, session_idx
 """
 
+
+# --- rolling distinct actives (DAU / rolling 7-day uniques) ------------------
+
+ROLL_DAYS = 7
+
+
+def ev_rolling_uniques(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-analytics actives: per day, the exact count of distinct
+    users active that day (DAU) and in the trailing 7 days (WAU-style
+    rolling uniques). Distinct-over-sliding-window can't be a window
+    function; the exact shape is (user, day) dedup → explode each activity
+    onto the ≤7 window-ends it can serve → per-window distinct count.
+    Expansion factor is the window length (bounded, declared); both
+    aggregations are combinable. DAU attaches by join on the day."""
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    day = F.expr("ts div 86400000000").alias("day")
+    ud = ev.select("user_id", day).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    ends = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (ROLL_DAYS - 1))
+        ).alias("wend"),
+    )
+    rolling = (
+        ends.select("user_id", "wend").distinct()
+        .groupBy("wend")
+        .agg(F.count(F.lit(1)).alias("rolling_users"))
+    )
+    return (
+        dau.join(rolling, dau.day == rolling.wend)
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "dau",
+            "rolling_users",
+        )
+    )
+
+
+EV_ROLLING_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+ends AS (
+  SELECT DISTINCT user_id, day + off AS wend
+  FROM ud, unnest(range(0, {ROLL_DAYS})) AS t(off)
+),
+rolling AS (
+  SELECT wend, CAST(count(*) AS BIGINT) AS rolling_users
+  FROM ends GROUP BY wend
+)
+SELECT CAST(d.day AS BIGINT) AS day, d.dau, r.rolling_users
+FROM dau d JOIN rolling r ON d.day = r.wend
+"""
+
 QUERIES = [
     Query("cdc_scd2", cdc_scd2, CDC_SCD2_SQL, "CDC → SCD2 history (valid intervals, current flag, exact running state)"),
     Query("ev_attribution", ev_attribution, EV_ATTRIBUTION_SQL, "last-touch attribution within a 7-day window"),
@@ -434,4 +490,5 @@ QUERIES = [
     Query("cdc_merge", cdc_merge, CDC_MERGE_SQL, "MERGE INTO snapshot via the streaming upsert operator (latest-per-key, delete tombstones)"),
     Query("ev_transitions", ev_transitions, EV_TRANSITIONS_SQL, "first-order Markov event-type transition matrix"),
     Query("ev_sessionize", ev_sessionize, EV_SESSIONIZE_SQL, "gap-based sessionization: materialized session ids + per-session stats"),
+    Query("ev_rolling_uniques", ev_rolling_uniques, EV_ROLLING_SQL, "DAU + exact trailing-7-day rolling distinct users"),
 ]

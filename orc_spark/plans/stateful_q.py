@@ -605,9 +605,96 @@ rec (user_id, event_id, rn, s) AS (
 SELECT user_id, event_id, s AS ewma FROM rec
 """
 
+
+# --- 1-D Kalman filter (recursive stateful, bit-identical f64) ---------------
+
+KALMAN_Q = 0.01  # process variance
+KALMAN_R = 4.0   # measurement variance
+
+
+def st_kalman(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar Kalman filter over each user's event values (constant-state
+    model): p' = p + q; k = p'/(p'+r); x += k·(v−x); p = (1−k)·p'. The
+    canonical sensor-fusion recurrence one tier below the AHRS replay —
+    same harness, same oracle pattern, two state columns (x, p) carried
+    through the recursive CTE in the identical IEEE op order."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        xs = np.empty_like(v)
+        ks = np.empty_like(v)
+        x = v[0]
+        p = 1.0
+        xs[0] = x
+        ks[0] = 0.0
+        for i in range(1, v.shape[0]):
+            p_pred = p + KALMAN_Q
+            k = p_pred / (p_pred + KALMAN_R)
+            x = x + k * (v[i] - x)
+            p = (1.0 - k) * p_pred
+            xs[i] = x
+            ks[i] = k
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "x_est": xs,
+                "gain": ks,
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("x_est", T.DoubleType()),
+            T.StructField("gain", T.DoubleType()),
+        ]
+    )
+    return partitioned_group_scan(ev, ["user_id"], "ts", kernel, schema)
+
+
+ST_KALMAN_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+rec (user_id, event_id, rn, x, p, k) AS (
+  SELECT user_id, event_id, rn, CAST(value AS DOUBLE),
+         CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn,
+         r.x + ((r.p + CAST({KALMAN_Q!r} AS DOUBLE))
+                / ((r.p + CAST({KALMAN_Q!r} AS DOUBLE)) + CAST({KALMAN_R!r} AS DOUBLE)))
+              * (b.value - r.x),
+         (CAST(1.0 AS DOUBLE)
+          - ((r.p + CAST({KALMAN_Q!r} AS DOUBLE))
+             / ((r.p + CAST({KALMAN_Q!r} AS DOUBLE)) + CAST({KALMAN_R!r} AS DOUBLE))))
+           * (r.p + CAST({KALMAN_Q!r} AS DOUBLE)),
+         ((r.p + CAST({KALMAN_Q!r} AS DOUBLE))
+          / ((r.p + CAST({KALMAN_Q!r} AS DOUBLE)) + CAST({KALMAN_R!r} AS DOUBLE)))
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, x AS x_est, k AS gain FROM rec
+"""
+
 QUERIES = [
     Query("st_ahrs_replay", st_ahrs_replay, _ahrs_sql(), "O4 AHRS fusion recurrence, hash-checked via recursive-CTE quaternion replay"),
     Query("st_pid_replay", st_pid_replay, _pid_sql(), "O9 PID recurrence, hash-checked via recursive-CTE sequential replay"),
     Query("st_imu_pipeline", st_imu_pipeline, _imu_sql(), "full firmware steady-loop replay, hash-checked via recursive-CTE (LOCF + AHRS + 3xPID + transform)"),
     Query("st_ewma", st_ewma, ST_EWMA_SQL, "EWMA smoothing, bit-identical f64 vs recursive-CTE replay"),
+    Query("st_kalman", st_kalman, ST_KALMAN_SQL, "scalar Kalman filter, bit-identical f64 vs recursive-CTE replay"),
 ]
