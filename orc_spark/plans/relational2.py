@@ -486,6 +486,65 @@ ORDER BY numwait DESC, s_name ASC
 LIMIT 10
 """
 
+
+# --- r15: anti-join + scalar avg subquery (TPC-H Q22 shape) ------------------
+
+def r15_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Q22 shape: customers with above-average account balance who have
+    never placed an order, grouped by market segment. Two decorrelations
+    in one query: the scalar AVG subquery becomes a 1-row broadcast, and
+    NOT EXISTS becomes a left-anti join. Balances aggregate in integer
+    cents so the output sums are exact."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    # "idle" = no order in the final 2 years of the dataset (every customer
+    # has SOME order in this testdata, so plain NOT EXISTS is vacuous);
+    # the cutoff is a 1-row broadcast, integer epoch-millis comparison
+    cutoff = orders.agg(
+        (F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+         - F.lit(2 * 365 * 86400000)).alias("cut_ms")
+    )
+    recent = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .where(
+            F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+            >= F.col("cut_ms")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(cents).alias("total_bal_cents"),
+        )
+    )
+
+
+R15_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_bal_cents
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND epoch_ms(o.o_orderdate) >=
+          (SELECT max(epoch_ms(o_orderdate)) - CAST(63072000000 AS BIGINT) FROM orders)
+  )
+GROUP BY c_mktsegment
+"""
+
 QUERIES = [
     Query("r4b_cube", r4b_cube, R4B_SQL, "cube grouping sets"),
     Query("r_pivot", r_pivot, R_PIVOT_SQL, "pivot via conditional aggregation"),
@@ -498,4 +557,5 @@ QUERIES = [
     Query("approx_sketches", approx_sketches, APPROX_SKETCHES_SQL, "HLL++ + approx percentile, exact sides + error-bound booleans hash-checked"),
     Query("r13_top_supplier", r13_top_supplier, R13_SQL, "revenue view + scalar-max subquery (Q15 shape)"),
     Query("r14_waiting_supplier", r14_waiting_supplier, R14_SQL, "EXISTS/NOT-EXISTS chain decorrelated (Q21 shape)"),
+    Query("r15_idle_customers", r15_idle_customers, R15_SQL, "anti-join + scalar avg subquery (Q22 shape)"),
 ]

@@ -510,6 +510,79 @@ FROM (
 )
 """
 
+
+# --- lag autocorrelation (fixed-point exact) ---------------------------------
+
+AC_SCALE = 1000  # keeps n*Sxx < 2^63 with ~80x margin at 10k-row series
+AC_LAGS = (1, 2, 3)
+
+
+def ts_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-k autocorrelation of each user's value series (k = 1..3) — the
+    periodicity probe of vibration analysis (the reference's domain; its
+    t-test compares RMS, this characterizes the structure). All moments
+    accumulate in fixed-point BIGINT (value × 1e4): Σx, Σy, Σxy, Σxx, Σyy
+    over the lag-aligned pairs are exact integers, and Pearson r is one
+    identical float expression — bit-identical cross-engine with no
+    ordering caveat. One window per lag + one combinable groupBy."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    v = F.floor(F.col("value") * AC_SCALE).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select("user_id", v.alias("x"), *[
+        F.lag(v, k).over(w).alias(f"y{k}") for k in AC_LAGS
+    ])
+    outs = []
+    for k in AC_LAGS:
+        y = F.col(f"y{k}")
+        pair = base.where(y.isNotNull()).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(F.col("x") * y).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        den = F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        )
+        outs.append(
+            pair.select(
+                "user_id",
+                F.lit(k).alias("lag"),
+                F.col("n").cast("bigint").alias("n_pairs"),
+                F.round(num / den, 6).alias("autocorr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _autocorr_sql() -> str:
+    parts = []
+    for k in AC_LAGS:
+        parts.append(f"""
+SELECT user_id, {k} AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+             / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+                    * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)), 6)
+         AS autocorr
+FROM (
+  SELECT user_id,
+         CAST(floor(value * {AC_SCALE}) AS BIGINT) AS x,
+         lag(CAST(floor(value * {AC_SCALE}) AS BIGINT), {k})
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS y
+  FROM events
+) WHERE y IS NOT NULL
+GROUP BY user_id""")
+    return "\nUNION ALL\n".join(parts)
+
 QUERIES = [
     Query("ts_medfilt", ts_medfilt, _medfilt_sql(15), "O18 zero-padded median filter k=15"),
     Query("ts_gradient", ts_gradient, TS_GRADIENT_SQL, "O19 np.gradient edge semantics"),
@@ -523,4 +596,5 @@ QUERIES = [
     Query("ts_transform", ts_transform, TS_TRANSFORM_SQL, "O10 3-DoF → 4-corner force transform"),
     Query("ts_zero_cal", ts_zero_cal, TS_ZERO_CAL_SQL, "O7 zero-point calibration broadcast"),
     Query("ts_lttb", ts_lttb, _lttb_sql(), "LTTB plot downsampling, integer-exact triangle selection, fully hash-checked"),
+    Query("ts_autocorr", ts_autocorr, _autocorr_sql(), "lag-1..3 autocorrelation, fixed-point-exact Pearson r"),
 ]
