@@ -289,7 +289,68 @@ SELECT event_type,
 FROM shares GROUP BY event_type
 """
 
+
+# --- Benford first-digit audit -----------------------------------------------
+
+def dq_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law audit of l_extendedprice: first-significant-digit
+    distribution vs the log10(1+1/d) expectation, with the chi-square
+    statistic — the classic fabricated-data screen for financial columns.
+    Digit counts are integers (exact); expected shares and the chi-square
+    terms are identical float expressions; the 9-term sum is ordered by
+    digit on both engines. One combinable groupBy over the scan."""
+    li = load_table(spark, sf, "lineitem")
+    digit = F.substring(
+        F.regexp_replace(F.format_number(F.col("l_extendedprice"), 6), r"[0.,]", ""),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        li.select(digit.alias("d"))
+        .where(F.col("d").between(1, 9))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    tot = counts.agg(F.sum("obs").alias("n"))
+    exp = (
+        F.log10((F.col("d") + 1).cast("double") / F.col("d").cast("double"))
+        * F.col("n").cast("double")
+    )
+    chi_term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "obs",
+            F.round(exp, 6).alias("expected"),
+            F.round(chi_term, 6).alias("chi_term"),
+        )
+        .orderBy("d")
+    )
+
+
+DQ_BENFORD_SQL = """
+WITH counts AS (
+  SELECT CAST(substr(regexp_replace(format('{:.6f}', l_extendedprice), '[0.,]', '', 'g'), 1, 1) AS INTEGER) AS d,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM lineitem
+  WHERE CAST(substr(regexp_replace(format('{:.6f}', l_extendedprice), '[0.,]', '', 'g'), 1, 1) AS INTEGER) BETWEEN 1 AND 9
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM counts)
+SELECT d, obs,
+       round(log10(CAST(d + 1 AS DOUBLE) / CAST(d AS DOUBLE)) * CAST(n AS DOUBLE), 6) AS expected,
+       round((CAST(obs AS DOUBLE) - log10(CAST(d + 1 AS DOUBLE) / CAST(d AS DOUBLE)) * CAST(n AS DOUBLE))
+             * (CAST(obs AS DOUBLE) - log10(CAST(d + 1 AS DOUBLE) / CAST(d AS DOUBLE)) * CAST(n AS DOUBLE))
+             / (log10(CAST(d + 1 AS DOUBLE) / CAST(d AS DOUBLE)) * CAST(n AS DOUBLE)), 6) AS chi_term
+FROM counts, tot
+ORDER BY d
+"""
+
 QUERIES = [
     Query("dq_expectations", dq_expectations, DQ_SQL, "data-quality audit: uniqueness, FK integrity, ranges, null/derived-column checks"),
     Query("dq_drift", dq_drift, DQ_DRIFT_SQL, "10-bin PSI drift between event-stream halves, per event_type"),
+    Query("dq_benford", dq_benford, DQ_BENFORD_SQL, "Benford first-digit audit of prices, chi-square terms"),
 ]

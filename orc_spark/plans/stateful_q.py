@@ -691,10 +691,109 @@ rec (user_id, event_id, rn, x, p, k) AS (
 SELECT user_id, event_id, x AS x_est, k AS gain FROM rec
 """
 
+
+# --- Goertzel spectral power (recursive stateful, bit-identical f64) ---------
+
+# 2·cos(2π/period), folded in Python and repr-inlined so neither engine
+# computes the cosine (periods in samples on the per-run index)
+GOERTZEL_COEFFS = {4: 1.2246467991473532e-16, 8: 1.4142135623730951, 16: 1.8477590650225735}
+
+
+def st_goertzel(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-bin DFT power (Goertzel) of each user's value series at
+    period-4/8/16 oscillations — the spectral-peak probe of vibration
+    analysis (the reference's domain: its pipeline measures vibration RMS;
+    this resolves WHERE in frequency the energy sits). The classic 2-state
+    recurrence s_n = v_n + c·s1 − s2 runs per series through the
+    recurrence harness; the oracle steps all three frequencies' states in
+    one recursive CTE with the identical IEEE op order — bit-identical
+    f64 like the PID/AHRS/Kalman replays."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    coeffs = [GOERTZEL_COEFFS[k] for k in (4, 8, 16)]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        powers = []
+        for c in coeffs:
+            s1 = 0.0
+            s2 = 0.0
+            for x in v:
+                s = x + c * s1 - s2
+                s2 = s1
+                s1 = s
+            powers.append(s1 * s1 + s2 * s2 - c * s1 * s2)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n": [len(v)],
+                "p4": [powers[0]],
+                "p8": [powers[1]],
+                "p16": [powers[2]],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("p4", T.DoubleType()),
+            T.StructField("p8", T.DoubleType()),
+            T.StructField("p16", T.DoubleType()),
+        ]
+    )
+    return partitioned_group_scan(ev, ["user_id"], "ts", kernel, schema)
+
+
+def _goertzel_sql() -> str:
+    cs = GOERTZEL_COEFFS
+    step = ", ".join(
+        f"""(b.value + CAST({cs[p]!r} AS DOUBLE) * r.s1_{p}) - r.s2_{p},
+         r.s1_{p}"""
+        for p in (4, 8, 16)
+    )
+    power = ", ".join(
+        f"""((s1_{p} * s1_{p} + s2_{p} * s2_{p})
+        - (CAST({cs[p]!r} AS DOUBLE) * s1_{p}) * s2_{p}) AS p{p}"""
+        for p in (4, 8, 16)
+    )
+    seeds = ", ".join(
+        f"""(CAST(value AS DOUBLE) + CAST({cs[p]!r} AS DOUBLE) * CAST(0.0 AS DOUBLE))
+          - CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)"""
+        for p in (4, 8, 16)
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events
+),
+rec (user_id, rn, n, s1_4, s2_4, s1_8, s2_8, s1_16, s2_16) AS (
+  SELECT user_id, rn, n, {seeds}
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, b.n, {step}
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, n, {power}
+FROM rec WHERE rn = n
+"""
+
 QUERIES = [
     Query("st_ahrs_replay", st_ahrs_replay, _ahrs_sql(), "O4 AHRS fusion recurrence, hash-checked via recursive-CTE quaternion replay"),
     Query("st_pid_replay", st_pid_replay, _pid_sql(), "O9 PID recurrence, hash-checked via recursive-CTE sequential replay"),
     Query("st_imu_pipeline", st_imu_pipeline, _imu_sql(), "full firmware steady-loop replay, hash-checked via recursive-CTE (LOCF + AHRS + 3xPID + transform)"),
     Query("st_ewma", st_ewma, ST_EWMA_SQL, "EWMA smoothing, bit-identical f64 vs recursive-CTE replay"),
     Query("st_kalman", st_kalman, ST_KALMAN_SQL, "scalar Kalman filter, bit-identical f64 vs recursive-CTE replay"),
+    Query("st_goertzel", st_goertzel, _goertzel_sql(), "Goertzel spectral power at period 4/8/16, bit-identical f64"),
 ]
