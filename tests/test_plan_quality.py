@@ -275,3 +275,26 @@ def test_lttb_no_join_one_repartition(spark, sf_small):
     # recurrence harness: one hash repartition, sort within partitions, no joins
     assert "Join" not in plan, plan
     assert plan.count("+- Exchange") == 1, plan
+
+
+def test_autocorr_one_window_family(spark, sf_small):
+    from orc_spark.plans.timeseries_q import ts_autocorr
+
+    from orc_spark.plans.explain import formatted_plan
+
+    df = ts_autocorr(spark, sf_small)
+    plan = formatted_plan(df)
+    # lag windows all partition by user_id; no join anywhere in the plan
+    assert "Join" not in plan, plan
+
+
+def test_r15_broadcasts_both_subqueries(spark, sf_small):
+    from orc_spark.plans.relational2 import r15_idle_customers
+
+    from orc_spark.plans.explain import formatted_plan
+
+    df = r15_idle_customers(spark, sf_small)
+    plan = formatted_plan(df)
+    # scalar avg + cutoff attach as broadcasts; anti join must not SMJ the
+    # big side at this scale
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
