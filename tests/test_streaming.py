@@ -340,3 +340,51 @@ def test_streaming_sketch_build_matches_batch(spark, sf_small, tmpdirs):
         .orderBy("j", "pos").toPandas()
     )
     pd.testing.assert_frame_equal(got_bits, batch_bits)
+
+
+def test_streaming_histogram_bins_match_batch(spark, sf_small, tmpdirs):
+    """The histogram quantile sketch's bin counts are sum-mergeable, so the
+    streaming build (fixed pre-declared domain, one file per micro-batch)
+    must equal the batch bin table — the incremental-maintenance face of
+    sk_histq. (The two-pass min/max becomes a declared domain in streaming,
+    exactly as SCALING.md describes.)"""
+    from pyspark.sql import functions as F
+
+    from orc_spark.plans.relational3 import HISTQ_BINS
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    mn, mx = li.agg(F.min("x"), F.max("x")).collect()[0]
+
+    def bins(df):
+        return (
+            df.select(
+                F.least(
+                    F.floor((F.col("x") - mn) / (mx - mn) * HISTQ_BINS),
+                    F.lit(HISTQ_BINS - 1),
+                ).cast("int").alias("bin")
+            )
+            .groupBy("bin")
+            .count()
+        )
+
+    src = os.path.join(tmpdirs["in"], "hq")
+    li.repartition(4).write.parquet(src)
+    batch = bins(li).orderBy("bin").toPandas()
+    stream = (
+        spark.readStream.schema("x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        bins(stream)
+        .writeStream.format("memory").queryName("histq_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", tmpdirs["chk"] + "_histq")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("histq_stream").orderBy("bin").toPandas()
+    pd.testing.assert_frame_equal(got, batch)
