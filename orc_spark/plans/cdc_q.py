@@ -483,6 +483,103 @@ SELECT CAST(d.day AS BIGINT) AS day, d.dau, r.rolling_users
 FROM dau d JOIN rolling r ON d.day = r.wend
 """
 
+
+# --- A/B test: two-proportion z ----------------------------------------------
+
+def ev_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Experimentation readout: assign users to arms by id parity (the
+    deterministic stand-in for an assignment table), measure view→purchase
+    conversion per arm, and compute the pooled two-proportion z statistic
+    with a |z| > 1.96 significance flag. All counts are integers; the z
+    expression is identical on both engines. One groupBy over (user, arm)
+    then a 1-row aggregate — combinable at any event volume."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "value")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("viewed"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 300.0),
+                    1,
+                ).otherwise(0)
+            ).alias("purchased"),
+        )
+        .where(F.col("viewed") == 1)
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
+            "purchased",
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("purchased").cast("bigint").alias("conv"),
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("c_a")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("c_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    pa = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(se > 0, (pa - pb) / se)
+    return j.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce((F.abs(z) > 1.96).cast("int"), F.lit(0)).alias("significant"),
+    )
+
+
+EV_AB_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+         max(CASE WHEN event_type = 'purchase' AND value > 300.0 THEN 1 ELSE 0 END) AS purchased
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(purchased) AS BIGINT) AS conv
+  FROM per_user WHERE viewed = 1
+  GROUP BY 1
+),
+j AS (
+  SELECT a.n AS n_a, a.conv AS c_a, b.n AS n_b, b.conv AS c_b
+  FROM arms a, arms b WHERE a.arm = 0 AND b.arm = 1
+),
+calc AS (
+  SELECT n_a, c_a, n_b, c_b,
+         CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+         CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+         sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS se
+  FROM j
+)
+SELECT n_a, c_a, n_b, c_b,
+       round(p_a, 6) AS rate_a,
+       round(p_b, 6) AS rate_b,
+       round(CASE WHEN se > 0 THEN (p_a - p_b) / se END, 6) AS z_stat,
+       COALESCE(CAST(abs(CASE WHEN se > 0 THEN (p_a - p_b) / se END) > 1.96
+                     AS INTEGER), 0) AS significant
+FROM calc
+"""
+
 QUERIES = [
     Query("cdc_scd2", cdc_scd2, CDC_SCD2_SQL, "CDC → SCD2 history (valid intervals, current flag, exact running state)"),
     Query("ev_attribution", ev_attribution, EV_ATTRIBUTION_SQL, "last-touch attribution within a 7-day window"),
@@ -491,4 +588,5 @@ QUERIES = [
     Query("ev_transitions", ev_transitions, EV_TRANSITIONS_SQL, "first-order Markov event-type transition matrix"),
     Query("ev_sessionize", ev_sessionize, EV_SESSIONIZE_SQL, "gap-based sessionization: materialized session ids + per-session stats"),
     Query("ev_rolling_uniques", ev_rolling_uniques, EV_ROLLING_SQL, "DAU + exact trailing-7-day rolling distinct users"),
+    Query("ev_ab_test", ev_ab_test, EV_AB_SQL, "two-proportion z-test between id-parity arms"),
 ]
