@@ -789,6 +789,91 @@ SELECT user_id, n, {power}
 FROM rec WHERE rn = n
 """
 
+
+# --- Schmitt-trigger hysteresis (recursive stateful, integer-exact) ----------
+
+HYST_HI = 350.0
+HYST_LO = 100.0
+
+
+def st_hysteresis(spark: SparkSession, sf: str) -> DataFrame:
+    """Schmitt-trigger thresholding with hysteresis over each user's value
+    stream: output switches on above HI, off below LO, holds in between —
+    the debounced alarm/actuation pattern every firmware control loop uses
+    (the reference's DAC/actuator path is the analog). State is a single
+    integer, so the replay is exactly reproducible; the oracle steps the
+    same comparisons one sample per recursive iteration. Emits the state
+    and the running flip count per event."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        st = np.empty(len(v), dtype=np.int32)
+        fl = np.empty(len(v), dtype=np.int64)
+        s = 0
+        flips = 0
+        for i, x in enumerate(v):
+            ns = 1 if x > HYST_HI else (0 if x < HYST_LO else s)
+            if ns != s:
+                flips += 1
+            s = ns
+            st[i] = s
+            fl[i] = flips
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "state": st,
+                "n_flips": fl,
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("state", T.IntegerType()),
+            T.StructField("n_flips", T.LongType()),
+        ]
+    )
+    return partitioned_group_scan(ev, ["user_id"], "ts", kernel, schema)
+
+
+ST_HYST_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+rec (user_id, event_id, rn, state, n_flips) AS (
+  SELECT user_id, event_id, rn,
+         CASE WHEN value > {HYST_HI} THEN 1 ELSE 0 END,
+         CAST(CASE WHEN value > {HYST_HI} THEN 1 ELSE 0 END AS BIGINT)
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn,
+         CASE WHEN b.value > {HYST_HI} THEN 1
+              WHEN b.value < {HYST_LO} THEN 0
+              ELSE r.state END,
+         r.n_flips + CASE WHEN (CASE WHEN b.value > {HYST_HI} THEN 1
+                                     WHEN b.value < {HYST_LO} THEN 0
+                                     ELSE r.state END) <> r.state
+                          THEN 1 ELSE 0 END
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, CAST(state AS INTEGER) AS state, n_flips FROM rec
+"""
+
 QUERIES = [
     Query("st_ahrs_replay", st_ahrs_replay, _ahrs_sql(), "O4 AHRS fusion recurrence, hash-checked via recursive-CTE quaternion replay"),
     Query("st_pid_replay", st_pid_replay, _pid_sql(), "O9 PID recurrence, hash-checked via recursive-CTE sequential replay"),
@@ -796,4 +881,5 @@ QUERIES = [
     Query("st_ewma", st_ewma, ST_EWMA_SQL, "EWMA smoothing, bit-identical f64 vs recursive-CTE replay"),
     Query("st_kalman", st_kalman, ST_KALMAN_SQL, "scalar Kalman filter, bit-identical f64 vs recursive-CTE replay"),
     Query("st_goertzel", st_goertzel, _goertzel_sql(), "Goertzel spectral power at period 4/8/16, bit-identical f64"),
+    Query("st_hysteresis", st_hysteresis, ST_HYST_SQL, "Schmitt-trigger hysteresis + flip counts, integer-exact replay"),
 ]

@@ -583,6 +583,87 @@ FROM (
 GROUP BY user_id""")
     return "\nUNION ALL\n".join(parts)
 
+
+# --- mean-crossing rate (vibration oscillation metric) -----------------------
+
+def ts_crossings(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean-crossing rate of each user's value series — with RMS
+    (ts_runstats) and spectral power (st_goertzel), the third standard
+    vibration descriptor: how often the signal crosses its own mean.
+    Integer-exact: the centered sign is sign(n·v_fp − Σv_fp) (all BIGINT,
+    zero counts as positive), crossings are lag-compare sign changes. One
+    window family by user + one combinable groupBy."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    v = F.floor(F.col("value") * 1000).cast("bigint")
+    wu = Window.partitionBy("user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        v.alias("v"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+        F.sum(v).over(wu).alias("s"),
+        F.row_number().over(w).alias("rn"),
+    ).select(
+        "user_id",
+        "n",
+        "rn",
+        F.when(F.col("n") * F.col("v") - F.col("s") >= 0, 1)
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    flips = base.select(
+        "user_id",
+        "n",
+        (
+            F.lag("sgn").over(
+                Window.partitionBy("user_id").orderBy("rn")
+            )
+            != F.col("sgn")
+        ).cast("int").alias("flip"),
+    )
+    return flips.groupBy("user_id").agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.sum("flip").cast("bigint").alias("crossings"),
+        F.round(
+            F.sum("flip").cast("double")
+            / (F.first("n") - 1).cast("double"),
+            6,
+        ).alias("crossing_rate"),
+    )
+
+
+TS_CROSSINGS_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(value * 1000) AS BIGINT) AS v,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT))
+              OVER (PARTITION BY user_id) AS BIGINT) AS s,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+sgns AS (
+  SELECT user_id, n, rn,
+         CASE WHEN n * v - s >= 0 THEN 1 ELSE -1 END AS sgn
+  FROM base
+),
+flips AS (
+  SELECT user_id, n,
+         CAST(lag(sgn) OVER (PARTITION BY user_id ORDER BY rn) <> sgn
+              AS INTEGER) AS flip
+  FROM sgns
+)
+SELECT user_id,
+       CAST(any_value(n) AS BIGINT) AS n,
+       CAST(sum(flip) AS BIGINT) AS crossings,
+       round(CAST(sum(flip) AS DOUBLE) / CAST(any_value(n) - 1 AS DOUBLE), 6)
+         AS crossing_rate
+FROM flips GROUP BY user_id
+"""
+
 QUERIES = [
     Query("ts_medfilt", ts_medfilt, _medfilt_sql(15), "O18 zero-padded median filter k=15"),
     Query("ts_gradient", ts_gradient, TS_GRADIENT_SQL, "O19 np.gradient edge semantics"),
@@ -597,4 +678,5 @@ QUERIES = [
     Query("ts_zero_cal", ts_zero_cal, TS_ZERO_CAL_SQL, "O7 zero-point calibration broadcast"),
     Query("ts_lttb", ts_lttb, _lttb_sql(), "LTTB plot downsampling, integer-exact triangle selection, fully hash-checked"),
     Query("ts_autocorr", ts_autocorr, _autocorr_sql(), "lag-1..3 autocorrelation, fixed-point-exact Pearson r"),
+    Query("ts_crossings", ts_crossings, TS_CROSSINGS_SQL, "mean-crossing rate, integer-exact centered signs"),
 ]
