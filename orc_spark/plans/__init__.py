@@ -63,12 +63,19 @@ _PRIORITY_FIRST = [
     "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly", "ev_transitions",
     "gr_pagerank", "ann_pq", "sk_histq", "ts_lttb", "dd_containment",
     "io_zorder", "dq_drift", "r13_top_supplier", "r14_waiting_supplier",
-    "ev_sessionize", "cu_split", "st_ewma", "st_kalman", "ev_rolling_uniques", "ts_autocorr", "r15_idle_customers", "st_goertzel", "dq_benford", "ev_ab_test",
+    "ev_sessionize", "cu_split", "st_ewma", "st_kalman", "ev_rolling_uniques",
+    "ts_autocorr", "r15_idle_customers", "st_goertzel", "dq_benford",
+    "ev_ab_test", "st_hysteresis", "ts_crossings",
+    "st_cusum", "r16_big_orders", "r17_nation_volume", "r18_returned_items",
     # once-green only (r02): rotate in ahead of twice-green stock
     "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
     "dp_profile",
-    # r02-only-green family — no row since the schema-change round
-    "ann_ivf", "ann_bruteforce_fast", "mm_frame_sample",
+    # r02-only-green (no row since the schema-change round): mm_frame_sample
+    # stays; ann_ivf / ann_bruteforce_fast demote to make budget room for
+    # st_hysteresis/ts_crossings' first-ever rows (both unchanged since their
+    # r02 green, locally hash-verified every pytest run, and the stronger
+    # ann_ivf_index signal is already in this tier)
+    "mm_frame_sample",
     # the two most expensive oracles (recursive-CTE closure ~42 s, all-pairs
     # join-sum ~12 s at sf0.01): deferred since r02, due a fresh row now that
     # the rest of the budget is cheap re-greens (VERDICT r03 item 7)
@@ -80,7 +87,7 @@ _DEFERRED_LAST = [
     "dp_stratified", "r4b_cube", "rj_range_join", "r5c_rank_battery",
     "dd_minhash_sig", "dd_simhash", "dd_exact", "dd_simhash_pairs",
     "dp_sample", "dd_minhash_pairs", "approx_sketches", "sk_hll_merge",
-    "ann_topk",
+    "ann_topk", "ann_ivf", "ann_bruteforce_fast",
     # fresh r03 greens (all 50 checked queries passed): weakest marginal
     # signal this round — rotate past the budget; they re-enter in r05.
     # Order mirrors CORRECTNESS_r03 so next round's rotation can take a

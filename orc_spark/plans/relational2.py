@@ -545,6 +545,164 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
 GROUP BY c_mktsegment
 """
 
+# --- r16: large-volume orders (TPC-H Q18 shape) ------------------------------
+
+def r16_big_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds 300, with the owning
+    customer — a GROUP BY + HAVING over the fact table joined back to two
+    dimensions. Spark: one lineitem aggregation, then the (small) qualifying
+    set joins orders and customer; both dimension joins broadcast at the
+    qualifying cardinality. l_quantity is integer-valued, so the double sum
+    is order-independent-exact and casts cleanly to BIGINT on both engines."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty_d"))
+        .where(F.col("total_qty_d") > 300)
+        .select(
+            "l_orderkey", F.col("total_qty_d").cast("bigint").alias("total_qty")
+        )
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "order_ms"
+            ),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("orderkey").asc())
+        .limit(50)
+    )
+
+
+R16_SQL = """
+SELECT c_custkey, c_name, o_orderkey AS orderkey,
+       epoch_ms(o_orderdate) AS order_ms,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+HAVING sum(l_quantity) > 300
+ORDER BY total_qty DESC, orderkey ASC
+LIMIT 50
+"""
+
+
+# --- r17: volume shipping between nation pairs (TPC-H Q7 shape) --------------
+
+def r17_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Q7 shape: revenue flow between supplier-nation and customer-nation
+    pairs by ship year — the classic star-join snowflake (fact ⋈ 2 key
+    bridges ⋈ 2 copies of a tiny dimension). Spark: supplier/customer key
+    maps and the nation dimension all broadcast; only the lineitem⋈orders
+    equi-join shuffles, and AQE keeps it partial-agg-first. Revenue sums
+    in integer hundredths-of-cents for cross-engine exactness."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    sup = load_table(spark, sf, "supplier")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    sn = sup.join(
+        nation, sup.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cn = cust.join(
+        nation, cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    rev_fp = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(rev_fp).alias("revenue_fp"))
+        .orderBy(F.col("revenue_fp").desc(), "supp_nation", "cust_nation", "ship_year")
+        .limit(25)
+    )
+
+
+R17_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_fp
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+ORDER BY revenue_fp DESC, supp_nation, cust_nation, ship_year
+LIMIT 25
+"""
+
+
+# --- r18: returned-item revenue ranking (TPC-H Q10 shape) --------------------
+
+def r18_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Q10 shape: top customers by revenue lost to returned items in one
+    quarter — selective fact filter, order-window filter, customer + nation
+    dimension joins, top-k. Spark: both date filters reach the parquet
+    scans; nation broadcasts; revenue in integer hundredths-of-cents."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1996-04-01"))
+    rev_fp = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev_fp).alias("revenue_fp"))
+        .orderBy(F.col("revenue_fp").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+R18_SQL = """
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_fp
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_fp DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 QUERIES = [
     Query("r4b_cube", r4b_cube, R4B_SQL, "cube grouping sets"),
     Query("r_pivot", r_pivot, R_PIVOT_SQL, "pivot via conditional aggregation"),
@@ -558,4 +716,7 @@ QUERIES = [
     Query("r13_top_supplier", r13_top_supplier, R13_SQL, "revenue view + scalar-max subquery (Q15 shape)"),
     Query("r14_waiting_supplier", r14_waiting_supplier, R14_SQL, "EXISTS/NOT-EXISTS chain decorrelated (Q21 shape)"),
     Query("r15_idle_customers", r15_idle_customers, R15_SQL, "anti-join + scalar avg subquery (Q22 shape)"),
+    Query("r16_big_orders", r16_big_orders, R16_SQL, "GROUP BY + HAVING top-volume orders (Q18 shape)"),
+    Query("r17_nation_volume", r17_nation_volume, R17_SQL, "nation-pair revenue flow by year (Q7 shape)"),
+    Query("r18_returned_items", r18_returned_items, R18_SQL, "returned-item revenue top-k (Q10 shape)"),
 ]

@@ -874,6 +874,124 @@ rec (user_id, event_id, rn, state, n_flips) AS (
 SELECT user_id, event_id, CAST(state AS INTEGER) AS state, n_flips FROM rec
 """
 
+# --- CUSUM changepoint detector (recursive stateful, bit-identical f64) ------
+
+# Standard two-sided CUSUM (Page 1954): s+ accumulates excess above
+# target+slack, s- accumulates deficit below target-slack; an alarm fires
+# when either side crosses THRESH and that side resets. Constants folded in
+# Python and repr-inlined so both engines see identical doubles.
+CUSUM_TARGET = 50.0
+CUSUM_SLACK = 5.0
+CUSUM_THRESH = 150.0
+_CUSUM_HI = CUSUM_TARGET + CUSUM_SLACK  # 55.0, exact
+_CUSUM_LO = CUSUM_TARGET - CUSUM_SLACK  # 45.0, exact
+
+
+def st_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection over each user's value stream:
+    s+_i = max(0, s+_{i-1} + (v_i − (μ+k))), s-_i = max(0, s-_{i-1} +
+    ((μ−k) − v_i)); crossing THRESH fires an alarm and resets that side —
+    the drift/shift monitor of statistical process control (the streaming
+    complement of dq_drift's batch PSI). Float state evolves in the same
+    sequential IEEE op order in both engines, so outputs are bit-identical
+    f64 like the EWMA/Kalman replays; alarms are integer-exact."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        sp_out = np.empty_like(v)
+        sn_out = np.empty_like(v)
+        al_out = np.empty(len(v), dtype=np.int64)
+        sp = 0.0
+        sn = 0.0
+        alarms = 0
+        for i, x in enumerate(v):
+            tp = sp + (x - _CUSUM_HI)
+            sp = tp if tp > 0.0 else 0.0
+            tn = sn + (_CUSUM_LO - x)
+            sn = tn if tn > 0.0 else 0.0
+            if sp > CUSUM_THRESH:
+                alarms += 1
+                sp = 0.0
+            if sn > CUSUM_THRESH:
+                alarms += 1
+                sn = 0.0
+            sp_out[i] = sp
+            sn_out[i] = sn
+            al_out[i] = alarms
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "s_pos": sp_out,
+                "s_neg": sn_out,
+                "n_alarms": al_out,
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("s_pos", T.DoubleType()),
+            T.StructField("s_neg", T.DoubleType()),
+            T.StructField("n_alarms", T.LongType()),
+        ]
+    )
+    return partitioned_group_scan(ev, ["user_id"], "ts", kernel, schema)
+
+
+def _cusum_sql() -> str:
+    # The per-step update needs each intermediate (clamped sum, alarm test)
+    # several times; recursive members can't name intermediates, so the
+    # expressions repeat exactly as written in the kernel's op order.
+    hi, lo, th = _CUSUM_HI, _CUSUM_LO, CUSUM_THRESH
+    # clamped partial sums from previous state {p}
+    tp = f"(r.sp + (b.value - CAST({hi!r} AS DOUBLE)))"
+    tn = f"(r.sn + (CAST({lo!r} AS DOUBLE) - b.value))"
+    cp = f"(CASE WHEN {tp} > 0 THEN {tp} ELSE CAST(0.0 AS DOUBLE) END)"
+    cn = f"(CASE WHEN {tn} > 0 THEN {tn} ELSE CAST(0.0 AS DOUBLE) END)"
+    # seed row (previous state = 0.0): 0.0 + y == y for every y, and a -0.0
+    # result fails the > 0 test on both sides, so the seed uses y directly
+    tp0 = f"(value - CAST({hi!r} AS DOUBLE))"
+    tn0 = f"(CAST({lo!r} AS DOUBLE) - value)"
+    cp0 = f"(CASE WHEN {tp0} > 0 THEN {tp0} ELSE CAST(0.0 AS DOUBLE) END)"
+    cn0 = f"(CASE WHEN {tn0} > 0 THEN {tn0} ELSE CAST(0.0 AS DOUBLE) END)"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+rec (user_id, event_id, rn, sp, sn, n_alarms) AS (
+  SELECT user_id, event_id, rn,
+         CASE WHEN {cp0} > {th!r} THEN CAST(0.0 AS DOUBLE) ELSE {cp0} END,
+         CASE WHEN {cn0} > {th!r} THEN CAST(0.0 AS DOUBLE) ELSE {cn0} END,
+         CAST(CASE WHEN {cp0} > {th!r} THEN 1 ELSE 0 END
+              + CASE WHEN {cn0} > {th!r} THEN 1 ELSE 0 END AS BIGINT)
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn,
+         CASE WHEN {cp} > {th!r} THEN CAST(0.0 AS DOUBLE) ELSE {cp} END,
+         CASE WHEN {cn} > {th!r} THEN CAST(0.0 AS DOUBLE) ELSE {cn} END,
+         r.n_alarms + CASE WHEN {cp} > {th!r} THEN 1 ELSE 0 END
+                    + CASE WHEN {cn} > {th!r} THEN 1 ELSE 0 END
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, sp AS s_pos, sn AS s_neg, n_alarms FROM rec
+"""
+
+
 QUERIES = [
     Query("st_ahrs_replay", st_ahrs_replay, _ahrs_sql(), "O4 AHRS fusion recurrence, hash-checked via recursive-CTE quaternion replay"),
     Query("st_pid_replay", st_pid_replay, _pid_sql(), "O9 PID recurrence, hash-checked via recursive-CTE sequential replay"),
@@ -882,4 +1000,5 @@ QUERIES = [
     Query("st_kalman", st_kalman, ST_KALMAN_SQL, "scalar Kalman filter, bit-identical f64 vs recursive-CTE replay"),
     Query("st_goertzel", st_goertzel, _goertzel_sql(), "Goertzel spectral power at period 4/8/16, bit-identical f64"),
     Query("st_hysteresis", st_hysteresis, ST_HYST_SQL, "Schmitt-trigger hysteresis + flip counts, integer-exact replay"),
+    Query("st_cusum", st_cusum, _cusum_sql(), "two-sided CUSUM changepoint alarms, bit-identical f64 replay"),
 ]
