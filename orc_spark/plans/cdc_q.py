@@ -580,6 +580,192 @@ SELECT n_a, c_a, n_b, c_b,
 FROM calc
 """
 
+# --- cohort lifetime-value curves --------------------------------------------
+
+_LTV_WEEK_US = 7 * 86400 * 1000000
+
+
+def ev_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by first-seen week, purchase
+    revenue accumulated per cohort over weeks-since-signup — the
+    product-analytics companion to ev_retention (activity) with money
+    attached. Revenue lives in integer cents end-to-end (the cumulative
+    window sums BIGINT), so every cell is bit-exact cross-engine;
+    per-user LTV uses integer division.
+
+    100 TB shape: one window shuffle by user_id (first-seen week), one
+    groupBy (cohort, age) with map-side combine, then a window over the
+    tiny (cohorts × ages) aggregate — same 2-wide-stage shape as the
+    rewritten ev_retention."""
+    ev = load_table(spark, sf, "events")
+    uw = Window.partitionBy("user_id")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.expr(f"ts div {_LTV_WEEK_US}").alias("wk"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    ).withColumn("cohort_week", F.min("wk").over(uw))
+    cohort_sizes = base.groupBy("cohort_week").agg(
+        F.count_distinct("user_id").alias("cohort_users")
+    )
+    weekly = (
+        base.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("age_week"),
+        )
+        .agg(F.sum("cents").alias("week_rev_cents"))
+    )
+    cw = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.withColumn("cum_rev_cents", F.sum("week_rev_cents").over(cw))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "cohort_users",
+            "week_rev_cents",
+            "cum_rev_cents",
+            F.expr("cum_rev_cents div cohort_users").alias("ltv_per_user_cents"),
+        )
+        .orderBy("cohort_week", "age_week")
+    )
+
+
+EV_LTV_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) // {_LTV_WEEK_US} AS wk,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         min(epoch_us(ts) // {_LTV_WEEK_US})
+           OVER (PARTITION BY user_id) AS cohort_week
+  FROM events
+),
+cohort_sizes AS (
+  SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_users
+  FROM base GROUP BY cohort_week
+),
+weekly AS (
+  SELECT cohort_week, wk - cohort_week AS age_week,
+         CAST(sum(cents) AS BIGINT) AS week_rev_cents
+  FROM base WHERE event_type = 'purchase'
+  GROUP BY cohort_week, wk - cohort_week
+)
+SELECT w.cohort_week, w.age_week, s.cohort_users, w.week_rev_cents,
+       CAST(sum(w.week_rev_cents)
+              OVER (PARTITION BY w.cohort_week ORDER BY w.age_week
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_rev_cents,
+       CAST(sum(w.week_rev_cents)
+              OVER (PARTITION BY w.cohort_week ORDER BY w.age_week
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) // s.cohort_users AS ltv_per_user_cents
+FROM weekly w JOIN cohort_sizes s ON w.cohort_week = s.cohort_week
+ORDER BY w.cohort_week, w.age_week
+"""
+
+
+# --- RFM segmentation --------------------------------------------------------
+
+_RFM_DAY_US = 86400 * 1000000
+
+
+def ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation: per user, purchase Recency (days since
+    last purchase vs the stream's end), Frequency (purchase count) and
+    Monetary (cents), each quintile-scored with ntile(5); output is the
+    125-cell segment matrix with user counts and revenue. Deterministic:
+    every ntile ordering carries a user_id tiebreak, metrics are integers.
+
+    100 TB shape: one groupBy(user_id) with map-side combine builds the
+    per-user triple; the three ntile windows run over |users| rows (not
+    events), and the final segment rollup is tiny. The stream-end anchor
+    is a 1-row broadcast."""
+    ev = load_table(spark, sf, "events")
+    pur = ev.where(F.col("event_type") == "purchase")
+    anchor = pur.agg(F.max("ts").alias("end_ts"))
+    per_user = (
+        pur.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr(f"(end_ts - last_ts) div {_RFM_DAY_US}").alias(
+                "recency_days"
+            ),
+            "freq",
+            "cents",
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "freq",
+        "cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("cents").desc(), F.col("user_id")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").alias("total_cents"),
+            F.min("user_id").alias("sample_user"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+EV_RFM_SQL = f"""
+WITH pur AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+per_user AS (
+  SELECT user_id,
+         ((SELECT max(ts_us) FROM pur) - max(ts_us)) // {_RFM_DAY_US}
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM pur GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, recency_days, freq, cents,
+         ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+         ntile(5) OVER (ORDER BY freq DESC, user_id)        AS f_score,
+         ntile(5) OVER (ORDER BY cents DESC, user_id)       AS m_score
+  FROM per_user
+)
+SELECT CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(min(user_id) AS BIGINT) AS sample_user
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
 QUERIES = [
     Query("cdc_scd2", cdc_scd2, CDC_SCD2_SQL, "CDC → SCD2 history (valid intervals, current flag, exact running state)"),
     Query("ev_attribution", ev_attribution, EV_ATTRIBUTION_SQL, "last-touch attribution within a 7-day window"),
@@ -589,4 +775,6 @@ QUERIES = [
     Query("ev_sessionize", ev_sessionize, EV_SESSIONIZE_SQL, "gap-based sessionization: materialized session ids + per-session stats"),
     Query("ev_rolling_uniques", ev_rolling_uniques, EV_ROLLING_SQL, "DAU + exact trailing-7-day rolling distinct users"),
     Query("ev_ab_test", ev_ab_test, EV_AB_SQL, "two-proportion z-test between id-parity arms"),
+    Query("ev_ltv", ev_ltv, EV_LTV_SQL, "cohort lifetime-value curves, integer cents end-to-end"),
+    Query("ev_rfm", ev_rfm, EV_RFM_SQL, "RFM quintile segmentation matrix, deterministic ntile scoring"),
 ]

@@ -21,7 +21,7 @@ rounds exactly like operators/graph.py does for CC.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orc_spark.plans import Query
@@ -121,6 +121,138 @@ FROM {prev}
 """
 
 
+# --- triangle counting over a mutual-kNN similarity graph --------------------
+
+TRI_K = 8  # neighbors kept per node before the mutuality filter
+
+
+def gr_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle participation counts over the supplier co-occurrence graph
+    (suppliers appearing in the same order), sparsified to each node's
+    mutual top-{K} strongest edges — the community/cohesion probe of graph
+    analytics, and the degree-bounding construction that keeps triangle
+    enumeration feasible at corpus scale.
+
+    100 TB shape: raw co-occurrence pairs are bounded by Σ|order|² (order
+    sizes are small and capped); the top-K window bounds every node's degree
+    at K, so the oriented 3-way triangle join touches at most N·K² rows —
+    no dense-graph blowup, no all-pairs. All counts are integers; ranking
+    ties break on neighbor id, so the sparsified graph is deterministic and
+    the whole result hash-checks cross-engine."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = co.unionByName(
+        co.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    win = Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v").asc())
+    ranked = (
+        und.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= TRI_K)
+        .select("u", "v")
+    )
+    r2 = ranked.select(F.col("u").alias("v2"), F.col("v").alias("u2"))
+    edges = (
+        ranked.join(
+            r2, (ranked.u == F.col("u2")) & (ranked.v == F.col("v2"))
+        )
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("ea"), F.col("v").alias("eb"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.eb") == F.col("e2.ea"))
+        .join(
+            e3,
+            (F.col("e3.ea") == F.col("e1.ea"))
+            & (F.col("e3.eb") == F.col("e2.eb")),
+        )
+        .select(
+            F.col("e1.ea").alias("n1"),
+            F.col("e1.eb").alias("n2"),
+            F.col("e2.eb").alias("n3"),
+        )
+    )
+    per_node = (
+        tris.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("ea").alias("node"))
+        .unionByName(edges.select(F.col("eb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("s_suppkey"),
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+        )
+        .orderBy(F.col("n_tri").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+GR_TRIANGLES_SQL = f"""
+WITH co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+),
+und AS (
+  SELECT u, v, w FROM co UNION ALL SELECT v AS u, u AS v, w FROM co
+),
+ranked AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+           row_number() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rn
+    FROM und
+  ) WHERE rn <= {TRI_K}
+),
+edges AS (
+  SELECT r1.u AS ea, r1.v AS eb
+  FROM ranked r1 JOIN ranked r2 ON r1.u = r2.v AND r1.v = r2.u
+  WHERE r1.u < r1.v
+),
+tris AS (
+  SELECT e1.ea AS n1, e1.eb AS n2, e2.eb AS n3
+  FROM edges e1
+  JOIN edges e2 ON e1.eb = e2.ea
+  JOIN edges e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+),
+per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (
+    SELECT n1 AS node FROM tris
+    UNION ALL SELECT n2 FROM tris
+    UNION ALL SELECT n3 FROM tris
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT ea AS node FROM edges UNION ALL SELECT eb FROM edges)
+  GROUP BY node
+)
+SELECT d.node AS s_suppkey, d.degree,
+       CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri
+FROM deg d LEFT JOIN per_node p ON d.node = p.node
+ORDER BY n_tri DESC, s_suppkey ASC
+LIMIT 20
+"""
+
+
 QUERIES = [
     Query("gr_pagerank", gr_pagerank, _pagerank_sql(), "fixed-point integer PageRank, 4 iterations, bit-exact cross-engine"),
+    Query("gr_triangles", gr_triangles, GR_TRIANGLES_SQL, "triangle counts over a mutual-kNN co-occurrence graph, integer-exact"),
 ]

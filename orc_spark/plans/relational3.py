@@ -751,6 +751,177 @@ FROM cum GROUP BY total, mn, mx
 """
 
 
+# --- KMV (k-minimum-values) distinct-count sketch ----------------------------
+
+KMV_K = 32
+
+
+def sk_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-count sketch: per event_type, the K smallest 60-bit
+    hashes of user_id; estimate = (K−1)·2^60 / h_(K). The third mergeable
+    cardinality sketch next to HLL (engine-native, rows-only bits) and
+    Bloom (membership): KMV's state is plain integers, so unlike HLL the
+    ENTIRE sketch hash-checks cross-engine — k-th min, an xor digest of
+    every retained hash, and the estimate.
+
+    The ALL row is built by MERGING the per-type sketches (k smallest
+    distinct values of the union of retained sets) and the merge_ok flag
+    compares that against the sketch built directly from the full stream —
+    exactness of KMV union-merge, asserted in-query on both engines.
+
+    100 TB shape: one distinct + one bounded top-K window per group; merge
+    touches only |groups|·K retained values, never the raw stream — the
+    partial-aggregation contract sketches exist for."""
+    from orc_spark.functions.hashing import h60
+
+    ev = load_table(spark, sf, "events")
+    du = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            h60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
+        )
+    )
+    win = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    kept = du.withColumn("rn", F.row_number().over(win)).where(
+        F.col("rn") <= KMV_K
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("exact_distinct").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(KMV_K - 1))
+            * (F.lit(float(1 << 60)) / F.col("kth_min").cast("double")),
+            0,
+        )
+    )
+    per_type = (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("kth_min"),
+            F.bit_xor("h").alias("kmv_digest"),
+        )
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "kth_min",
+            "kmv_digest",
+            est.cast("bigint").alias("est_distinct"),
+            "exact_distinct",
+            F.lit(True).alias("merge_ok"),
+        )
+    )
+    # merged ALL sketch: k smallest distinct values across the retained sets
+    gwin = Window.orderBy(F.col("h").asc())
+    merged = (
+        kept.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(gwin))
+        .where(F.col("rn") <= KMV_K)
+        .agg(F.max("h").alias("m_kth"), F.bit_xor("h").alias("m_digest"))
+    )
+    # the direct-from-stream sketch exists to PROVE merge exactness; its
+    # global ranking is bounded by a 1-row broadcast (every global top-K
+    # value is ≤ its own type's k-th min ≤ this max), so no full sort of
+    # the distinct-user set ever happens
+    bound = kept.agg(F.max("h").alias("hmax"))
+    direct = (
+        du.select("h")
+        .distinct()
+        .crossJoin(F.broadcast(bound))
+        .where(F.col("h") <= F.col("hmax"))
+        .withColumn("rn", F.row_number().over(gwin))
+        .where(F.col("rn") <= KMV_K)
+        .agg(F.max("h").alias("d_kth"), F.bit_xor("h").alias("d_digest"))
+    )
+    all_exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    all_est = F.round(
+        F.lit(float(KMV_K - 1)) * (F.lit(float(1 << 60)) / F.col("d_kth").cast("double")),
+        0,
+    )
+    all_row = (
+        merged.crossJoin(direct)
+        .crossJoin(all_exact)
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.col("d_kth").alias("kth_min"),
+            F.col("d_digest").alias("kmv_digest"),
+            all_est.cast("bigint").alias("est_distinct"),
+            "exact_distinct",
+            (
+                (F.col("m_kth") == F.col("d_kth"))
+                & (F.col("m_digest") == F.col("d_digest"))
+            ).alias("merge_ok"),
+        )
+    )
+    return per_type.unionByName(all_row).orderBy("event_type")
+
+
+def _kmv_sql() -> str:
+    h = h60_sql("'kmv:' || user_id")
+    two60 = float(1 << 60)
+    k1 = float(KMV_K - 1)
+    return f"""
+WITH du AS (
+  SELECT DISTINCT event_type, {h} AS h
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+kept AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+    FROM du
+  ) WHERE rn <= {KMV_K}
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+),
+per_type AS (
+  SELECT k.event_type,
+         max(h) AS kth_min,
+         CAST(bit_xor(h) AS BIGINT) AS kmv_digest,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept k GROUP BY k.event_type
+),
+merged AS (
+  SELECT max(h) AS m_kth, CAST(bit_xor(h) AS BIGINT) AS m_digest FROM (
+    SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+    FROM (SELECT DISTINCT h FROM kept)
+  ) WHERE rn <= {KMV_K}
+),
+direct AS (
+  SELECT max(h) AS d_kth, CAST(bit_xor(h) AS BIGINT) AS d_digest FROM (
+    SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+    FROM (SELECT DISTINCT h FROM du
+          WHERE h <= (SELECT max(h) FROM kept))
+  ) WHERE rn <= {KMV_K}
+)
+SELECT p.event_type, p.kth_min, p.kmv_digest,
+       CAST(CASE WHEN p.n_kept < {KMV_K} THEN CAST(e.exact_distinct AS DOUBLE)
+                 ELSE round(CAST({k1!r} AS DOUBLE)
+                            * (CAST({two60!r} AS DOUBLE)
+                               / CAST(p.kth_min AS DOUBLE)), 0)
+            END AS BIGINT) AS est_distinct,
+       e.exact_distinct, TRUE AS merge_ok
+FROM per_type p JOIN exact e ON p.event_type = e.event_type
+UNION ALL
+SELECT 'ALL', d.d_kth, d.d_digest,
+       CAST(round(CAST({k1!r} AS DOUBLE)
+                  * (CAST({two60!r} AS DOUBLE) / CAST(d.d_kth AS DOUBLE)), 0)
+            AS BIGINT),
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events),
+       (m.m_kth = d.d_kth AND m.m_digest = d.d_digest)
+FROM direct d, merged m
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     Query("r9_scalar_subquery", r9_scalar_subquery, R9_SQL, "correlated scalar subquery, decorrelated (TPC-H Q17 shape)"),
     Query("ev_funnel", ev_funnel, EV_FUNNEL_SQL, "sequential-pattern funnel (view → click → purchase) with stage latencies"),
@@ -764,4 +935,5 @@ QUERIES = [
     Query("sk_countmin", sk_countmin, _cms_sql(), "count-min sketch build + point estimates, fully hash-checked"),
     Query("sk_bloom", sk_bloom, _bloom_sql(), "Bloom membership sketch + probe battery, fully hash-checked (no-false-negative guarantee asserted per row)"),
     Query("sk_histq", sk_histq, SK_HISTQ_SQL, "mergeable 128-bin histogram quantile sketch, fully hash-checked"),
+    Query("sk_kmv", sk_kmv, _kmv_sql(), "KMV distinct sketch + exact union-merge proof, fully hash-checked"),
 ]
