@@ -352,8 +352,82 @@ FROM counts, tot
 ORDER BY d
 """
 
+# --- freshness / arrival-rate monitoring -------------------------------------
+
+_DAY_US = 86400 * 1000000
+
+
+def dq_freshness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source freshness monitor: for every event_type, the age of the
+    newest event relative to the stream's end, the trailing-7-day arrival
+    count, and that window's daily rate as a percentage of the source's
+    lifetime daily rate — the is-the-feed-alive / is-it-degrading check
+    that pages an on-call before a silent upstream failure poisons a day
+    of downstream aggregates. Completes the DQ suite next to
+    dq_expectations (content), dq_drift (distribution), dq_benford
+    (fabrication). All arithmetic is integer micros / integer percent, so
+    every cell hash-checks; the anchors are a 1-row broadcast and the scan
+    aggregates in a single combinable groupBy."""
+    ev = load_table(spark, sf, "events")
+    anchor = ev.agg(
+        F.max("ts").alias("end_ts"), F.min("ts").alias("start_ts")
+    )
+    per_type = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.expr(f"(max(end_ts) - max(ts)) div 1000000").alias("last_age_s"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.col("end_ts") - F.lit(7 * _DAY_US), 1
+                ).otherwise(0)
+            ).alias("recent_7d"),
+            F.expr(
+                f"(max(end_ts) - max(start_ts)) div {_DAY_US} + 1"
+            ).alias("span_days"),
+        )
+    )
+    # rate ratio in integer percent: (recent/7) / (total/span) * 100
+    ratio = F.expr("(recent_7d * span_days * 100) div (7 * n_total)")
+    return per_type.select(
+        "event_type",
+        "n_total",
+        "last_age_s",
+        F.col("recent_7d").cast("bigint").alias("recent_7d"),
+        "span_days",
+        ratio.cast("bigint").alias("rate_ratio_pct"),
+        (F.col("last_age_s") > 86400).alias("is_stale"),
+        (ratio < 50).alias("is_quiet"),
+    ).orderBy("event_type")
+
+
+DQ_FRESHNESS_SQL = f"""
+WITH anchor AS (
+  SELECT max(epoch_us(ts)) AS end_ts, min(epoch_us(ts)) AS start_ts FROM events
+),
+per_type AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_total,
+         (max(a.end_ts) - max(epoch_us(ts))) // 1000000 AS last_age_s,
+         CAST(sum(CASE WHEN epoch_us(ts) >= a.end_ts - {7 * _DAY_US}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS recent_7d,
+         (max(a.end_ts) - max(a.start_ts)) // {_DAY_US} + 1 AS span_days
+  FROM events, anchor a
+  GROUP BY event_type
+)
+SELECT event_type, n_total, last_age_s, recent_7d, span_days,
+       (recent_7d * span_days * 100) // (7 * n_total) AS rate_ratio_pct,
+       last_age_s > 86400 AS is_stale,
+       (recent_7d * span_days * 100) // (7 * n_total) < 50 AS is_quiet
+FROM per_type
+ORDER BY event_type
+"""
+
+
 QUERIES = [
     Query("dq_expectations", dq_expectations, DQ_SQL, "data-quality audit: uniqueness, FK integrity, ranges, null/derived-column checks"),
     Query("dq_drift", dq_drift, DQ_DRIFT_SQL, "10-bin PSI drift between event-stream halves, per event_type"),
     Query("dq_benford", dq_benford, DQ_BENFORD_SQL, "Benford first-digit audit of prices, chi-square terms"),
+    Query("dq_freshness", dq_freshness, DQ_FRESHNESS_SQL, "per-source freshness + arrival-rate monitor, integer-exact"),
 ]

@@ -332,9 +332,101 @@ SELECT doc_id, term, tf, dl, round(bm25_raw, 6) AS bm25,
 FROM ranked WHERE rank <= {TOPK}
 """
 
+# --- bigram language-model familiarity ---------------------------------------
+
+def tx_ngram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document bigram LM familiarity — the count-based stand-in for
+    perplexity filtering in training-data curation (docs whose n-grams are
+    rare corpus-wide are novel/noisy; docs made of common n-grams are
+    familiar/fluent). Per doc: number of bigram tokens, the integer SUM of
+    corpus-wide counts of its bigrams, and how many of its bigram types
+    occur nowhere else in the corpus (novel types). The only float is one
+    final ln(mean familiarity) per row — integer aggregation end-to-end,
+    so cross-engine hashing is exact (the accumulated-doubles hazard never
+    arises).
+
+    100 TB shape: one window-lead per doc builds bigrams (no self-join),
+    corpus counts are one groupBy with map-side combine, and the
+    doc-bigram → corpus-count attach is a plain equi-join on the bigram
+    key — all shuffle-bounded by the token count, no driver state."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    doc_bi = (
+        toks.withColumn("nxt", F.lead("term").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy("doc_id", F.col("term").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    corpus = doc_bi.groupBy("a", "b").agg(F.sum("k").alias("c_xy"))
+    return (
+        doc_bi.join(corpus, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bi"),
+            F.sum(F.col("k") * F.col("c_xy")).alias("sum_cxy"),
+            F.sum(F.when(F.col("c_xy") == F.col("k"), 1).otherwise(0)).alias(
+                "n_novel_types"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_bi",
+            "sum_cxy",
+            F.col("n_novel_types").cast("bigint").alias("n_novel_types"),
+            F.round(
+                F.log(
+                    F.col("sum_cxy").cast("double") / F.col("n_bi").cast("double")
+                ),
+                6,
+            ).alias("familiarity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TX_NGRAM_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, pos, term
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term,
+               generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1)
+                 AS pos
+        FROM documents)
+),
+doc_bi AS (
+  SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT doc_id, term AS a,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM toks)
+  WHERE b IS NOT NULL
+  GROUP BY doc_id, a, b
+),
+corpus AS (
+  SELECT a, b, CAST(sum(k) AS BIGINT) AS c_xy FROM doc_bi GROUP BY a, b
+)
+SELECT d.doc_id,
+       CAST(sum(d.k) AS BIGINT) AS n_bi,
+       CAST(sum(d.k * c.c_xy) AS BIGINT) AS sum_cxy,
+       CAST(sum(CASE WHEN c.c_xy = d.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel_types,
+       round(ln(CAST(sum(d.k * c.c_xy) AS DOUBLE)
+                / CAST(sum(d.k) AS DOUBLE)), 6) AS familiarity
+FROM doc_bi d JOIN corpus c ON d.a = c.a AND d.b = c.b
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = [
     Query("tx_tfidf", tx_tfidf, TX_TFIDF_SQL, "TF-IDF weighting, top-5 terms per doc"),
     Query("tx_postings", tx_postings, TX_POSTINGS_SQL, "inverted-index posting-list digests"),
     Query("tx_collocations", tx_collocations, TX_COLLOC_SQL, "PMI bigram collocation mining, top-20"),
     Query("tx_bm25", tx_bm25, TX_BM25_SQL, "Okapi BM25 term weighting, top-5 terms per doc"),
+    Query("tx_ngram_lm", tx_ngram_lm, TX_NGRAM_LM_SQL, "bigram LM familiarity scoring, integer aggregation + one final ln"),
 ]

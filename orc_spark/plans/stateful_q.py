@@ -874,6 +874,102 @@ rec (user_id, event_id, rn, state, n_flips) AS (
 SELECT user_id, event_id, CAST(state AS INTEGER) AS state, n_flips FROM rec
 """
 
+# --- Holt double-exponential smoothing (recursive stateful, f64) -------------
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+def st_holt(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt's linear-trend smoother with 1-step-ahead forecasts: per user,
+    f_i = l + t (prior state), l' = α·v_i + (1−α)·f_i, t' = β·(l'−l) +
+    (1−β)·t — the level+trend forecaster between EWMA (level only) and
+    Kalman (uncertainty-weighted). Emits level, trend and the forecast the
+    model made BEFORE seeing each sample, so forecast error is readable
+    per row. Same recurrence harness and recursive-CTE oracle as the
+    EWMA/Kalman replays; constants are folded in Python and repr-inlined,
+    op order matches line-for-line → bit-identical f64."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    a, ma = HOLT_ALPHA, 1.0 - HOLT_ALPHA
+    b, mb = HOLT_BETA, 1.0 - HOLT_BETA
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        lv = np.empty_like(v)
+        tr = np.empty_like(v)
+        fc = np.empty_like(v)
+        l = v[0]
+        t = 0.0
+        lv[0] = l
+        tr[0] = t
+        fc[0] = v[0]
+        for i in range(1, v.shape[0]):
+            f = l + t
+            l_new = a * v[i] + ma * f
+            t = b * (l_new - l) + mb * t
+            l = l_new
+            fc[i] = f
+            lv[i] = l
+            tr[i] = t
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "level": lv,
+                "trend": tr,
+                "forecast": fc,
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+    return partitioned_group_scan(ev, ["user_id"], "ts", kernel, schema)
+
+
+def _holt_sql() -> str:
+    a, ma = HOLT_ALPHA, 1.0 - HOLT_ALPHA
+    b, mb = HOLT_BETA, 1.0 - HOLT_BETA
+    f = "(r.l + r.t)"
+    l_new = f"(CAST({a!r} AS DOUBLE) * b.value + CAST({ma!r} AS DOUBLE) * {f})"
+    t_new = (
+        f"(CAST({b!r} AS DOUBLE) * ({l_new} - r.l)"
+        f" + CAST({mb!r} AS DOUBLE) * r.t)"
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+rec (user_id, event_id, rn, l, t, f) AS (
+  SELECT user_id, event_id, rn, CAST(value AS DOUBLE),
+         CAST(0.0 AS DOUBLE), CAST(value AS DOUBLE)
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn, {l_new}, {t_new}, {f}
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, l AS level, t AS trend, f AS forecast FROM rec
+"""
+
+
 # --- CUSUM changepoint detector (recursive stateful, bit-identical f64) ------
 
 # Standard two-sided CUSUM (Page 1954): s+ accumulates excess above
@@ -1001,4 +1097,5 @@ QUERIES = [
     Query("st_goertzel", st_goertzel, _goertzel_sql(), "Goertzel spectral power at period 4/8/16, bit-identical f64"),
     Query("st_hysteresis", st_hysteresis, ST_HYST_SQL, "Schmitt-trigger hysteresis + flip counts, integer-exact replay"),
     Query("st_cusum", st_cusum, _cusum_sql(), "two-sided CUSUM changepoint alarms, bit-identical f64 replay"),
+    Query("st_holt", st_holt, _holt_sql(), "Holt level+trend smoothing with 1-step forecasts, bit-identical f64 replay"),
 ]

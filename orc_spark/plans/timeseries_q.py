@@ -664,6 +664,108 @@ SELECT user_id,
 FROM flips GROUP BY user_id
 """
 
+# --- Mann-Kendall trend test -------------------------------------------------
+
+def ts_mannkendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per user series: S = Σ_{i<j}
+    sign(v_j − v_i) over time-ordered pairs, Kendall's tau = S / C(n,2),
+    and the normal-approximation z with continuity correction — the
+    nonparametric did-this-drift test (no distribution assumed, robust to
+    outliers; the trend complement of st_cusum's changepoint alarm).
+    S and the pair count are integers (sign comparisons, never float
+    accumulation), so the statistic is exact; tau/z are single float
+    expressions from those integers, identical on both engines.
+
+    100 TB shape: the pairwise self-join is per-series O(n²) BY DESIGN —
+    series are bounded (run-length ≤ a few hundred samples, same envelope
+    the AHRS oracle documents), so pairs per user are bounded and the join
+    shuffles once on user_id. Unbounded series would use the O(n log n)
+    inversion-count formulation instead."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (
+            (F.col("a.ts") < F.col("b.ts"))
+            | (
+                (F.col("a.ts") == F.col("b.ts"))
+                & (F.col("a.event_id") < F.col("b.event_id"))
+            )
+        ),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.signum(F.col("b.value") - F.col("a.value")).cast("int").alias("sg"),
+    )
+    per_user = pairs.groupBy("user_id").agg(
+        F.sum("sg").alias("s_stat"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    n = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # var(S) = n(n-1)(2n+5)/18 (no ties: values are continuous doubles);
+    # z uses the standard ±1 continuity correction
+    var = (
+        F.col("n")
+        * (F.col("n") - 1)
+        * (2 * F.col("n") + 5)
+    ).cast("double") / 18.0
+    z = F.when(
+        F.col("s_stat") > 0,
+        (F.col("s_stat").cast("double") - 1.0) / F.sqrt(var),
+    ).when(
+        F.col("s_stat") < 0,
+        (F.col("s_stat").cast("double") + 1.0) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_user.join(n, "user_id")
+        .select(
+            "user_id",
+            "n",
+            "s_stat",
+            "n_pairs",
+            F.round(
+                F.col("s_stat").cast("double") / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("tau"),
+            F.round(z, 6).alias("z_stat"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TS_MANNKENDALL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts, value FROM events
+),
+pairs AS (
+  SELECT a.user_id,
+         CAST(sign(b.value - a.value) AS INTEGER) AS sg
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id
+   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+),
+per_user AS (
+  SELECT user_id, CAST(sum(sg) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY user_id
+),
+nn AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY user_id
+)
+SELECT p.user_id, nn.n, p.s_stat, p.n_pairs,
+       round(CAST(p.s_stat AS DOUBLE) / CAST(p.n_pairs AS DOUBLE), 6) AS tau,
+       round(CASE
+         WHEN p.s_stat > 0 THEN (CAST(p.s_stat AS DOUBLE) - 1.0)
+              / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) AS DOUBLE) / 18.0)
+         WHEN p.s_stat < 0 THEN (CAST(p.s_stat AS DOUBLE) + 1.0)
+              / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) AS DOUBLE) / 18.0)
+         ELSE 0.0 END, 6) AS z_stat
+FROM per_user p JOIN nn ON p.user_id = nn.user_id
+ORDER BY p.user_id
+"""
+
+
 QUERIES = [
     Query("ts_medfilt", ts_medfilt, _medfilt_sql(15), "O18 zero-padded median filter k=15"),
     Query("ts_gradient", ts_gradient, TS_GRADIENT_SQL, "O19 np.gradient edge semantics"),
@@ -679,4 +781,5 @@ QUERIES = [
     Query("ts_lttb", ts_lttb, _lttb_sql(), "LTTB plot downsampling, integer-exact triangle selection, fully hash-checked"),
     Query("ts_autocorr", ts_autocorr, _autocorr_sql(), "lag-1..3 autocorrelation, fixed-point-exact Pearson r"),
     Query("ts_crossings", ts_crossings, TS_CROSSINGS_SQL, "mean-crossing rate, integer-exact centered signs"),
+    Query("ts_mannkendall", ts_mannkendall, TS_MANNKENDALL_SQL, "Mann-Kendall trend test: integer S/pairs, tau + z from single float exprs"),
 ]
