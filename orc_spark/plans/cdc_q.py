@@ -580,6 +580,104 @@ SELECT n_a, c_a, n_b, c_b,
 FROM calc
 """
 
+# --- session path mining -----------------------------------------------------
+
+def ev_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 session journeys: event-type sequences per gap-based session
+    (same 30-min sessionization as ev_sessionize), ranked by frequency —
+    the path-mining readout behind "what do users actually do" funnels.
+    The path string is built from a SORTED struct array (ts, event_id
+    order), so collect_list's nondeterministic arrival order cannot leak
+    into the result; conversion share is one float division of integers.
+
+    100 TB shape: one window shuffle by user builds session ids, one
+    groupBy(user, session) builds paths (arrays bounded by session
+    length), one groupBy(path) counts — all combinable; the transform()
+    HOF runs once per SESSION over a handful of elements, not per event,
+    so the CodegenFallback hazard documented in CLAUDE.md doesn't bite."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    paths = (
+        ev.withColumn("session_idx", F.sum(gap).over(run))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(ts, event_id, event_type))),"
+                " x -> x.event_type), '>')"
+            ).alias("path"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    total = paths.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n",
+            F.col("n_converted").cast("bigint").alias("n_converted"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+EV_PATHS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts, event_type FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS gap
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_idx,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM sess GROUP BY user_id, session_idx
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM paths)
+SELECT path, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(CAST(count(*) AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+         AS share
+FROM paths, total
+GROUP BY path, n_sessions
+ORDER BY n DESC, path ASC
+LIMIT 20
+"""
+
+
 # --- cohort lifetime-value curves --------------------------------------------
 
 _LTV_WEEK_US = 7 * 86400 * 1000000
@@ -777,4 +875,5 @@ QUERIES = [
     Query("ev_ab_test", ev_ab_test, EV_AB_SQL, "two-proportion z-test between id-parity arms"),
     Query("ev_ltv", ev_ltv, EV_LTV_SQL, "cohort lifetime-value curves, integer cents end-to-end"),
     Query("ev_rfm", ev_rfm, EV_RFM_SQL, "RFM quintile segmentation matrix, deterministic ntile scoring"),
+    Query("ev_paths", ev_paths, EV_PATHS_SQL, "top-20 session journey paths with conversion share"),
 ]

@@ -425,9 +425,64 @@ ORDER BY event_type
 """
 
 
+# --- k-anonymity audit -------------------------------------------------------
+
+KANON_K = 5
+
+
+def dq_kanon(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over the customer table: treat (nation, market
+    segment, account-balance rounded to $1000) as the quasi-identifier and
+    surface the equivalence classes smaller than k=5 — the re-identification
+    screen a training-data governance pass runs before releasing joined
+    user-level data. Returns the 50 smallest classes (violations first);
+    bucketing is integer floor division, so every cell is exact.
+
+    100 TB shape: one combinable groupBy over the scan; the audit output
+    is bounded by the QI-combination count, not the row count."""
+    cust = load_table(spark, sf, "customer")
+    bucket = F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            bucket.alias("bal_bucket_k"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_n"))
+        .select(
+            "nationkey",
+            "mktsegment",
+            "bal_bucket_k",
+            "class_n",
+            (F.col("class_n") < KANON_K).alias("violates_k"),
+        )
+        .orderBy(
+            F.col("class_n").asc(),
+            F.col("nationkey").asc(),
+            F.col("mktsegment").asc(),
+            F.col("bal_bucket_k").asc(),
+        )
+        .limit(50)
+    )
+
+
+DQ_KANON_SQL = f"""
+SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+       c_mktsegment AS mktsegment,
+       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket_k,
+       CAST(count(*) AS BIGINT) AS class_n,
+       count(*) < {KANON_K} AS violates_k
+FROM customer
+GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+ORDER BY class_n ASC, nationkey ASC, mktsegment ASC, bal_bucket_k ASC
+LIMIT 50
+"""
+
+
 QUERIES = [
     Query("dq_expectations", dq_expectations, DQ_SQL, "data-quality audit: uniqueness, FK integrity, ranges, null/derived-column checks"),
     Query("dq_drift", dq_drift, DQ_DRIFT_SQL, "10-bin PSI drift between event-stream halves, per event_type"),
     Query("dq_benford", dq_benford, DQ_BENFORD_SQL, "Benford first-digit audit of prices, chi-square terms"),
     Query("dq_freshness", dq_freshness, DQ_FRESHNESS_SQL, "per-source freshness + arrival-rate monitor, integer-exact"),
+    Query("dq_kanon", dq_kanon, DQ_KANON_SQL, "k-anonymity audit of quasi-identifier classes"),
 ]

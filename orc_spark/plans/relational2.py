@@ -703,6 +703,118 @@ LIMIT 20
 """
 
 
+# --- r19: promo revenue share by month (TPC-H Q14 shape) ---------------------
+
+def r19_promo_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Q14 shape: the monthly share of revenue from PROMO-type parts — a
+    conditional-aggregate ratio over a fact ⋈ dimension join. Spark: part
+    broadcasts (it's the small side), both sums accumulate in integer
+    hundredths-of-cents, and the share is one float division per month —
+    no accumulated-double divergence possible."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    rev_fp = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.month("l_shipdate").cast("int").alias("ship_month"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev_fp).otherwise(F.lit(0))
+            ).alias("promo_fp"),
+            F.sum(rev_fp).alias("total_fp"),
+        )
+        .select(
+            "ship_year",
+            "ship_month",
+            "promo_fp",
+            "total_fp",
+            F.round(
+                F.lit(100.0)
+                * F.col("promo_fp").cast("double")
+                / F.col("total_fp").cast("double"),
+                6,
+            ).alias("promo_pct"),
+        )
+        .orderBy("ship_year", "ship_month")
+    )
+
+
+R19_SQL = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_fp,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+            AS BIGINT) AS total_fp,
+       round(CAST(100.0 AS DOUBLE)
+             * CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+                             ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE),
+             6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY year(l_shipdate), month(l_shipdate)
+ORDER BY ship_year, ship_month
+"""
+
+
+# --- r20: disjunctive bracket predicate (TPC-H Q19 shape) --------------------
+
+def r20_bracket_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Q19 shape: revenue from three disjunctive (brand, size-bracket,
+    quantity-bracket) arms OR-ed together — the predicate-pushdown stress
+    test: the filter is a pure row predicate over the joined pair, so it
+    evaluates inside the scan/join stage with no extra shuffle; one
+    aggregate row out, summed in integer hundredths-of-cents."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 15)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 25)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    rev_fp = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    return j.where(arm1 | arm2 | arm3).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev_fp).alias("revenue_fp"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )
+
+
+R20_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+            AS BIGINT) AS revenue_fp,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 QUERIES = [
     Query("r4b_cube", r4b_cube, R4B_SQL, "cube grouping sets"),
     Query("r_pivot", r_pivot, R_PIVOT_SQL, "pivot via conditional aggregation"),
@@ -719,4 +831,6 @@ QUERIES = [
     Query("r16_big_orders", r16_big_orders, R16_SQL, "GROUP BY + HAVING top-volume orders (Q18 shape)"),
     Query("r17_nation_volume", r17_nation_volume, R17_SQL, "nation-pair revenue flow by year (Q7 shape)"),
     Query("r18_returned_items", r18_returned_items, R18_SQL, "returned-item revenue top-k (Q10 shape)"),
+    Query("r19_promo_share", r19_promo_share, R19_SQL, "promo revenue share by month (Q14 shape)"),
+    Query("r20_bracket_revenue", r20_bracket_revenue, R20_SQL, "disjunctive bracket predicate revenue (Q19 shape)"),
 ]
