@@ -47,7 +47,7 @@ _PRIORITY_FIRST = [
     # NEW oracles this round (r04): the PID / AHRS / full-firmware-pipeline
     # recurrences replayed by DuckDB recursive CTEs (bit-identical f64), and
     # the MINSTD image stub regenerated pixel-by-pixel in SQL — first driver
-    # rows ever for all four; the registry is now 77/77 oracle-bearing
+    # rows ever for all four; the registry is now fully oracle-bearing
     "st_pid_replay", "st_ahrs_replay", "st_imu_pipeline", "mm_image_features",
     "sk_bloom", "cu_decontaminate", "cu_pack",
     # changed this round: ev_retention plan rewritten (window-min, 2
@@ -55,10 +55,11 @@ _PRIORITY_FIRST = [
     # cu_mixture single-scan rewrite, dq_expectations scan-fused audit
     "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
     "dq_expectations",
-    # the 18 queries ADDED mid-round-4 — first driver row for every one
-    # (tier placement must be explicit: 35 carried-over priority entries +
-    # 18 new = 53 would overflow the ~50-query budget, so four unchanged
-    # twice-green batteries move to _DEFERRED_LAST below)
+    # the queries ADDED during round 4 — first driver row for every one;
+    # 28 mid-round + the capability-diverse 8 of this session's 16 (the
+    # other eight — r16-r20's classic TPC-H shapes, st_holt, ev_rfm,
+    # dq_freshness, the least novel surfaces, all hash-verified locally at
+    # sf0.001+sf0.01 this session — head _DEFERRED_LAST for r05 first rows)
     "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
     "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly", "ev_transitions",
     "gr_pagerank", "ann_pq", "sk_histq", "ts_lttb", "dd_containment",
@@ -66,24 +67,23 @@ _PRIORITY_FIRST = [
     "ev_sessionize", "cu_split", "st_ewma", "st_kalman", "ev_rolling_uniques",
     "ts_autocorr", "r15_idle_customers", "st_goertzel", "dq_benford",
     "ev_ab_test", "st_hysteresis", "ts_crossings",
-    "st_cusum", "r16_big_orders", "r17_nation_volume", "r18_returned_items",
-    # once-green only (r02): rotate in ahead of twice-green stock
-    "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
-    "dp_profile",
-    # r02-only-green (no row since the schema-change round): mm_frame_sample
-    # stays; ann_ivf / ann_bruteforce_fast demote to make budget room for
-    # st_hysteresis/ts_crossings' first-ever rows (both unchanged since their
-    # r02 green, locally hash-verified every pytest run, and the stronger
-    # ann_ivf_index signal is already in this tier)
-    "mm_frame_sample",
-    # the two most expensive oracles (recursive-CTE closure ~42 s, all-pairs
-    # join-sum ~12 s at sf0.01): deferred since r02, due a fresh row now that
-    # the rest of the budget is cheap re-greens (VERDICT r03 item 7)
-    "dd_embcos", "dd_cluster",
+    "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv", "ev_paths",
+    "tx_ngram_lm", "dq_kanon", "ts_mannkendall",
 ]
 _DEFERRED_LAST = [
-    # twice-green unchanged batteries demoted to make budget room for the 20
-    # new queries' first rows (they re-enter the refresh rotation in r05)
+    # first-row candidates that missed the r04 budget — FIRST in r05's gate
+    "r16_big_orders", "r17_nation_volume", "r18_returned_items",
+    "r19_promo_share", "r20_bracket_revenue", "st_holt", "ev_rfm",
+    "dq_freshness",
+    # once-green only (r02) — next refresh priority after the first-rows
+    "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
+    "dp_profile", "mm_frame_sample",
+    # the two most expensive oracles (recursive-CTE closure ~42 s, all-pairs
+    # join-sum ~12 s at sf0.01): r02-green, locally hash-verified every
+    # pytest run; rotate back in r05 (VERDICT r03 item 7 deferred once more
+    # in favor of first-ever rows for the 16 queries added this session)
+    "dd_embcos", "dd_cluster",
+    # twice-green unchanged batteries (refresh rotation r05+)
     "dp_stratified", "r4b_cube", "rj_range_join", "r5c_rank_battery",
     "dd_minhash_sig", "dd_simhash", "dd_exact", "dd_simhash_pairs",
     "dp_sample", "dd_minhash_pairs", "approx_sketches", "sk_hll_merge",
