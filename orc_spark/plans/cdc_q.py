@@ -619,14 +619,21 @@ def ev_paths(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("converted"),
         )
     )
-    total = paths.agg(F.count(F.lit(1)).alias("n_sessions"))
-    return (
+    by_path = (
         paths.groupBy("path")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("converted").alias("n_converted"),
         )
-        .crossJoin(F.broadcast(total))
+        # consumed by the total AND the final ranking — materialize the
+        # distinct-path-sized aggregate so sessionization runs exactly once
+        .localCheckpoint(eager=False)
+    )
+    # session total = Σn over the (distinct-path-sized) aggregate — derived
+    # downstream of the rollup, so the sessionize pass runs exactly once
+    total = by_path.agg(F.sum("n").alias("n_sessions"))
+    return (
+        by_path.crossJoin(F.broadcast(total))
         .select(
             "path",
             "n",
@@ -691,23 +698,34 @@ def ev_ltv(spark: SparkSession, sf: str) -> DataFrame:
     window sums BIGINT), so every cell is bit-exact cross-engine;
     per-user LTV uses integer division.
 
-    100 TB shape: one window shuffle by user_id (first-seen week), one
-    groupBy (cohort, age) with map-side combine, then a window over the
-    tiny (cohorts × ages) aggregate — same 2-wide-stage shape as the
-    rewritten ev_retention."""
+    100 TB shape: the cohort anchor is a map-side-combinable
+    groupBy(user_id).min — its shuffle carries |users| rows, not the
+    stream (cheaper than a window over all events, and the pruned anchor
+    scan reads two columns). Purchases then join the anchor co-partitioned
+    on user_id (only the purchase subset shuffles), one (cohort, age)
+    groupBy combines, and the cumulative window runs over the tiny
+    aggregate."""
     ev = load_table(spark, sf, "events")
-    uw = Window.partitionBy("user_id")
-    base = ev.select(
-        "user_id",
-        "event_type",
-        F.expr(f"ts div {_LTV_WEEK_US}").alias("wk"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
-    ).withColumn("cohort_week", F.min("wk").over(uw))
-    cohort_sizes = base.groupBy("cohort_week").agg(
-        F.count_distinct("user_id").alias("cohort_users")
+    wk = F.expr(f"ts div {_LTV_WEEK_US}")
+    per_user = (
+        ev.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_week"))
+        # consumed by cohort sizing AND the purchase join — materialize the
+        # |users|-row anchor so its map-combined scan runs exactly once
+        .localCheckpoint(eager=False)
+    )
+    cohort_sizes = per_user.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
     )
     weekly = (
-        base.where(F.col("event_type") == "purchase")
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            wk.alias("wk"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .join(per_user, "user_id")
         .groupBy(
             "cohort_week",
             (F.col("wk") - F.col("cohort_week")).alias("age_week"),
@@ -785,8 +803,7 @@ def ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
     is a 1-row broadcast."""
     ev = load_table(spark, sf, "events")
     pur = ev.where(F.col("event_type") == "purchase")
-    anchor = pur.agg(F.max("ts").alias("end_ts"))
-    per_user = (
+    stats = (
         pur.groupBy("user_id")
         .agg(
             F.max("ts").alias("last_ts"),
@@ -795,7 +812,15 @@ def ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
                 "cents"
             ),
         )
-        .crossJoin(F.broadcast(anchor))
+        # consumed by the anchor AND the scoring pass — materialize the
+        # |users|-row aggregate so the event stream is scanned exactly once
+        .localCheckpoint(eager=False)
+    )
+    # stream-end anchor derives from the per-user aggregate (max of maxes),
+    # not a second scan of the event stream
+    anchor = stats.agg(F.max("last_ts").alias("end_ts"))
+    per_user = (
+        stats.crossJoin(F.broadcast(anchor))
         .select(
             "user_id",
             F.expr(f"(end_ts - last_ts) div {_RFM_DAY_US}").alias(

@@ -165,6 +165,11 @@ def gr_triangles(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("u") < F.col("v"))
         .select(F.col("u").alias("ea"), F.col("v").alias("eb"))
+        # the sparsified edge list is consumed five times (three triangle
+        # legs, degree, and via tris the per-node explode); without
+        # truncation Catalyst inlines the whole pair-pipeline per consumer
+        # (40 scans / 45 exchanges observed) — materialize it once
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tris = (

@@ -362,6 +362,10 @@ def tx_ngram_lm(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("nxt").isNotNull())
         .groupBy("doc_id", F.col("term").alias("a"), F.col("nxt").alias("b"))
         .agg(F.count(F.lit(1)).alias("k"))
+        # consumed twice (corpus rollup + the join-back); per-branch column
+        # pruning defeats exchange reuse, so the token explode would run
+        # twice — materialize the (much smaller) doc-bigram table instead
+        .localCheckpoint(eager=False)
     )
     corpus = doc_bi.groupBy("a", "b").agg(F.sum("k").alias("c_xy"))
     return (

@@ -775,20 +775,27 @@ def sk_kmv(spark: SparkSession, sf: str) -> DataFrame:
     from orc_spark.functions.hashing import h60
 
     ev = load_table(spark, sf, "events")
-    du = (
+    # one distinct pass over the stream feeds the sketch build, the
+    # per-type exact counts AND the direct verification sketch —
+    # materialized so events is scanned exactly once
+    pairs = (
         ev.select("event_type", "user_id")
         .distinct()
-        .select(
-            "event_type",
-            h60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
-        )
+        .localCheckpoint(eager=False)
+    )
+    du = pairs.select(
+        "event_type",
+        h60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
     )
     win = Window.partitionBy("event_type").orderBy(F.col("h").asc())
-    kept = du.withColumn("rn", F.row_number().over(win)).where(
-        F.col("rn") <= KMV_K
+    kept = (
+        du.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+        .localCheckpoint(eager=False)
     )
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_distinct")
+    exact = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     est = F.when(
         F.col("n_kept") < KMV_K, F.col("exact_distinct").cast("double")
@@ -839,7 +846,9 @@ def sk_kmv(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") <= KMV_K)
         .agg(F.max("h").alias("d_kth"), F.bit_xor("h").alias("d_digest"))
     )
-    all_exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    all_exact = pairs.agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
     all_est = F.round(
         F.lit(float(KMV_K - 1)) * (F.lit(float(1 << 60)) / F.col("d_kth").cast("double")),
         0,

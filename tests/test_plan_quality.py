@@ -298,3 +298,109 @@ def test_r15_broadcasts_both_subqueries(spark, sf_small):
     # scalar avg + cutoff attach as broadcasts; anti join must not SMJ the
     # big side at this scale
     assert plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def _plan_stats(df):
+    import re
+
+    from orc_spark.plans.explain import formatted_plan
+
+    p = formatted_plan(df)
+    return (
+        len(re.findall(r"\(\d+\) Scan parquet", p)),
+        len(re.findall(r"\(\d+\) Exchange", p)),
+        p,
+    )
+
+
+def test_ev_ltv_single_scan_light_anchor(spark, sf_small):
+    """ev_ltv: the cohort anchor is a checkpointed map-combined groupBy, so
+    the only live scan is the purchase subset; regression = re-reading
+    events for cohort sizes (the 3-scan shape) or >5 exchanges."""
+    from orc_spark.plans.cdc_q import ev_ltv
+
+    scans, ex, plan = _plan_stats(ev_ltv(spark, sf_small))
+    assert scans == 1, plan
+    assert ex <= 5, plan
+
+
+def test_ev_paths_single_session_pass(spark, sf_small):
+    """ev_paths: the session total derives from the per-path aggregate —
+    sessionization must run exactly once (checkpointed rollup upstream)."""
+    from orc_spark.plans.cdc_q import ev_paths
+
+    scans, ex, plan = _plan_stats(ev_paths(spark, sf_small))
+    assert ex <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ev_rfm_single_stream_pass(spark, sf_small):
+    """ev_rfm: anchor = max over the checkpointed per-user aggregate; the
+    ntile windows and segment rollup add at most 3 exchanges."""
+    from orc_spark.plans.cdc_q import ev_rfm
+
+    scans, ex, plan = _plan_stats(ev_rfm(spark, sf_small))
+    assert ex <= 3, plan
+
+
+def test_gr_triangles_edges_materialized_once(spark, sf_small):
+    """gr_triangles: the sparsified edge list is checkpointed before the
+    3-way join — without it Catalyst inlines the pair pipeline per consumer
+    (45 exchanges observed); the final plan stays under 8."""
+    from orc_spark.plans.graph_q import gr_triangles
+
+    scans, ex, plan = _plan_stats(gr_triangles(spark, sf_small))
+    assert ex <= 8, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sk_kmv_one_distinct_pass(spark, sf_small):
+    """sk_kmv: sketch build, exact counts and the direct verification
+    sketch all read the one checkpointed distinct pass."""
+    from orc_spark.plans.relational3 import sk_kmv
+
+    scans, ex, plan = _plan_stats(sk_kmv(spark, sf_small))
+    assert ex <= 10, plan
+
+
+def test_tx_ngram_lm_doc_bigrams_materialized_once(spark, sf_small):
+    """tx_ngram_lm: the doc-bigram table is checkpointed, so the token
+    explode + lead window runs once (not once per consumer)."""
+    from orc_spark.plans.ir_q import tx_ngram_lm
+
+    scans, ex, plan = _plan_stats(tx_ngram_lm(spark, sf_small))
+    assert ex <= 4, plan
+
+
+def test_r17_broadcast_snowflake(spark, sf_small):
+    """r17: supplier/customer nation maps and both nation copies broadcast;
+    only the lineitem⋈orders equi-join may shuffle."""
+    from orc_spark.plans.explain import count_broadcast_joins
+    from orc_spark.plans.relational2 import r17_nation_volume
+
+    df = r17_nation_volume(spark, sf_small)
+    scans, ex, plan = _plan_stats(df)
+    assert count_broadcast_joins(df) >= 4, plan
+    assert ex <= 2, plan
+
+
+def test_r20_predicate_in_join_stage(spark, sf_small):
+    """r20: the disjunctive bracket predicate is a row filter over the
+    broadcast join output — no extra exchange beyond the final 1-row agg."""
+    from orc_spark.plans.explain import count_broadcast_joins
+    from orc_spark.plans.relational2 import r20_bracket_revenue
+
+    df = r20_bracket_revenue(spark, sf_small)
+    scans, ex, plan = _plan_stats(df)
+    assert count_broadcast_joins(df) >= 1, plan
+    assert ex <= 1, plan
+
+
+def test_ts_mannkendall_equijoin_not_cartesian(spark, sf_small):
+    """ts_mannkendall: the pair join is an equi-join on user_id (the range
+    condition rides as a join filter) — a cartesian/nested-loop product
+    would be quadratic in the STREAM, not per-series."""
+    from orc_spark.plans.timeseries_q import ts_mannkendall
+
+    scans, ex, plan = _plan_stats(ts_mannkendall(spark, sf_small))
+    assert "CartesianProduct" not in plan, plan
