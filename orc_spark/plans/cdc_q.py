@@ -685,6 +685,143 @@ LIMIT 20
 """
 
 
+# --- concurrency sweep over session intervals --------------------------------
+
+_CONC_DAY_US = 86400 * 1000000
+
+
+def ev_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-overlap sweep
+    (sessions → ±1 boundary events → running sum) that powers capacity
+    and licensing questions. The prefix sum is distributed two-phase:
+    within-day running sums shuffle by day, and the cross-day carry is a
+    cumulative offset over the tiny per-day aggregate — the textbook
+    scan-combine, no global single-partition pass over the boundary
+    stream. Per-day peak/end-of-day values are invariant to tie order
+    within equal (t, delta) groups, so everything is integer-exact.
+
+    Session intervals are closed ([start, end]); the −1 boundary lands at
+    end+1µs so a session whose start equals another's end still overlaps."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("session_idx", F.sum(gap).over(run))
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("start_us"), F.max("ts").alias("end_us"))
+        # both union halves read the interval table — materialize so the
+        # sessionize window runs exactly once
+        .localCheckpoint(eager=False)
+    )
+    deltas = sessions.select(
+        F.col("start_us").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            (F.col("end_us") + 1).alias("t"), F.lit(-1).alias("delta")
+        )
+    ).withColumn("day", F.expr(f"t div {_CONC_DAY_US}"))
+    dw = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_day = (
+        deltas.withColumn("running", F.sum("delta").over(dw))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "n_starts"
+            ),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias(
+                "n_ends"
+            ),
+            F.max("running").alias("peak_local"),
+            F.sum("delta").alias("net"),
+        )
+    )
+    ow = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_day.withColumn("carry_in", F.sum("net").over(ow) - F.col("net"))
+        .select(
+            "day",
+            F.col("n_starts").cast("bigint").alias("n_starts"),
+            F.col("n_ends").cast("bigint").alias("n_ends"),
+            (F.col("carry_in") + F.col("peak_local"))
+            .cast("bigint")
+            .alias("peak_concurrency"),
+            (F.col("carry_in") + F.col("net")).cast("bigint").alias(
+                "eod_concurrency"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+EV_CONCURRENCY_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END
+           AS gap
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, session_idx,
+         min(ts) AS start_us, max(ts) AS end_us
+  FROM (
+    SELECT user_id, event_id, ts,
+           sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_idx
+    FROM flagged
+  ) GROUP BY user_id, session_idx
+),
+deltas AS (
+  SELECT start_us AS t, 1 AS delta, start_us // {_CONC_DAY_US} AS day
+  FROM sessions
+  UNION ALL
+  SELECT end_us + 1 AS t, -1 AS delta, (end_us + 1) // {_CONC_DAY_US} AS day
+  FROM sessions
+),
+per_day AS (
+  SELECT day,
+         CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_starts,
+         CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ends,
+         max(running) AS peak_local,
+         sum(delta) AS net
+  FROM (
+    SELECT day, delta,
+           sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running
+  FROM deltas
+  ) GROUP BY day
+)
+SELECT day, n_starts, n_ends,
+       CAST(sum(net) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - net + peak_local AS BIGINT) AS peak_concurrency,
+       CAST(sum(net) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS eod_concurrency
+FROM per_day
+ORDER BY day
+"""
+
+
 # --- cohort lifetime-value curves --------------------------------------------
 
 _LTV_WEEK_US = 7 * 86400 * 1000000
@@ -901,4 +1038,5 @@ QUERIES = [
     Query("ev_ltv", ev_ltv, EV_LTV_SQL, "cohort lifetime-value curves, integer cents end-to-end"),
     Query("ev_rfm", ev_rfm, EV_RFM_SQL, "RFM quintile segmentation matrix, deterministic ntile scoring"),
     Query("ev_paths", ev_paths, EV_PATHS_SQL, "top-20 session journey paths with conversion share"),
+    Query("ev_concurrency", ev_concurrency, EV_CONCURRENCY_SQL, "peak concurrent sessions per day via two-phase interval sweep"),
 ]

@@ -664,6 +664,78 @@ SELECT user_id,
 FROM flips GROUP BY user_id
 """
 
+# --- seasonal (hour-of-day) profile ------------------------------------------
+
+def ts_seasonal(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event_type: per-cell counts,
+    fixed-point value sums (1e-4 units), the cell mean, and an EXACT
+    above/below-type-average deviation via cross-multiplied integers
+    (sum_cell·n_type − sum_type·n_cell — no float subtraction of means,
+    so the comparison is bit-exact). The deseasonalization baseline every
+    anomaly pipeline needs before flagging residuals (ev_anomaly's rolling
+    z is the within-series complement).
+
+    100 TB shape: one combinable groupBy over the scan builds the 24×|type|
+    cells; type totals roll up FROM the cells (no second scan)."""
+    ev = load_table(spark, sf, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr("(ts div 3600000000) % 24").alias("hour"),
+            F.round(F.col("value") * 10000, 0).cast("bigint").alias("v_fp"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v_fp").alias("sum_fp"))
+        .localCheckpoint(eager=False)  # consumed by cells AND type rollup
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n").alias("n_type"), F.sum("sum_fp").alias("sum_type_fp")
+    )
+    dev = F.col("sum_fp") * F.col("n_type") - F.col("sum_type_fp") * F.col("n")
+    return (
+        cells.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            "sum_fp",
+            F.round(
+                F.col("sum_fp").cast("double") / F.col("n").cast("double")
+                / 10000.0,
+                6,
+            ).alias("mean_value"),
+            dev.cast("bigint").alias("dev_num"),
+            (dev > 0).alias("above_type_avg"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+TS_SEASONAL_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS hour,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+           AS sum_fp
+  FROM events
+  GROUP BY event_type, (epoch_us(ts) // 3600000000) % 24
+),
+totals AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type,
+         CAST(sum(sum_fp) AS BIGINT) AS sum_type_fp
+  FROM cells GROUP BY event_type
+)
+SELECT c.event_type, c.hour, c.n, c.sum_fp,
+       round(CAST(c.sum_fp AS DOUBLE) / CAST(c.n AS DOUBLE) / 10000.0, 6)
+         AS mean_value,
+       CAST(c.sum_fp * t.n_type - t.sum_type_fp * c.n AS BIGINT) AS dev_num,
+       (c.sum_fp * t.n_type - t.sum_type_fp * c.n) > 0 AS above_type_avg
+FROM cells c JOIN totals t ON c.event_type = t.event_type
+ORDER BY c.event_type, c.hour
+"""
+
+
 # --- Mann-Kendall trend test -------------------------------------------------
 
 def ts_mannkendall(spark: SparkSession, sf: str) -> DataFrame:
@@ -782,4 +854,5 @@ QUERIES = [
     Query("ts_autocorr", ts_autocorr, _autocorr_sql(), "lag-1..3 autocorrelation, fixed-point-exact Pearson r"),
     Query("ts_crossings", ts_crossings, TS_CROSSINGS_SQL, "mean-crossing rate, integer-exact centered signs"),
     Query("ts_mannkendall", ts_mannkendall, TS_MANNKENDALL_SQL, "Mann-Kendall trend test: integer S/pairs, tau + z from single float exprs"),
+    Query("ts_seasonal", ts_seasonal, TS_SEASONAL_SQL, "hour-of-day seasonal profile, cross-multiplied exact deviations"),
 ]
