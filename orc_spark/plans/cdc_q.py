@@ -685,6 +685,158 @@ LIMIT 20
 """
 
 
+# --- Kaplan-Meier survival curve ---------------------------------------------
+
+_KM_DAY_US = 86400 * 1000000
+_KM_SCALE = 1_000_000_000  # fixed-point survival scale
+
+
+def ev_survival(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time from first-seen to first
+    purchase (users with no purchase are right-censored at stream end) —
+    the time-to-event readout behind activation/churn questions. The
+    estimator's running product S ← S·(n−d)/n runs in TRUNCATING
+    fixed-point integers (scale 1e9), so the curve is bit-exact
+    cross-engine: the step table is tiny (distinct duration days), Spark
+    steps it through the recurrence harness and the oracle replays the
+    identical integer division per recursive-CTE iteration.
+
+    100 TB shape: per-user origin/event times are one map-combinable
+    groupBy; the at-risk ladder is a window over the |distinct
+    durations|-sized step table; only that tiny table enters Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("o"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("p"),
+            F.max("ts").alias("m"),
+        )
+        .localCheckpoint(eager=False)  # consumed by anchor and durations
+    )
+    # stream end derives from the per-user aggregate — one events scan total
+    anchor = per_user.agg(F.max("m").alias("end_ts"))
+    durs = per_user.crossJoin(F.broadcast(anchor)).select(
+        F.when(
+            F.col("p").isNotNull(),
+            F.expr(f"(p - o) div {_KM_DAY_US}"),
+        )
+        .otherwise(F.expr(f"(end_ts - o) div {_KM_DAY_US}"))
+        .alias("t"),
+        F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    total = durs.agg(F.count(F.lit(1)).alias("n_total"))
+    steps = (
+        durs.groupBy("t")
+        .agg(
+            F.sum("event").alias("d"),
+            F.sum(1 - F.col("event")).alias("c"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ladder = steps.select(
+        "t",
+        F.col("d").cast("long").alias("d"),
+        F.col("c").cast("long").alias("c"),
+        (
+            F.col("n_total")
+            - (F.sum(F.col("d") + F.col("c")).over(w) - F.col("d") - F.col("c"))
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("t", kind="mergesort")
+        d = g["d"].to_numpy(np.int64)
+        n = g["n_at_risk"].to_numpy(np.int64)
+        s = _KM_SCALE
+        out = np.empty(len(d), dtype=np.int64)
+        for i in range(len(d)):
+            s = s * (n[i] - d[i]) // n[i]
+            out[i] = s
+        g = g.copy()
+        g["surv_fp"] = out
+        return g[["t", "d", "c", "n_at_risk", "surv_fp"]]
+
+    schema = T.StructType(
+        [
+            T.StructField("t", T.LongType()),
+            T.StructField("d", T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("n_at_risk", T.LongType()),
+            T.StructField("surv_fp", T.LongType()),
+        ]
+    )
+    curve = partitioned_group_scan(
+        ladder.withColumn("g", F.lit(0)), ["g"], "t", kernel, schema
+    )
+    return curve.select(
+        "t",
+        "d",
+        "c",
+        "n_at_risk",
+        "surv_fp",
+        F.round(F.col("surv_fp").cast("double") / 1000000000.0, 6).alias(
+            "survival"
+        ),
+    ).orderBy("t")
+
+
+EV_SURVIVAL_SQL = f"""
+WITH RECURSIVE per_user AS (
+  SELECT user_id, min(epoch_us(ts)) AS o,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+  FROM events GROUP BY user_id
+),
+anchor AS (SELECT max(epoch_us(ts)) AS end_ts FROM events),
+durs AS (
+  SELECT CASE WHEN p IS NOT NULL THEN (p - o) // {_KM_DAY_US}
+              ELSE (end_ts - o) // {_KM_DAY_US} END AS t,
+         CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per_user, anchor
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM durs),
+steps AS (
+  SELECT t, CAST(sum(event) AS BIGINT) AS d,
+         CAST(sum(1 - event) AS BIGINT) AS c
+  FROM durs GROUP BY t
+),
+ladder AS (
+  SELECT t, d, c,
+         CAST(n_total - (sum(d + c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - d - c)
+              AS BIGINT) AS n_at_risk,
+         row_number() OVER (ORDER BY t) AS rn
+  FROM steps, total
+),
+rec (t, d, c, n_at_risk, rn, surv_fp) AS (
+  SELECT t, d, c, n_at_risk, rn,
+         CAST({_KM_SCALE} AS BIGINT) * (n_at_risk - d) // n_at_risk
+  FROM ladder WHERE rn = 1
+  UNION ALL
+  SELECT l.t, l.d, l.c, l.n_at_risk, l.rn,
+         r.surv_fp * (l.n_at_risk - l.d) // l.n_at_risk
+  FROM rec r JOIN ladder l ON l.rn = r.rn + 1
+)
+SELECT t, d, c, n_at_risk, surv_fp,
+       round(CAST(surv_fp AS DOUBLE) / 1000000000.0, 6) AS survival
+FROM rec
+ORDER BY t
+"""
+
+
 # --- concurrency sweep over session intervals --------------------------------
 
 _CONC_DAY_US = 86400 * 1000000
@@ -1039,4 +1191,5 @@ QUERIES = [
     Query("ev_rfm", ev_rfm, EV_RFM_SQL, "RFM quintile segmentation matrix, deterministic ntile scoring"),
     Query("ev_paths", ev_paths, EV_PATHS_SQL, "top-20 session journey paths with conversion share"),
     Query("ev_concurrency", ev_concurrency, EV_CONCURRENCY_SQL, "peak concurrent sessions per day via two-phase interval sweep"),
+    Query("ev_survival", ev_survival, EV_SURVIVAL_SQL, "Kaplan-Meier time-to-purchase curve, truncating fixed-point product"),
 ]

@@ -257,7 +257,102 @@ LIMIT 20
 """
 
 
+# --- market-basket association rules -----------------------------------------
+
+MB_MIN_SUPPORT = 3  # minimum co-occurrence count for a rule
+
+
+def mb_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Association-rule mining over order baskets: for part pairs that
+    co-occur in ≥{MIN_SUPPORT} orders, support, directional confidence
+    P(b|a), and lift P(a,b)/(P(a)·P(b)) — the market-basket readout
+    (tx_collocations' PMI on transactions instead of token streams).
+    Top-20 by lift, ties on the pair. Counts are integers; confidence and
+    lift are single float expressions of four integers.
+
+    100 TB shape: pair generation is bounded by Σ|basket|² (basket sizes
+    small and capped, same contract as gr_triangles); item and pair counts
+    are combinable groupBys; the total-baskets anchor is a 1-row
+    broadcast."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    # four consumers (anchor, item counts, both pair legs) — materialize
+    # the distinct basket table so the scan+dedup runs once
+    baskets = li.distinct().localCheckpoint(eager=False)
+    n_orders = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= MB_MIN_SUPPORT)
+    )
+    lift = (
+        F.col("c_ab").cast("double") * F.col("n_baskets").cast("double")
+    ) / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    return (
+        pairs.join(
+            item.select(F.col("l_partkey").alias("pa"), F.col("c").alias("c_a")),
+            "pa",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("pb"), F.col("c").alias("c_b")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.col("c_ab").cast("double") / F.col("c_a").cast("double"), 6
+            ).alias("conf_a_to_b"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(20)
+    )
+
+
+MB_RULES_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+      FROM baskets),
+item AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM baskets
+  GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {MB_MIN_SUPPORT}
+)
+SELECT pa, pb, c_ab, ia.c AS c_a, ib.c AS c_b,
+       round(CAST(c_ab AS DOUBLE) / CAST(ia.c AS DOUBLE), 6) AS conf_a_to_b,
+       round((CAST(c_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+             / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN item ia ON pa = ia.l_partkey
+JOIN item ib ON pb = ib.l_partkey, n
+ORDER BY lift DESC, pa ASC, pb ASC
+LIMIT 20
+"""
+
+
 QUERIES = [
     Query("gr_pagerank", gr_pagerank, _pagerank_sql(), "fixed-point integer PageRank, 4 iterations, bit-exact cross-engine"),
     Query("gr_triangles", gr_triangles, GR_TRIANGLES_SQL, "triangle counts over a mutual-kNN co-occurrence graph, integer-exact"),
+    Query("mb_rules", mb_rules, MB_RULES_SQL, "market-basket association rules: support/confidence/lift, top-20"),
 ]
