@@ -74,7 +74,8 @@ _DEFERRED_LAST = [
     # first-row candidates that missed the r04 budget — FIRST in r05's gate
     "r16_big_orders", "r17_nation_volume", "r18_returned_items",
     "r19_promo_share", "r20_bracket_revenue", "st_holt", "ev_rfm",
-    "dq_freshness", "ev_concurrency", "ts_seasonal",
+    "dq_freshness", "ev_concurrency", "ts_seasonal", "mb_rules",
+    "ev_survival", "cdc_pit_lookup",
     # once-green only (r02) — next refresh priority after the first-rows
     "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
     "dp_profile", "mm_frame_sample",

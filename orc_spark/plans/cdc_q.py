@@ -67,6 +67,100 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# --- point-in-time (AS OF) lookup against the SCD2 history -------------------
+
+def cdc_pit_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal AS-OF lookup: for a deterministic probe set of shipments
+    (1/97th of lineitem, filter pushed to the scan), attach the customer's
+    SCD2 version (cdc_scd2's [valid_from, valid_to) intervals) that was
+    valid AT ship time — the point-in-time dimension join every versioned
+    warehouse needs for "state as of the transaction". The join is
+    equi-keyed on custkey with the interval test as a join filter, so no
+    cartesian/nested-loop appears; intervals partition the timeline, so
+    exactly one version matches each probe.
+
+    aj_asof_join is the event-stream cousin (nearest earlier tick); this
+    is the versioned-dimension form with explicit validity intervals."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vf = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    hist = orders.select(
+        F.col("o_custkey").alias("h_custkey"),
+        F.row_number().over(w).cast("int").alias("version"),
+        vf.alias("valid_from_ms"),
+        F.lead(vf).over(w).alias("valid_to_ms"),
+        F.sum(cents).over(cum).alias("cum_spend_cents"),
+    )
+    probes = (
+        li.where(F.col("l_orderkey") % 97 == 0)
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias(
+                "ship_ms"
+            ),
+        )
+    )
+    return (
+        probes.join(
+            hist,
+            (probes.o_custkey == hist.h_custkey)
+            & (F.col("valid_from_ms") <= F.col("ship_ms"))
+            & (
+                F.col("valid_to_ms").isNull()
+                | (F.col("ship_ms") < F.col("valid_to_ms"))
+            ),
+        )
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            F.col("o_custkey").alias("custkey"),
+            "ship_ms",
+            "version",
+            "cum_spend_cents",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+CDC_PIT_SQL = """
+WITH hist AS (
+  SELECT o_custkey AS h_custkey,
+         CAST(row_number() OVER w AS INTEGER) AS version,
+         epoch_ms(o_orderdate) AS valid_from_ms,
+         lead(epoch_ms(o_orderdate)) OVER w AS valid_to_ms,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_spend_cents
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+probes AS (
+  SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+         o_custkey, epoch_ms(l_shipdate) AS ship_ms
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 97 = 0
+)
+SELECT l_orderkey, l_linenumber, o_custkey AS custkey, ship_ms,
+       version, cum_spend_cents
+FROM probes JOIN hist
+  ON o_custkey = h_custkey
+ AND valid_from_ms <= ship_ms
+ AND (valid_to_ms IS NULL OR ship_ms < valid_to_ms)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 # --- last-touch attribution --------------------------------------------------
 
 ATTR_WINDOW_US = 7 * 86400 * 1000000  # 7 days in epoch micros
@@ -892,7 +986,11 @@ def ev_concurrency(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias(
                 "n_ends"
             ),
-            F.max("running").alias("peak_local"),
+            # clamp at 0: the day's true peak may be its START state (all
+            # boundary events negative); carry_in + 0 covers that case
+            F.greatest(F.lit(0).cast("long"), F.max("running")).alias(
+                "peak_local"
+            ),
             F.sum("delta").alias("net"),
         )
     )
@@ -952,7 +1050,7 @@ per_day AS (
            AS n_starts,
          CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_ends,
-         max(running) AS peak_local,
+         greatest(0, max(running)) AS peak_local,
          sum(delta) AS net
   FROM (
     SELECT day, delta,
@@ -1192,4 +1290,5 @@ QUERIES = [
     Query("ev_paths", ev_paths, EV_PATHS_SQL, "top-20 session journey paths with conversion share"),
     Query("ev_concurrency", ev_concurrency, EV_CONCURRENCY_SQL, "peak concurrent sessions per day via two-phase interval sweep"),
     Query("ev_survival", ev_survival, EV_SURVIVAL_SQL, "Kaplan-Meier time-to-purchase curve, truncating fixed-point product"),
+    Query("cdc_pit_lookup", cdc_pit_lookup, CDC_PIT_SQL, "point-in-time AS-OF lookup against the SCD2 history"),
 ]
