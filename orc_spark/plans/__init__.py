@@ -75,7 +75,7 @@ _DEFERRED_LAST = [
     "r16_big_orders", "r17_nation_volume", "r18_returned_items",
     "r19_promo_share", "r20_bracket_revenue", "st_holt", "ev_rfm",
     "dq_freshness", "ev_concurrency", "ts_seasonal", "mb_rules",
-    "ev_survival", "cdc_pit_lookup",
+    "ev_survival", "cdc_pit_lookup", "r21_null_semantics",
     # once-green only (r02) — next refresh priority after the first-rows
     "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
     "dp_profile", "mm_frame_sample",

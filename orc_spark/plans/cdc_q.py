@@ -986,12 +986,26 @@ def ev_concurrency(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias(
                 "n_ends"
             ),
-            # clamp at 0: the day's true peak may be its START state (all
-            # boundary events negative); carry_in + 0 covers that case
-            F.greatest(F.lit(0).cast("long"), F.max("running")).alias(
-                "peak_local"
-            ),
+            F.max("running").alias("max_run"),
+            F.min("t").alias("first_t"),
             F.sum("delta").alias("net"),
+        )
+        # the day's peak may be its START state (carry_in + 0) — but only
+        # when that state is observable, i.e. the first boundary falls
+        # strictly after the day-start instant (property-tested: a -1
+        # landing exactly at day start means the carry never existed
+        # within this day)
+        .select(
+            "day",
+            "n_starts",
+            "n_ends",
+            F.when(
+                F.col("first_t") > F.col("day") * _CONC_DAY_US,
+                F.greatest(F.lit(0).cast("long"), F.col("max_run")),
+            )
+            .otherwise(F.col("max_run"))
+            .alias("peak_local"),
+            "net",
         )
     )
     ow = Window.orderBy("day").rowsBetween(
@@ -1050,10 +1064,12 @@ per_day AS (
            AS n_starts,
          CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_ends,
-         greatest(0, max(running)) AS peak_local,
+         CASE WHEN min(t) > day * {_CONC_DAY_US}
+              THEN greatest(0, max(running))
+              ELSE max(running) END AS peak_local,
          sum(delta) AS net
   FROM (
-    SELECT day, delta,
+    SELECT day, delta, t,
            sum(delta) OVER (PARTITION BY day ORDER BY t, delta
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS running

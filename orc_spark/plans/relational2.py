@@ -815,6 +815,80 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 """
 
 
+# --- r21: NULL-semantics battery ---------------------------------------------
+
+def r21_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-semantics battery over a real outer join (customers without
+    recent 'P'-status orders get NULL aggregates): null-safe equality
+    (Spark `<=>` == DuckDB IS NOT DISTINCT FROM), NULLIF, COALESCE,
+    count(*) vs count(col), aggregate NULL-skipping, and NULLS FIRST
+    ordering of a nullable key — the exact places engines silently
+    disagree, pinned per market segment."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    recent = (
+        orders.where(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(
+                F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+            ).alias("last_ms"),
+        )
+    )
+    j = cust.join(recent, cust.c_custkey == recent.o_custkey, "left")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.count("n_orders").alias("n_matched"),
+            F.sum(
+                F.when(F.col("n_orders").eqNullSafe(F.lit(None)), 1).otherwise(0)
+            ).alias("n_null_nullsafe"),
+            # TRUE iff n_orders is NULL (both sides null → <=> true) or
+            # n_orders ∉ {1,2} (both sides the same non-null value)
+            F.sum(
+                F.when(
+                    F.nullif(F.col("n_orders"), F.lit(1)).eqNullSafe(
+                        F.nullif(F.col("n_orders"), F.lit(2))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_nullif_nullsafe_eq"),
+            F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).alias(
+                "total_orders_coalesced"
+            ),
+            F.round(F.avg("n_orders"), 6).alias("avg_orders_skipnull"),
+            F.min(F.expr("last_ms")).alias("min_last_ms_skipnull"),
+        )
+        .orderBy(F.col("n_matched").asc_nulls_first(), F.col("c_mktsegment"))
+    )
+
+
+R21_SQL = """
+WITH recent AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         max(epoch_ms(o_orderdate)) AS last_ms
+  FROM orders WHERE o_orderstatus = 'P'
+  GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(count(n_orders) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN n_orders IS NOT DISTINCT FROM NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_nullsafe,
+       CAST(sum(CASE WHEN nullif(n_orders, 1)
+                          IS NOT DISTINCT FROM nullif(n_orders, 2)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nullif_nullsafe_eq,
+       CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS total_orders_coalesced,
+       round(avg(n_orders), 6) AS avg_orders_skipnull,
+       min(last_ms) AS min_last_ms_skipnull
+FROM customer LEFT JOIN recent ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY n_matched ASC NULLS FIRST, c_mktsegment
+"""
+
+
 QUERIES = [
     Query("r4b_cube", r4b_cube, R4B_SQL, "cube grouping sets"),
     Query("r_pivot", r_pivot, R_PIVOT_SQL, "pivot via conditional aggregation"),
@@ -833,4 +907,5 @@ QUERIES = [
     Query("r18_returned_items", r18_returned_items, R18_SQL, "returned-item revenue top-k (Q10 shape)"),
     Query("r19_promo_share", r19_promo_share, R19_SQL, "promo revenue share by month (Q14 shape)"),
     Query("r20_bracket_revenue", r20_bracket_revenue, R20_SQL, "disjunctive bracket predicate revenue (Q19 shape)"),
+    Query("r21_null_semantics", r21_null_semantics, R21_SQL, "NULL-semantics battery: null-safe eq, NULLIF/COALESCE, NULL-skipping aggs"),
 ]

@@ -1,0 +1,204 @@
+"""Property-based end-to-end checks for the round-4 analytics operators:
+random event tables are written as parquet, the REAL registry queries run on
+them, and the results are compared against brute-force Python oracles —
+independent of the DuckDB SQL oracles the driver uses (which share the
+query's algebraic structure; these do not)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+DAY_US = 86400 * 1000000
+GAP_US = 1800 * 1000000  # 30 min, matches cdc_q.SESSION_GAP_US
+
+
+def _write_events(spark, rows):
+    """Write rows (list of dicts) as an events.parquet the loaders accept."""
+    d = tempfile.mkdtemp(prefix="orc_props_")
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts_us"], unit="us")
+    pdf = pdf.drop(columns=["ts_us"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def _mk_rows(user_times, extra=None):
+    rows = []
+    eid = 0
+    for ui, times in enumerate(user_times):
+        for t in sorted(times):
+            r = {
+                "event_id": eid,
+                "ts_us": int(t),
+                "user_id": ui + 1,
+                "event_type": "view",
+                "value": 1.0,
+                "props": "{}",
+            }
+            if extra:
+                r.update(extra(ui, eid, t))
+            rows.append(r)
+            eid += 1
+    return rows
+
+
+times_strategy = st.lists(
+    st.integers(0, 3 * DAY_US), min_size=1, max_size=25, unique=True
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=3))
+def test_ev_concurrency_matches_bruteforce(spark, user_times):
+    from orc_spark.plans.cdc_q import ev_concurrency
+
+    sf = _write_events(spark, _mk_rows(user_times))
+    got = {
+        r["day"]: r
+        for r in ev_concurrency(spark, sf).collect()
+    }
+
+    # brute-force: sessions by the 30-min gap rule, concurrency evaluated
+    # on continuous time: conc(t) = #{sessions: start <= t <= end}
+    sessions = []
+    for times in user_times:
+        ts = sorted(times)
+        start = prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > GAP_US:
+                sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+
+    def conc(t):
+        return sum(1 for s, e in sessions if s <= t <= e)
+
+    days = sorted(
+        {s // DAY_US for s, _ in sessions}
+        | {(e + 1) // DAY_US for _, e in sessions}
+    )
+    assert sorted(got) == days
+    for d in days:
+        # peak is reached at the day start or at a session start within it
+        candidates = [d * DAY_US] + [
+            s for s, _ in sessions if s // DAY_US == d
+        ]
+        assert got[d]["peak_concurrency"] == max(conc(t) for t in candidates)
+        assert got[d]["eod_concurrency"] == conc((d + 1) * DAY_US - 1)
+        assert got[d]["n_starts"] == sum(
+            1 for s, _ in sessions if s // DAY_US == d
+        )
+        assert got[d]["n_ends"] == sum(
+            1 for _, e in sessions if (e + 1) // DAY_US == d
+        )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=2, max_size=4),
+    purchase_mask=st.lists(st.booleans(), min_size=4, max_size=4),
+)
+def test_ev_survival_matches_bruteforce(spark, user_times, purchase_mask):
+    from orc_spark.plans.cdc_q import _KM_SCALE, ev_survival
+
+    def extra(ui, eid, t):
+        # a user's LAST event becomes a purchase when its mask bit is set
+        return {
+            "event_type": "purchase"
+            if purchase_mask[ui % len(purchase_mask)]
+            and t == max(user_times[ui])
+            else "view"
+        }
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = ev_survival(spark, sf).orderBy("t").collect()
+
+    end_ts = max(t for times in user_times for t in times)
+    durs = []
+    for ui, times in enumerate(user_times):
+        o = min(times)
+        if purchase_mask[ui % len(purchase_mask)]:
+            durs.append(((max(times) - o) // DAY_US, 1))
+        else:
+            durs.append(((end_ts - o) // DAY_US, 0))
+    steps = {}
+    for t, ev in durs:
+        d, c = steps.get(t, (0, 0))
+        steps[t] = (d + ev, c + (1 - ev))
+    n_at_risk = len(durs)
+    s = _KM_SCALE
+    expected = []
+    for t in sorted(steps):
+        d, c = steps[t]
+        s = s * (n_at_risk - d) // n_at_risk
+        expected.append((t, d, c, n_at_risk, s))
+        n_at_risk -= d + c
+    assert [
+        (r["t"], r["d"], r["c"], r["n_at_risk"], r["surv_fp"]) for r in got
+    ] == expected
+    # survival is a probability and non-increasing
+    fps = [r["surv_fp"] for r in got]
+    assert all(0 <= f <= _KM_SCALE for f in fps)
+    assert all(a >= b for a, b in zip(fps, fps[1:]))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, width=64),
+            min_size=2,
+            max_size=15,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_ts_mannkendall_matches_naive(spark, series):
+    from orc_spark.plans.timeseries_q import ts_mannkendall
+
+    def extra_factory(vals_by_user):
+        def extra(ui, eid, t):
+            # deterministic per-event value via the event counter
+            return {"value": vals_by_user[ui].pop(0)}
+
+        return extra
+
+    user_times = [
+        [i * 1000000 for i in range(len(vs))] for vs in series
+    ]
+    vals_by_user = [list(vs) for vs in series]
+    sf = _write_events(spark, _mk_rows(user_times, extra_factory(vals_by_user)))
+    got = {r["user_id"]: r for r in ts_mannkendall(spark, sf).collect()}
+
+    for ui, vs in enumerate(series):
+        arr = np.asarray(vs)
+        s_stat = sum(
+            int(np.sign(arr[j] - arr[i]))
+            for i in range(len(arr))
+            for j in range(i + 1, len(arr))
+        )
+        n_pairs = len(arr) * (len(arr) - 1) // 2
+        r = got[ui + 1]
+        assert r["s_stat"] == s_stat
+        assert r["n_pairs"] == n_pairs
+        assert -1.0 <= r["tau"] <= 1.0
