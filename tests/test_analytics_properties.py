@@ -202,3 +202,114 @@ def test_ts_mannkendall_matches_naive(spark, series):
         assert r["s_stat"] == s_stat
         assert r["n_pairs"] == n_pairs
         assert -1.0 <= r["tau"] <= 1.0
+
+
+basket_strategy = st.lists(
+    st.lists(st.integers(1, 12), min_size=1, max_size=5, unique=True),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _write_lineitem(spark, baskets):
+    d = tempfile.mkdtemp(prefix="orc_props_li_")
+    rows = []
+    for oi, items in enumerate(baskets):
+        for ln, it in enumerate(items):
+            rows.append(
+                {
+                    "l_orderkey": oi + 1,
+                    "l_partkey": it,
+                    "l_suppkey": it,  # suppliers mirror parts for the graph
+                    "l_linenumber": ln + 1,
+                }
+            )
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(baskets=basket_strategy)
+def test_gr_triangles_matches_bruteforce(spark, baskets):
+    from itertools import combinations
+
+    from orc_spark.plans.graph_q import TRI_K, gr_triangles
+
+    sf = _write_lineitem(spark, baskets)
+    got = {r["s_suppkey"]: r for r in gr_triangles(spark, sf).collect()}
+
+    # brute force: co-occurrence weights -> per-node top-K -> mutual edges
+    from collections import Counter, defaultdict
+
+    w = Counter()
+    for items in baskets:
+        for a, b in combinations(sorted(set(items)), 2):
+            w[(a, b)] += 1
+    nbrs = defaultdict(list)
+    for (a, b), c in w.items():
+        nbrs[a].append((c, b))
+        nbrs[b].append((c, a))
+    top = {
+        u: {v for c, v in sorted(lst, key=lambda cv: (-cv[0], cv[1]))[:TRI_K]}
+        for u, lst in nbrs.items()
+    }
+    edges = {
+        (a, b)
+        for (a, b) in w
+        if b in top.get(a, set()) and a in top.get(b, set())
+    }
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    # enumerate each triangle once as a<b<c, credit all three corners
+    tri = Counter()
+    for a, b in edges:
+        for c in sorted(adj[a] & adj[b]):
+            if c > b:
+                for n in (a, b, c):
+                    tri[n] += 1
+    for node, r in got.items():
+        assert r["degree"] == len(adj[node])
+        assert r["n_tri"] == tri.get(node, 0)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(baskets=basket_strategy)
+def test_mb_rules_matches_bruteforce(spark, baskets):
+    from itertools import combinations
+
+    from orc_spark.plans.graph_q import MB_MIN_SUPPORT, mb_rules
+
+    sf = _write_lineitem(spark, baskets)
+    got = mb_rules(spark, sf).collect()
+
+    from collections import Counter
+
+    item = Counter()
+    pair = Counter()
+    for items in baskets:
+        s = sorted(set(items))
+        for it in s:
+            item[it] += 1
+        for a, b in combinations(s, 2):
+            pair[(a, b)] += 1
+    n_baskets = len(baskets)
+    for r in got:
+        a, b = r["pa"], r["pb"]
+        assert pair[(a, b)] == r["c_ab"] >= MB_MIN_SUPPORT
+        assert item[a] == r["c_a"] and item[b] == r["c_b"]
+        assert abs(
+            r["lift"]
+            - round(pair[(a, b)] * n_baskets / (item[a] * item[b]), 6)
+        ) < 1e-9
