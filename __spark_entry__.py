@@ -39,6 +39,16 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
         # the harness's session may predate our PYTHONPATH: ship the package
         # to its UDF workers before building any plan with Python stages
         ensure_package_on_workers(spark)
+        # drop RDD blocks pinned by ALREADY-COLLECTED earlier queries
+        # (localCheckpoint reuse pattern): across a 50-query gate they
+        # accumulate storage churn. Unexecuted eager=False checkpoints hold
+        # no blocks yet, so this is a no-op for plans still being built.
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                jmap.get(rid).unpersist(False)
+        except Exception:  # noqa: BLE001 — hygiene must never fail the gate
+            pass
         return fn(spark, sf_dir)
 
     return run

@@ -74,6 +74,19 @@ def main() -> None:
     # codegen classes (cached by generated source, identical across sf) are
     # compiled before timing. Long-lived Spark deployments amortize codegen;
     # the timed loop below measures steady-state query execution at sf_dir.
+    def _drop_persisted() -> None:
+        # catalog.clearCache() only drops SQL-cached relations; RDD blocks
+        # pinned by localCheckpoint (the multi-consumer reuse pattern in
+        # gr_triangles / cdc_q / sk_kmv / dd_cluster rounds) survive it and
+        # accumulate across 130+ queries, and the resulting storage churn /
+        # GC pauses showed up as 2-6x inflation on innocent later queries.
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                jmap.get(rid).unpersist(False)
+        except Exception:  # noqa: BLE001 — bench hygiene must never fail a run
+            pass
+
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(
         sf_dir
@@ -85,6 +98,7 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
             spark.catalog.clearCache()
+            _drop_persisted()
         print(
             f"# warmup pass (sf0.001): {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
@@ -96,7 +110,7 @@ def main() -> None:
     # clamp to >=1: reps=0 would leave `best` None and crash the whole run
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     errors: dict[str, str] = {}
-    for name in names:
+    for qi, name in enumerate(names):
         q = reg[name]
         best = None
         # one broken query must not zero out the whole round's bench artifact
@@ -112,11 +126,20 @@ def main() -> None:
                 # etc.) so later queries aren't measured under accumulated
                 # memory pressure
                 spark.catalog.clearCache()
+                _drop_persisted()
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             spark.catalog.clearCache()
+            _drop_persisted()
             continue
+        if qi % 20 == 19:
+            # nudge the driver JVM to collect unreferenced RDD/broadcast
+            # handles so the ContextCleaner actually frees executor blocks
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001
+                pass
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     # flagship reference workload: the full 4-metric analytics pass over the
