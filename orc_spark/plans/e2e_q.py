@@ -314,6 +314,85 @@ WHERE l_partkey >= mp // 4 AND l_partkey <= mp // 4 + mp // 8
 GROUP BY l_returnflag
 """
 
+_PARTN_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def _partitioned_events_path(spark: SparkSession, sf: str) -> tuple[str, int]:
+    """Hive-partition the events table by (event_type, day) once per
+    (sf, process) — the standard lakehouse layout whose directory structure
+    IS the index. The first-day anchor is computed at build time and
+    inlined as a literal so the probe's pruning is static (a broadcast
+    bound would demote it to a runtime filter)."""
+    hit = _PARTN_CACHE.get(sf)
+    if hit is None:
+        ev = load_table(spark, sf, "events")
+        d0 = int(
+            ev.agg(F.expr("min(ts div 86400000000)").alias("d0")).collect()[0].d0
+        )
+        import hashlib
+
+        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+        path = f"/tmp/orc_spark_part/events_{tag}_{os.getpid()}"
+        (
+            ev.withColumn("day", F.expr("ts div 86400000000"))
+            .write.partitionBy("event_type", "day")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        hit = (path, d0)
+        _PARTN_CACHE[sf] = hit
+    return hit
+
+
+def io_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Probe the hive-partitioned events layout: one event_type, a 3-day
+    window — both predicates are PARTITION filters, so whole directories
+    are skipped before any file IO (PartitionFilters asserted in
+    tests/test_plan_quality.py). The oracle runs the identical aggregate
+    on the raw table: a hash match proves the partitioned rewrite
+    preserved every value. Completes the data-layout family next to
+    io_zorder (footer-stat skipping) and ann_ivf_index (partition-pruned
+    index probes)."""
+    path, d0 = _partitioned_events_path(spark, sf)
+    ev = spark.read.parquet(path)
+    return (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & F.col("day").between(d0 + 2, d0 + 4)
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "n_events",
+            "n_users",
+            "value_cents",
+        )
+        .orderBy("day")
+    )
+
+
+IO_PARTN_SQL = """
+WITH b AS (SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events)
+SELECT epoch_us(ts) // 86400000000 AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events, b
+WHERE event_type = 'purchase'
+  AND epoch_us(ts) // 86400000000 BETWEEN b.d0 + 2 AND b.d0 + 4
+GROUP BY epoch_us(ts) // 86400000000
+ORDER BY day
+"""
+
+
 QUERIES = [
     Query(
         "ts_e2e_report",
@@ -328,4 +407,5 @@ QUERIES = [
         "ORC write/read round-trip fidelity (north-star format)",
     ),
     Query("io_zorder", io_zorder, IO_ZORDER_SQL, "z-order (Morton) layout + 2-D range query; footer-stat data skipping"),
+    Query("io_partition_prune", io_partition_prune, IO_PARTN_SQL, "hive-partitioned layout probe: partition filters skip directories"),
 ]

@@ -404,3 +404,17 @@ def test_ts_mannkendall_equijoin_not_cartesian(spark, sf_small):
 
     scans, ex, plan = _plan_stats(ts_mannkendall(spark, sf_small))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_io_partition_prune_static_filters(spark, sf_small):
+    """io_partition_prune: both probe predicates must be STATIC partition
+    filters (directory skipping before any file IO) — a broadcast bound
+    would demote them to runtime filters."""
+    from orc_spark.plans.e2e_q import io_partition_prune
+    from orc_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(io_partition_prune(spark, sf_small))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, plan
+    line = pf[0]
+    assert "event_type" in line and "day" in line and "purchase" in line, line
