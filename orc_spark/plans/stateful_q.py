@@ -874,6 +874,85 @@ rec (user_id, event_id, rn, state, n_flips) AS (
 SELECT user_id, event_id, CAST(state AS INTEGER) AS state, n_flips FROM rec
 """
 
+# --- event throttle / debounce (recursive stateful, integer-exact) -----------
+
+THROTTLE_US = 120 * 1000000  # keep at most one event per 2 minutes per user
+
+
+def st_throttle(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy event throttling (debounce): per user, keep an event only if
+    ≥2 minutes have passed since the last KEPT event — the rate-limiting /
+    alert-deduplication primitive. Greedy keep decisions depend on prior
+    keep decisions (not expressible as a window over raw timestamps), so
+    it runs through the recurrence harness; state is one integer
+    timestamp, replayed exactly by the recursive-CTE oracle. Emits the
+    keep flag and running kept-count per event."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g["ts"].to_numpy(np.int64)
+        keep = np.empty(len(t), dtype=np.int32)
+        cnt = np.empty(len(t), dtype=np.int64)
+        last = None
+        kept = 0
+        for i, x in enumerate(t):
+            if last is None or x - last >= THROTTLE_US:
+                keep[i] = 1
+                kept += 1
+                last = x
+            else:
+                keep[i] = 0
+            cnt[i] = kept
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "kept": keep,
+                "n_kept": cnt,
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("kept", T.IntegerType()),
+            T.StructField("n_kept", T.LongType()),
+        ]
+    )
+    return partitioned_group_scan(ev, ["user_id"], "ts", kernel, schema)
+
+
+ST_THROTTLE_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+rec (user_id, event_id, rn, kept, n_kept, last_kept) AS (
+  SELECT user_id, event_id, rn, 1, CAST(1 AS BIGINT), ts
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn,
+         CASE WHEN b.ts - r.last_kept >= {THROTTLE_US} THEN 1 ELSE 0 END,
+         r.n_kept + CASE WHEN b.ts - r.last_kept >= {THROTTLE_US}
+                         THEN 1 ELSE 0 END,
+         CASE WHEN b.ts - r.last_kept >= {THROTTLE_US} THEN b.ts
+              ELSE r.last_kept END
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, CAST(kept AS INTEGER) AS kept, n_kept FROM rec
+"""
+
+
 # --- Holt double-exponential smoothing (recursive stateful, f64) -------------
 
 HOLT_ALPHA = 0.3
@@ -1098,4 +1177,5 @@ QUERIES = [
     Query("st_hysteresis", st_hysteresis, ST_HYST_SQL, "Schmitt-trigger hysteresis + flip counts, integer-exact replay"),
     Query("st_cusum", st_cusum, _cusum_sql(), "two-sided CUSUM changepoint alarms, bit-identical f64 replay"),
     Query("st_holt", st_holt, _holt_sql(), "Holt level+trend smoothing with 1-step forecasts, bit-identical f64 replay"),
+    Query("st_throttle", st_throttle, ST_THROTTLE_SQL, "greedy event throttling/debounce, integer-exact replay"),
 ]
