@@ -39,16 +39,13 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
         # the harness's session may predate our PYTHONPATH: ship the package
         # to its UDF workers before building any plan with Python stages
         ensure_package_on_workers(spark)
-        # drop RDD blocks pinned by ALREADY-COLLECTED earlier queries
-        # (localCheckpoint reuse pattern): across a 50-query gate they
-        # accumulate storage churn. Unexecuted eager=False checkpoints hold
-        # no blocks yet, so this is a no-op for plans still being built.
-        try:
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for rid in list(jmap.keySet().toArray()):
-                jmap.get(rid).unpersist(False)
-        except Exception:  # noqa: BLE001 — hygiene must never fail the gate
-            pass
+        # NOTE: do NOT unpersist leftover RDDs here. A PENDING
+        # localCheckpoint(eager=False) registers in persistentRDDs before
+        # materializing, and unpersisting it corrupts its storage level
+        # ("not appropriate for local checkpointing" on later execution) —
+        # fatal if the harness builds several queries before collecting
+        # them. bench.py can clean between queries because it fully
+        # executes then discards each plan; the gate's pattern is unknown.
         return fn(spark, sf_dir)
 
     return run
