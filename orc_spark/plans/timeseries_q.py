@@ -736,6 +736,80 @@ ORDER BY c.event_type, c.hour
 """
 
 
+# --- time-weighted average (TWAP) --------------------------------------------
+
+def ts_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average value per user-day: each sample holds until
+    the next one (LOCF weighting), so Σ(v_i·Δt_i)/ΣΔt_i — the TWAP/VWAP
+    shape sampling-rate-robust monitoring needs (a plain mean over-weights
+    bursts; ev_anomaly's rolling z inherits that bias, this corrects it).
+    Weights are integer micros × fixed-point value (1e-4 units), bounded
+    ~4e17 per term — inside int64; the final division is the only float.
+
+    100 TB shape: one lead window per user (Δt), one combinable
+    (user, day) groupBy. Day boundaries clip the last interval of the day
+    so each day's weights sum exactly to its covered span."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    day_us = 86400 * 1000000
+    nxt = F.lead("ts").over(w)
+    # interval [ts, next) clipped to the sample's own day; the user's last
+    # sample gets zero weight (no span to hold over)
+    day_end = (F.expr(f"ts div {day_us}") + 1) * day_us
+    dt = F.when(
+        nxt.isNull(), F.lit(0)
+    ).otherwise(F.least(nxt, day_end) - F.col("ts"))
+    v_fp = F.round(F.col("value") * 10000, 0).cast("bigint")
+    return (
+        ev.select(
+            "user_id",
+            F.expr(f"ts div {day_us}").alias("day"),
+            (v_fp * dt).alias("wv"),
+            dt.alias("dt"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("wv").alias("sum_wv"), F.sum("dt").alias("sum_dt"))
+        .where(F.col("sum_dt") > 0)
+        .select(
+            "user_id",
+            "day",
+            "sum_wv",
+            "sum_dt",
+            F.round(
+                F.col("sum_wv").cast("double") / F.col("sum_dt").cast("double")
+                / 10000.0,
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+TS_TWAP_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts, value FROM events
+),
+spans AS (
+  SELECT user_id, ts // 86400000000 AS day,
+         CAST(round(value * 10000, 0) AS BIGINT) AS v_fp,
+         CASE WHEN lead(ts) OVER w IS NULL THEN 0
+              ELSE least(lead(ts) OVER w, (ts // 86400000000 + 1) * 86400000000)
+                   - ts END AS dt
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, day,
+       CAST(sum(v_fp * dt) AS BIGINT) AS sum_wv,
+       CAST(sum(dt) AS BIGINT) AS sum_dt,
+       round(CAST(sum(v_fp * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
+             / 10000.0, 6) AS twap
+FROM spans
+GROUP BY user_id, day
+HAVING sum(dt) > 0
+ORDER BY user_id, day
+"""
+
+
 # --- Mann-Kendall trend test -------------------------------------------------
 
 def ts_mannkendall(spark: SparkSession, sf: str) -> DataFrame:
@@ -855,4 +929,5 @@ QUERIES = [
     Query("ts_crossings", ts_crossings, TS_CROSSINGS_SQL, "mean-crossing rate, integer-exact centered signs"),
     Query("ts_mannkendall", ts_mannkendall, TS_MANNKENDALL_SQL, "Mann-Kendall trend test: integer S/pairs, tau + z from single float exprs"),
     Query("ts_seasonal", ts_seasonal, TS_SEASONAL_SQL, "hour-of-day seasonal profile, cross-multiplied exact deviations"),
+    Query("ts_twap", ts_twap, TS_TWAP_SQL, "time-weighted average per user-day, integer weights + one final division"),
 ]
