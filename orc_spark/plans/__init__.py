@@ -77,9 +77,10 @@ _DEFERRED_LAST = [
     "dq_freshness", "ev_concurrency", "ts_seasonal", "mb_rules",
     "ev_survival", "cdc_pit_lookup", "r21_null_semantics",
     "io_partition_prune", "st_throttle", "ts_twap",
-    # once-green only (r02) — next refresh priority after the first-rows
+    # once-green only (r02, no row since the schema-change round) — next
+    # refresh priority after the first-rows
     "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
-    "dp_profile", "mm_frame_sample",
+    "dp_profile", "mm_frame_sample", "ann_ivf", "ann_bruteforce_fast",
     # the two most expensive oracles (recursive-CTE closure ~42 s, all-pairs
     # join-sum ~12 s at sf0.01): r02-green, locally hash-verified every
     # pytest run; rotate back in r05 (VERDICT r03 item 7 deferred once more
@@ -89,7 +90,7 @@ _DEFERRED_LAST = [
     "dp_stratified", "r4b_cube", "rj_range_join", "r5c_rank_battery",
     "dd_minhash_sig", "dd_simhash", "dd_exact", "dd_simhash_pairs",
     "dp_sample", "dd_minhash_pairs", "approx_sketches", "sk_hll_merge",
-    "ann_topk", "ann_ivf", "ann_bruteforce_fast",
+    "ann_topk",
     # fresh r03 greens (all 50 checked queries passed): weakest marginal
     # signal this round — rotate past the budget; they re-enter in r05.
     # Order mirrors CORRECTNESS_r03 so next round's rotation can take a

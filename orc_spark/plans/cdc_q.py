@@ -445,6 +445,46 @@ FROM cnt
 SESSION_GAP_US = 30 * 60 * 1000000  # 30-minute inactivity gap
 
 
+def _session_indexed(ev: DataFrame) -> DataFrame:
+    """Append `session_idx` to an events frame (user_id, event_id, ts, …):
+    a new session starts after SESSION_GAP_US of user inactivity; the
+    running cumsum of gap flags is the classic sessionize idiom. The ONE
+    definition ev_sessionize / ev_paths / ev_concurrency all share — a
+    change here (tie-breaks, gap rule) changes all three together."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    return ev.withColumn("session_idx", F.sum(gap).over(run))
+
+
+def _session_cte(extra_cols: str = "") -> str:
+    """The matching DuckDB CTE chain (ev → flagged → sess); `extra_cols`
+    rides alongside (user_id, event_id, ts, session_idx)."""
+    c = f", {extra_cols}" if extra_cols else ""
+    return f"""ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts{c} FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts{c},
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS gap
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts{c},
+         sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+)"""
+
+
 def ev_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after 30 minutes of
     user inactivity; sessions get a per-user running index (cumsum of gap
@@ -455,15 +495,8 @@ def ev_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.when(
-        F.lag("ts").over(w).isNull()
-        | ((F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_US),
-        1,
-    ).otherwise(0)
     return (
-        ev.withColumn("session_idx", F.sum(gap).over(run))
+        _session_indexed(ev)
         .groupBy("user_id", "session_idx")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -491,24 +524,7 @@ def ev_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 EV_SESSIONIZE_SQL = f"""
-WITH ev AS (
-  SELECT user_id, event_id, epoch_us(ts) AS ts, event_type, value FROM events
-),
-flagged AS (
-  SELECT user_id, event_id, ts, event_type, value,
-         CASE WHEN lag(ts) OVER w IS NULL
-               OR ts - lag(ts) OVER w > {SESSION_GAP_US}
-              THEN 1 ELSE 0 END AS gap
-  FROM ev
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id, event_id, ts, event_type, value,
-         sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_idx
-  FROM flagged
-)
+WITH {_session_cte("event_type, value")}
 SELECT user_id,
        CAST(session_idx AS INTEGER) AS session_idx,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -692,15 +708,8 @@ def ev_paths(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.when(
-        F.lag("ts").over(w).isNull()
-        | ((F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_US),
-        1,
-    ).otherwise(0)
     paths = (
-        ev.withColumn("session_idx", F.sum(gap).over(run))
+        _session_indexed(ev)
         .groupBy("user_id", "session_idx")
         .agg(
             F.expr(
@@ -743,23 +752,7 @@ def ev_paths(spark: SparkSession, sf: str) -> DataFrame:
 
 
 EV_PATHS_SQL = f"""
-WITH ev AS (
-  SELECT user_id, event_id, epoch_us(ts) AS ts, event_type FROM events
-),
-flagged AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN lag(ts) OVER w IS NULL
-               OR ts - lag(ts) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS gap
-  FROM ev
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id, event_id, ts, event_type,
-         sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_idx
-  FROM flagged
-),
+WITH {_session_cte("event_type")},
 paths AS (
   SELECT user_id, session_idx,
          string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
@@ -949,15 +942,8 @@ def ev_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     Session intervals are closed ([start, end]); the −1 boundary lands at
     end+1µs so a session whose start equals another's end still overlaps."""
     ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.when(
-        F.lag("ts").over(w).isNull()
-        | ((F.col("ts") - F.lag("ts").over(w)) > SESSION_GAP_US),
-        1,
-    ).otherwise(0)
     sessions = (
-        ev.withColumn("session_idx", F.sum(gap).over(run))
+        _session_indexed(ev)
         .groupBy("user_id", "session_idx")
         .agg(F.min("ts").alias("start_us"), F.max("ts").alias("end_us"))
         # both union halves read the interval table — materialize so the
@@ -1007,12 +993,30 @@ def ev_concurrency(spark: SparkSession, sf: str) -> DataFrame:
             .alias("peak_local"),
             "net",
         )
+        # consumed by the spine bounds AND the left join — tiny table
+        .localCheckpoint(eager=False)
+    )
+    # day spine: a day with ongoing sessions but NO boundary events (quiet
+    # middle of a long session) still carries nonzero concurrency — without
+    # it the busiest-but-quietest days silently vanish from the report
+    # (found by code review; the per-day left join fills zeros and the
+    # carry window restores the level)
+    spine = (
+        per_day.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+    )
+    full = spine.join(per_day, "day", "left").select(
+        "day",
+        F.coalesce(F.col("n_starts"), F.lit(0)).alias("n_starts"),
+        F.coalesce(F.col("n_ends"), F.lit(0)).alias("n_ends"),
+        F.coalesce(F.col("peak_local"), F.lit(0)).alias("peak_local"),
+        F.coalesce(F.col("net"), F.lit(0)).alias("net"),
     )
     ow = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        per_day.withColumn("carry_in", F.sum("net").over(ow) - F.col("net"))
+        full.withColumn("carry_in", F.sum("net").over(ow) - F.col("net"))
         .select(
             "day",
             F.col("n_starts").cast("bigint").alias("n_starts"),
@@ -1029,27 +1033,11 @@ def ev_concurrency(spark: SparkSession, sf: str) -> DataFrame:
 
 
 EV_CONCURRENCY_SQL = f"""
-WITH ev AS (
-  SELECT user_id, event_id, epoch_us(ts) AS ts FROM events
-),
-flagged AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-               OR ts - lag(ts) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END
-           AS gap
-  FROM ev
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
+WITH {_session_cte()},
 sessions AS (
   SELECT user_id, session_idx,
          min(ts) AS start_us, max(ts) AS end_us
-  FROM (
-    SELECT user_id, event_id, ts,
-           sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS session_idx
-    FROM flagged
-  ) GROUP BY user_id, session_idx
+  FROM sess GROUP BY user_id, session_idx
 ),
 deltas AS (
   SELECT start_us AS t, 1 AS delta, start_us // {_CONC_DAY_US} AS day
@@ -1075,15 +1063,29 @@ per_day AS (
              AS running
   FROM deltas
   ) GROUP BY day
+),
+spine AS (
+  SELECT unnest(generate_series((SELECT min(day) FROM per_day),
+                                (SELECT max(day) FROM per_day))) AS day
+),
+filled AS (
+  SELECT s.day,
+         COALESCE(p.n_starts, 0) AS n_starts,
+         COALESCE(p.n_ends, 0) AS n_ends,
+         COALESCE(p.peak_local, 0) AS peak_local,
+         COALESCE(p.net, 0) AS net
+  FROM spine s LEFT JOIN per_day p ON s.day = p.day
 )
-SELECT day, n_starts, n_ends,
+SELECT day,
+       CAST(n_starts AS BIGINT) AS n_starts,
+       CAST(n_ends AS BIGINT) AS n_ends,
        CAST(sum(net) OVER (ORDER BY day
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             - net + peak_local AS BIGINT) AS peak_concurrency,
        CAST(sum(net) OVER (ORDER BY day
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS eod_concurrency
-FROM per_day
+FROM filled
 ORDER BY day
 """
 

@@ -16,6 +16,20 @@ from pyspark.sql import functions as F
 from orc_spark.plans import Query
 from orc_spark.sources.tables import load_table
 
+# The ONE fixed-point revenue definition every revenue-summing query in this
+# module shares (review fix: five Spark + ~9 SQL copies had drifted in):
+# hundredths-of-cents so sums are order-independent-exact cross-engine.
+def _rev_fp():
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+
+
+REV_FP_SQL = (
+    "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+)
+
+
 
 # --- cube -------------------------------------------------------------------
 
@@ -389,11 +403,10 @@ def r13_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-R13_SQL = """
+R13_SQL = f"""
 WITH rev AS (
   SELECT l_suppkey,
-         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
-                       AS BIGINT)) AS BIGINT) AS total_rev_fp
+         CAST(sum({REV_FP_SQL}) AS BIGINT) AS total_rev_fp
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <= TIMESTAMP '1996-03-31 00:00:00'
@@ -616,9 +629,7 @@ def r17_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     cn = cust.join(
         nation, cust.c_nationkey == nation.n_nationkey
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
-    rev_fp = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-    ).cast("bigint")
+    rev_fp = _rev_fp()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
@@ -635,11 +646,10 @@ def r17_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-R17_SQL = """
+R17_SQL = f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
-                     AS BIGINT)) AS BIGINT) AS revenue_fp
+       CAST(sum({REV_FP_SQL}) AS BIGINT) AS revenue_fp
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -666,9 +676,7 @@ def r18_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     nation = load_table(spark, sf, "nation")
     lo = F.to_timestamp(F.lit("1996-01-01"))
     hi = F.to_timestamp(F.lit("1996-04-01"))
-    rev_fp = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-    ).cast("bigint")
+    rev_fp = _rev_fp()
     return (
         li.where(F.col("l_returnflag") == "R")
         .join(
@@ -686,10 +694,9 @@ def r18_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-R18_SQL = """
+R18_SQL = f"""
 SELECT c_custkey, c_name, n_name AS nation,
-       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
-                     AS BIGINT)) AS BIGINT) AS revenue_fp
+       CAST(sum({REV_FP_SQL}) AS BIGINT) AS revenue_fp
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -713,9 +720,7 @@ def r19_promo_share(spark: SparkSession, sf: str) -> DataFrame:
     no accumulated-double divergence possible."""
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part")
-    rev_fp = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-    ).cast("bigint")
+    rev_fp = _rev_fp()
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(
@@ -744,19 +749,18 @@ def r19_promo_share(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-R19_SQL = """
+R19_SQL = f"""
 SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
        CAST(month(l_shipdate) AS INTEGER) AS ship_month,
        CAST(sum(CASE WHEN p_type = 'PROMO'
-                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+                     THEN {REV_FP_SQL}
                      ELSE 0 END) AS BIGINT) AS promo_fp,
-       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
-            AS BIGINT) AS total_fp,
+       CAST(sum({REV_FP_SQL}) AS BIGINT) AS total_fp,
        round(CAST(100.0 AS DOUBLE)
              * CAST(sum(CASE WHEN p_type = 'PROMO'
-                             THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)
+                             THEN {REV_FP_SQL}
                              ELSE 0 END) AS DOUBLE)
-             / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE),
+             / CAST(sum({REV_FP_SQL}) AS DOUBLE),
              6) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY year(l_shipdate), month(l_shipdate)
@@ -790,9 +794,7 @@ def r20_bracket_revenue(spark: SparkSession, sf: str) -> DataFrame:
         & F.col("p_size").between(20, 50)
         & F.col("l_quantity").between(20, 40)
     )
-    rev_fp = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-    ).cast("bigint")
+    rev_fp = _rev_fp()
     return j.where(arm1 | arm2 | arm3).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(rev_fp).alias("revenue_fp"),
@@ -800,10 +802,9 @@ def r20_bracket_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-R20_SQL = """
+R20_SQL = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
-            AS BIGINT) AS revenue_fp,
+       CAST(sum({REV_FP_SQL}) AS BIGINT) AS revenue_fp,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15

@@ -783,10 +783,13 @@ def sk_kmv(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # distinct AFTER hashing too: the oracle's du is DISTINCT (type, h), so
+    # a 60-bit collision between two user_ids of one type must collapse on
+    # the Spark side as well (review finding — latent cross-engine skew)
     du = pairs.select(
         "event_type",
         h60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
-    )
+    ).distinct()
     win = Window.partitionBy("event_type").orderBy(F.col("h").asc())
     kept = (
         du.withColumn("rn", F.row_number().over(win))

@@ -743,33 +743,49 @@ def ts_twap(spark: SparkSession, sf: str) -> DataFrame:
     the next one (LOCF weighting), so Σ(v_i·Δt_i)/ΣΔt_i — the TWAP/VWAP
     shape sampling-rate-robust monitoring needs (a plain mean over-weights
     bursts; ev_anomaly's rolling z inherits that bias, this corrects it).
-    Weights are integer micros × fixed-point value (1e-4 units), bounded
-    ~4e17 per term — inside int64; the final division is the only float.
+    A hold that crosses midnight is split across every day it covers
+    (sequence-explode of the covered day range), so each user-day's
+    weights sum EXACTLY to its covered span — a value held overnight
+    counts toward the morning it covered (review fix: the first cut
+    dropped carried spans). Weights are integer micros × fixed-point
+    value (1e-4 units), bounded ~4e17 per term — inside int64; the final
+    division is the only float.
 
-    100 TB shape: one lead window per user (Δt), one combinable
-    (user, day) groupBy. Day boundaries clip the last interval of the day
-    so each day's weights sum exactly to its covered span."""
-    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    100 TB shape: one lead window per user, a bounded day-range explode
+    (horizon days, not row count), one combinable (user, day) groupBy."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     day_us = 86400 * 1000000
-    nxt = F.lead("ts").over(w)
-    # interval [ts, next) clipped to the sample's own day; the user's last
-    # sample gets zero weight (no span to hold over)
-    day_end = (F.expr(f"ts div {day_us}") + 1) * day_us
-    dt = F.when(
-        nxt.isNull(), F.lit(0)
-    ).otherwise(F.least(nxt, day_end) - F.col("ts"))
-    v_fp = F.round(F.col("value") * 10000, 0).cast("bigint")
-    return (
+    spans = (
         ev.select(
             "user_id",
-            F.expr(f"ts div {day_us}").alias("day"),
-            (v_fp * dt).alias("wv"),
-            dt.alias("dt"),
+            "ts",
+            F.round(F.col("value") * 10000, 0).cast("bigint").alias("v_fp"),
+            F.lead("ts").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull() & (F.col("nxt") > F.col("ts")))
+    )
+    exploded = spans.select(
+        "user_id",
+        "ts",
+        "v_fp",
+        "nxt",
+        F.explode(
+            F.expr(f"sequence(ts div {day_us}, (nxt - 1) div {day_us})")
+        ).alias("day"),
+    )
+    overlap = F.least(F.col("nxt"), (F.col("day") + 1) * day_us) - F.greatest(
+        F.col("ts"), F.col("day") * day_us
+    )
+    return (
+        exploded.select(
+            "user_id", "day", (F.col("v_fp") * overlap).alias("wv"),
+            overlap.alias("dt"),
         )
         .groupBy("user_id", "day")
         .agg(F.sum("wv").alias("sum_wv"), F.sum("dt").alias("sum_dt"))
-        .where(F.col("sum_dt") > 0)
         .select(
             "user_id",
             "day",
@@ -790,22 +806,31 @@ WITH ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts, value FROM events
 ),
 spans AS (
-  SELECT user_id, ts // 86400000000 AS day,
+  SELECT user_id, ts,
          CAST(round(value * 10000, 0) AS BIGINT) AS v_fp,
-         CASE WHEN lead(ts) OVER w IS NULL THEN 0
-              ELSE least(lead(ts) OVER w, (ts // 86400000000 + 1) * 86400000000)
-                   - ts END AS dt
+         lead(ts) OVER w AS nxt
   FROM ev
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+exploded AS (
+  SELECT user_id, ts, v_fp, nxt,
+         unnest(generate_series(ts // 86400000000,
+                                (nxt - 1) // 86400000000)) AS day
+  FROM spans WHERE nxt IS NOT NULL AND nxt > ts
 )
 SELECT user_id, day,
-       CAST(sum(v_fp * dt) AS BIGINT) AS sum_wv,
-       CAST(sum(dt) AS BIGINT) AS sum_dt,
-       round(CAST(sum(v_fp * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)
+       CAST(sum(v_fp * (least(nxt, (day + 1) * 86400000000)
+                        - greatest(ts, day * 86400000000))) AS BIGINT)
+         AS sum_wv,
+       CAST(sum(least(nxt, (day + 1) * 86400000000)
+                - greatest(ts, day * 86400000000)) AS BIGINT) AS sum_dt,
+       round(CAST(sum(v_fp * (least(nxt, (day + 1) * 86400000000)
+                              - greatest(ts, day * 86400000000))) AS DOUBLE)
+             / CAST(sum(least(nxt, (day + 1) * 86400000000)
+                        - greatest(ts, day * 86400000000)) AS DOUBLE)
              / 10000.0, 6) AS twap
-FROM spans
+FROM exploded
 GROUP BY user_id, day
-HAVING sum(dt) > 0
 ORDER BY user_id, day
 """
 

@@ -84,10 +84,11 @@ def test_ev_concurrency_matches_bruteforce(spark, user_times):
     def conc(t):
         return sum(1 for s, e in sessions if s <= t <= e)
 
-    days = sorted(
-        {s // DAY_US for s, _ in sessions}
-        | {(e + 1) // DAY_US for _, e in sessions}
-    )
+    bdays = {s // DAY_US for s, _ in sessions} | {
+        (e + 1) // DAY_US for _, e in sessions
+    }
+    # the spine fills quiet middle days (ongoing sessions, no boundaries)
+    days = list(range(min(bdays), max(bdays) + 1))
     assert sorted(got) == days
     for d in days:
         # peak is reached at the day start or at a session start within it
@@ -313,3 +314,45 @@ def test_mb_rules_matches_bruteforce(spark, baskets):
             r["lift"]
             - round(pair[(a, b)] * n_baskets / (item[a] * item[b]), 6)
         ) < 1e-9
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=3))
+def test_ts_twap_conserves_coverage(spark, user_times):
+    """Conservation law: across all of a user's days, TWAP weights must sum
+    EXACTLY to (last_ts − first_ts) and the weighted sum to Σ v_i·Δt_i —
+    catches any day-boundary clipping loss (the review-found bug class).
+    Each day's weight is also bounded by the day length."""
+    from orc_spark.plans.timeseries_q import ts_twap
+
+    rng_vals = {}
+
+    def extra(ui, eid, t):
+        v = float((eid * 37 % 500) + 1) / 7.0
+        rng_vals[(ui, t)] = v
+        return {"value": v}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    rows = ts_twap(spark, sf).collect()
+
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for ui, times in enumerate(user_times):
+        ts = sorted(times)
+        uid = ui + 1
+        got = by_user.get(uid, [])
+        if len(ts) < 2 or ts[-1] == ts[0]:
+            assert got == []
+            continue
+        assert sum(r["sum_dt"] for r in got) == ts[-1] - ts[0]
+        expected_wv = sum(
+            round(rng_vals[(ui, a)] * 10000) * (b - a)
+            for a, b in zip(ts, ts[1:])
+        )
+        assert sum(r["sum_wv"] for r in got) == expected_wv
+        assert all(0 < r["sum_dt"] <= DAY_US for r in got)
