@@ -687,6 +687,111 @@ FROM tagged
 GROUP BY 1, 2
 """
 
+# --- epoch upsampling (repetition factors for data mixing) -------------------
+
+# per-language repetition factors in 1/1000ths: rare/high-value languages
+# repeat ~2.2-2.5x per epoch, the dominant language stays at 1x — the
+# upsampling half of mixture control (cu_mixture is the downsampling half)
+CU_REP_FACTORS = {"de": 2500, "fr": 2200, "es": 1800, "zh": 1500}
+CU_REP_DEFAULT = 1000
+
+
+def cu_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch upsampling: each document is repeated
+    floor(f/1000) times, plus one extra copy iff h60(doc) mod 1000 falls
+    under the fractional part — so realized per-language repetition
+    converges to f/1000 with zero randomness. Emits the per-language
+    audit: docs in/out, realized factor, and an order-independent xor
+    digest over every (doc, copy_idx) emitted — the driver hash therefore
+    checks the exact multiset of copies, not just counts.
+
+    100 TB shape: one scan, a per-row sequence-explode bounded by
+    max(f)/1000 copies, one combinable groupBy(lang). The factor map is a
+    broadcast literal CASE."""
+    from orc_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    factor = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(f))
+            for lang, f in sorted(CU_REP_FACTORS.items())
+        ],
+        F.lit(CU_REP_DEFAULT),
+    )
+    h = h60(F.concat(F.lit("rep:"), F.col("doc_id").cast("string")))
+    n_copies = (factor / 1000).cast("bigint") + F.when(
+        (h % 1000) < (factor % 1000), 1
+    ).otherwise(0)
+    copies = docs.select(
+        "doc_id", "lang", "n_chars", n_copies.alias("n_copies")
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.explode(F.expr("sequence(1, n_copies)")).alias("copy_idx"),
+    )
+    return (
+        copies.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("docs_in"),
+            F.count(F.lit(1)).alias("docs_out"),
+            F.sum("n_chars").alias("chars_out"),
+            F.bit_xor(
+                h60(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.col("copy_idx").cast("string")
+                    )
+                )
+            ).alias("copies_digest"),
+        )
+        .select(
+            "lang",
+            "docs_in",
+            "docs_out",
+            "chars_out",
+            F.round(
+                F.col("docs_out").cast("double") / F.col("docs_in").cast("double"),
+                6,
+            ).alias("realized_factor"),
+            "copies_digest",
+        )
+        .orderBy("lang")
+    )
+
+
+def _cu_repetition_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {f}" for lang, f in sorted(CU_REP_FACTORS.items())
+    )
+    h = h60_sql("'rep:' || doc_id")
+    hx = h60_sql("doc_id || ':' || copy_idx")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars,
+         CASE lang {cases} ELSE {CU_REP_DEFAULT} END AS f,
+         {h} AS h
+  FROM documents
+),
+copies AS (
+  SELECT doc_id, lang, n_chars,
+         unnest(generate_series(1,
+            f // 1000 + CASE WHEN h % 1000 < f % 1000 THEN 1 ELSE 0 END))
+           AS copy_idx
+  FROM base
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_in,
+       CAST(count(*) AS BIGINT) AS docs_out,
+       CAST(sum(n_chars) AS BIGINT) AS chars_out,
+       round(CAST(count(*) AS DOUBLE) / CAST(count(DISTINCT doc_id) AS DOUBLE),
+             6) AS realized_factor,
+       CAST(bit_xor({hx}) AS BIGINT) AS copies_digest
+FROM copies
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = [
     Query("tx_redact", tx_redact, TX_REDACT_SQL, "PII-style redaction battery (emails/URLs/long numbers)"),
     Query("dd_keepbest", dd_keepbest, DD_KEEPBEST_SQL, "exact-dup keep-best resolution (longest, tie→min id)"),
@@ -697,4 +802,5 @@ QUERIES = [
     Query("cu_decontaminate", cu_decontaminate, _cu_decon_sql(), "benchmark decontamination: 20-gram winnowing overlap vs a held-out eval split"),
     Query("cu_pack", cu_pack, CU_PACK_SQL, "sequence packing: concat-and-chunk the corpus into context-length bins"),
     Query("cu_split", cu_split, CU_SPLIT_SQL, "deterministic hash-bucket train/val/test split audit"),
+    Query("cu_repetition", cu_repetition, _cu_repetition_sql(), "deterministic epoch upsampling with fractional repetition factors"),
 ]
