@@ -138,39 +138,13 @@ def gr_triangles(spark: SparkSession, sf: str) -> DataFrame:
     at K, so the oriented 3-way triangle join touches at most N·K² rows —
     no dense-graph blowup, no all-pairs. All counts are integers; ranking
     ties break on neighbor id, so the sparsified graph is deterministic and
-    the whole result hash-checks cross-engine."""
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
-    co = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    und = co.unionByName(
-        co.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    )
-    win = Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v").asc())
-    ranked = (
-        und.withColumn("rn", F.row_number().over(win))
-        .where(F.col("rn") <= TRI_K)
-        .select("u", "v")
-    )
-    r2 = ranked.select(F.col("u").alias("v2"), F.col("v").alias("u2"))
-    edges = (
-        ranked.join(
-            r2, (ranked.u == F.col("u2")) & (ranked.v == F.col("v2"))
-        )
-        .where(F.col("u") < F.col("v"))
-        .select(F.col("u").alias("ea"), F.col("v").alias("eb"))
-        # the sparsified edge list is consumed five times (three triangle
-        # legs, degree, and via tris the per-node explode); without
-        # truncation Catalyst inlines the whole pair-pipeline per consumer
-        # (40 scans / 45 exchanges observed) — materialize it once
-        .localCheckpoint(eager=False)
-    )
+    the whole result hash-checks cross-engine.
+
+    The edge list is checkpointed by _mutual_knn_edges: it is consumed five
+    times (three triangle legs, degree, and via tris the per-node explode);
+    without truncation Catalyst inlines the whole pair-pipeline per
+    consumer (40 scans / 45 exchanges observed)."""
+    edges = _mutual_knn_edges(spark, sf)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tris = (
         e1.join(e2, F.col("e1.eb") == F.col("e2.ea"))
@@ -254,6 +228,151 @@ SELECT d.node AS s_suppkey, d.degree,
 FROM deg d LEFT JOIN per_node p ON d.node = p.node
 ORDER BY n_tri DESC, s_suppkey ASC
 LIMIT 20
+"""
+
+
+# --- k-core decomposition ----------------------------------------------------
+
+KCORE_K = 4
+KCORE_ROUNDS = 4
+
+
+def _mutual_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The degree-bounded mutual top-K co-occurrence edges gr_triangles
+    builds (one definition for both graph queries)."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = co.unionByName(
+        co.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    win = Window.partitionBy("u").orderBy(F.col("w").desc(), F.col("v").asc())
+    ranked = (
+        und.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= TRI_K)
+        .select("u", "v")
+    )
+    r2 = ranked.select(F.col("u").alias("v2"), F.col("v").alias("u2"))
+    return (
+        ranked.join(
+            r2, (ranked.u == F.col("u2")) & (ranked.v == F.col("v2"))
+        )
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("ea"), F.col("v").alias("eb"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """{K}-core decomposition of the mutual-kNN co-occurrence graph:
+    iteratively peel nodes with degree < {K} — the dense-community
+    extractor (spam rings, tight supplier cliques). {R} peel rounds are
+    unrolled; the `converged` flag reports whether round {R} removed
+    nothing (i.e. the survivors ARE the exact k-core), so the fixed
+    unrolling can't silently under-peel.
+
+    100 TB shape: each round is one degree groupBy + two semi-joins over
+    an edge list whose degree the mutual-top-K construction already caps;
+    edges shrink monotonically, and each round is lineage-truncated the
+    same way operators/graph.py checkpoints its CC rounds."""
+    edges = _mutual_knn_edges(spark, sf)
+    counts = []
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("ea").alias("node"))
+            .unionByName(edges.select(F.col("eb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "ea"), "ea", "left_semi")
+            .join(keep.withColumnRenamed("node", "eb"), "eb", "left_semi")
+            .select("ea", "eb")
+            .localCheckpoint(eager=False)
+        )
+        counts.append(keep)
+    final_deg = (
+        edges.select(F.col("ea").alias("node"))
+        .unionByName(edges.select(F.col("eb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .where(F.col("core_degree") >= KCORE_K)
+    )
+    n_prev = counts[-2].agg(F.count(F.lit(1)).alias("n_prev"))
+    n_last = counts[-1].agg(F.count(F.lit(1)).alias("n_last"))
+    return (
+        final_deg.crossJoin(F.broadcast(n_prev))
+        .crossJoin(F.broadcast(n_last))
+        .select(
+            F.col("node").alias("s_suppkey"),
+            "core_degree",
+            (F.col("n_prev") == F.col("n_last")).alias("converged"),
+        )
+        .orderBy(F.col("core_degree").desc(), F.col("s_suppkey").asc())
+    )
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev = "e0"
+    last_nodes = None
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+n{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT ea AS node FROM {prev} UNION ALL SELECT eb FROM {prev})
+    GROUP BY node
+  ) WHERE degree >= {KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT ea, eb FROM {prev}
+  WHERE ea IN (SELECT node FROM n{i}) AND eb IN (SELECT node FROM n{i})
+)""")
+        prev = f"e{i}"
+        last_nodes = f"n{i}"
+    chain = ",".join(rounds)
+    r = KCORE_ROUNDS
+    return f"""
+WITH co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+),
+und AS (
+  SELECT u, v, w FROM co UNION ALL SELECT v AS u, u AS v, w FROM co
+),
+ranked AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+           row_number() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rn
+    FROM und
+  ) WHERE rn <= {TRI_K}
+),
+e0 AS MATERIALIZED (
+  SELECT r1.u AS ea, r1.v AS eb
+  FROM ranked r1 JOIN ranked r2 ON r1.u = r2.v AND r1.v = r2.u
+  WHERE r1.u < r1.v
+),
+{chain}
+SELECT node AS s_suppkey, core_degree,
+       (SELECT count(*) FROM n{r - 1}) = (SELECT count(*) FROM n{r})
+         AS converged
+FROM (
+  SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+  FROM (SELECT ea AS node FROM e{r} UNION ALL SELECT eb FROM e{r})
+  GROUP BY node
+) WHERE core_degree >= {KCORE_K}
+ORDER BY core_degree DESC, s_suppkey ASC
 """
 
 
@@ -355,4 +474,5 @@ QUERIES = [
     Query("gr_pagerank", gr_pagerank, _pagerank_sql(), "fixed-point integer PageRank, 4 iterations, bit-exact cross-engine"),
     Query("gr_triangles", gr_triangles, GR_TRIANGLES_SQL, "triangle counts over a mutual-kNN co-occurrence graph, integer-exact"),
     Query("mb_rules", mb_rules, MB_RULES_SQL, "market-basket association rules: support/confidence/lift, top-20"),
+    Query("gr_kcore", gr_kcore, _kcore_sql(), "k-core peeling of the mutual-kNN graph, unrolled rounds + convergence flag"),
 ]
