@@ -953,6 +953,102 @@ SELECT user_id, event_id, CAST(kept AS INTEGER) AS kept, n_kept FROM rec
 """
 
 
+# --- token-bucket rate limiter (recursive stateful, integer-exact) -----------
+
+TB_SCALE = 1_000_000         # micro-tokens per token
+TB_CAP = 5 * TB_SCALE        # bucket capacity: 5 tokens
+TB_REFILL_DIV = 60           # 1 token per minute == dt_us // 60 micro-tokens
+
+
+def st_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-bucket rate limiting per user: the bucket refills at 1
+    token/min up to 5, each admitted event spends one — so bursts up to 5
+    pass while the sustained rate is capped (st_throttle's fixed-spacing
+    complement, the shape API gateways actually deploy). All state is
+    integer micro-tokens (refill = dt_us // 60 — truncating division both
+    engines), so the replay is exact; the oracle steps the identical
+    integer ops per recursive iteration."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g["ts"].to_numpy(np.int64)
+        adm = np.empty(len(t), dtype=np.int32)
+        toks = np.empty(len(t), dtype=np.int64)
+        nadm = np.empty(len(t), dtype=np.int64)
+        tok = TB_CAP
+        prev = None
+        n = 0
+        for i, x in enumerate(t):
+            if prev is not None:
+                tok = min(TB_CAP, tok + (x - prev) // TB_REFILL_DIV)
+            prev = x
+            if tok >= TB_SCALE:
+                adm[i] = 1
+                tok -= TB_SCALE
+                n += 1
+            else:
+                adm[i] = 0
+            toks[i] = tok
+            nadm[i] = n
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "admitted": adm,
+                "tokens_after": toks,
+                "n_admitted": nadm,
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("admitted", T.IntegerType()),
+            T.StructField("tokens_after", T.LongType()),
+            T.StructField("n_admitted", T.LongType()),
+        ]
+    )
+    return partitioned_group_scan(ev, ["user_id"], "ts", kernel, schema)
+
+
+def _token_bucket_sql() -> str:
+    # refilled level from the previous state (first row: full bucket)
+    refill = (
+        f"least({TB_CAP}, r.tokens + (b.ts - r.ts) // {TB_REFILL_DIV})"
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+rec (user_id, event_id, rn, ts, admitted, tokens, n_admitted) AS (
+  SELECT user_id, event_id, rn, ts, 1,
+         CAST({TB_CAP - TB_SCALE} AS BIGINT), CAST(1 AS BIGINT)
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn, b.ts,
+         CASE WHEN {refill} >= {TB_SCALE} THEN 1 ELSE 0 END,
+         CASE WHEN {refill} >= {TB_SCALE}
+              THEN {refill} - {TB_SCALE} ELSE {refill} END,
+         r.n_admitted + CASE WHEN {refill} >= {TB_SCALE} THEN 1 ELSE 0 END
+  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, event_id, CAST(admitted AS INTEGER) AS admitted,
+       tokens AS tokens_after, n_admitted
+FROM rec
+"""
+
+
 # --- Holt double-exponential smoothing (recursive stateful, f64) -------------
 
 HOLT_ALPHA = 0.3
@@ -1178,4 +1274,5 @@ QUERIES = [
     Query("st_cusum", st_cusum, _cusum_sql(), "two-sided CUSUM changepoint alarms, bit-identical f64 replay"),
     Query("st_holt", st_holt, _holt_sql(), "Holt level+trend smoothing with 1-step forecasts, bit-identical f64 replay"),
     Query("st_throttle", st_throttle, ST_THROTTLE_SQL, "greedy event throttling/debounce, integer-exact replay"),
+    Query("st_token_bucket", st_token_bucket, _token_bucket_sql(), "token-bucket rate limiter (burst-tolerant), integer-exact replay"),
 ]
