@@ -234,7 +234,14 @@ LIMIT 20
 # --- k-core decomposition ----------------------------------------------------
 
 KCORE_K = 4
-KCORE_ROUNDS = 4
+# Spark peels to the exact fixpoint (driver-side convergence loop, like the
+# CC operator); the oracle unrolls KCORE_ORACLE_ROUNDS materialized rounds —
+# peeling a converged graph is a no-op, so the two agree whenever the data
+# converges within the unroll (sf0.1 needs 5 rounds, sf0.01 needs 7; the
+# envelope is documented like the AHRS ramp bound). KCORE_MAX_ROUNDS caps
+# the Spark loop against pathological inputs.
+KCORE_ORACLE_ROUNDS = 10
+KCORE_MAX_ROUNDS = 16
 
 
 def _mutual_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
@@ -273,18 +280,21 @@ def _mutual_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
 def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
     """{K}-core decomposition of the mutual-kNN co-occurrence graph:
     iteratively peel nodes with degree < {K} — the dense-community
-    extractor (spam rings, tight supplier cliques). {R} peel rounds are
-    unrolled; the `converged` flag reports whether round {R} removed
-    nothing (i.e. the survivors ARE the exact k-core), so the fixed
-    unrolling can't silently under-peel.
+    extractor (spam rings, tight supplier cliques). The driver loop peels
+    until a round removes nothing (EXACT k-core; monotone node counts are
+    the convergence monovariant, same as the CC operator), and the
+    `converged` flag records that the fixpoint was reached inside the
+    safety cap.
 
     100 TB shape: each round is one degree groupBy + two semi-joins over
     an edge list whose degree the mutual-top-K construction already caps;
-    edges shrink monotonically, and each round is lineage-truncated the
-    same way operators/graph.py checkpoints its CC rounds."""
+    edges shrink monotonically, each round is lineage-truncated the way
+    operators/graph.py checkpoints its CC rounds, and the per-round driver
+    action is a single count."""
     edges = _mutual_knn_edges(spark, sf)
-    counts = []
-    for _ in range(KCORE_ROUNDS):
+    prev_n = None
+    converged = False
+    for _ in range(KCORE_MAX_ROUNDS):
         deg = (
             edges.select(F.col("ea").alias("node"))
             .unionByName(edges.select(F.col("eb").alias("node")))
@@ -292,13 +302,17 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("degree"))
         )
         keep = deg.where(F.col("degree") >= KCORE_K).select("node")
+        n = keep.count()
+        if prev_n is not None and n == prev_n:
+            converged = True
+            break
+        prev_n = n
         edges = (
             edges.join(keep.withColumnRenamed("node", "ea"), "ea", "left_semi")
             .join(keep.withColumnRenamed("node", "eb"), "eb", "left_semi")
             .select("ea", "eb")
             .localCheckpoint(eager=False)
         )
-        counts.append(keep)
     final_deg = (
         edges.select(F.col("ea").alias("node"))
         .unionByName(edges.select(F.col("eb").alias("node")))
@@ -306,25 +320,18 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .where(F.col("core_degree") >= KCORE_K)
     )
-    n_prev = counts[-2].agg(F.count(F.lit(1)).alias("n_prev"))
-    n_last = counts[-1].agg(F.count(F.lit(1)).alias("n_last"))
-    return (
-        final_deg.crossJoin(F.broadcast(n_prev))
-        .crossJoin(F.broadcast(n_last))
-        .select(
-            F.col("node").alias("s_suppkey"),
-            "core_degree",
-            (F.col("n_prev") == F.col("n_last")).alias("converged"),
-        )
-        .orderBy(F.col("core_degree").desc(), F.col("s_suppkey").asc())
-    )
+    return final_deg.select(
+        F.col("node").alias("s_suppkey"),
+        "core_degree",
+        F.lit(converged).alias("converged"),
+    ).orderBy(F.col("core_degree").desc(), F.col("s_suppkey").asc())
 
 
 def _kcore_sql() -> str:
     rounds = []
     prev = "e0"
     last_nodes = None
-    for i in range(1, KCORE_ROUNDS + 1):
+    for i in range(1, KCORE_ORACLE_ROUNDS + 1):
         rounds.append(f"""
 n{i} AS MATERIALIZED (
   SELECT node FROM (
@@ -340,7 +347,7 @@ e{i} AS MATERIALIZED (
         prev = f"e{i}"
         last_nodes = f"n{i}"
     chain = ",".join(rounds)
-    r = KCORE_ROUNDS
+    r = KCORE_ORACLE_ROUNDS
     return f"""
 WITH co AS (
   SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS w
