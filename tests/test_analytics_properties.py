@@ -356,3 +356,112 @@ def test_ts_twap_conserves_coverage(spark, user_times):
         )
         assert sum(r["sum_wv"] for r in got) == expected_wv
         assert all(0 < r["sum_dt"] <= DAY_US for r in got)
+
+
+THROTTLE_US = 120 * 1000000
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=3))
+def test_st_throttle_and_token_bucket_match_bruteforce(spark, user_times):
+    from orc_spark.plans.stateful_q import (
+        TB_CAP,
+        TB_REFILL_DIV,
+        TB_SCALE,
+        st_throttle,
+        st_token_bucket,
+    )
+
+    sf = _write_events(spark, _mk_rows(user_times))
+    thr = {
+        (r["user_id"], r["event_id"]): r
+        for r in st_throttle(spark, sf).collect()
+    }
+    tb = {
+        (r["user_id"], r["event_id"]): r
+        for r in st_token_bucket(spark, sf).collect()
+    }
+
+    eid = 0
+    for ui, times in enumerate(user_times):
+        uid = ui + 1
+        # greedy throttle
+        last = None
+        kept_n = 0
+        # token bucket
+        tok = TB_CAP
+        prev = None
+        adm_n = 0
+        for t in sorted(times):
+            keep = last is None or t - last >= THROTTLE_US
+            if keep:
+                kept_n += 1
+                last = t
+            r = thr[(uid, eid)]
+            assert r["kept"] == int(keep) and r["n_kept"] == kept_n
+
+            if prev is not None:
+                tok = min(TB_CAP, tok + (t - prev) // TB_REFILL_DIV)
+            prev = t
+            admit = tok >= TB_SCALE
+            if admit:
+                tok -= TB_SCALE
+                adm_n += 1
+            r = tb[(uid, eid)]
+            assert r["admitted"] == int(admit)
+            assert r["tokens_after"] == tok and r["n_admitted"] == adm_n
+            eid += 1
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    langs=st.lists(
+        st.sampled_from(["en", "de", "fr", "es", "zh", "pt"]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cu_repetition_matches_bruteforce(spark, langs):
+    import hashlib
+
+    from orc_spark.plans.curation_q import (
+        CU_REP_DEFAULT,
+        CU_REP_FACTORS,
+        cu_repetition,
+    )
+
+    d = tempfile.mkdtemp(prefix="orc_props_docs_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1, len(langs) + 1),
+            "text": ["w " * 5] * len(langs),
+            "lang": langs,
+            "source": ["s"] * len(langs),
+            "n_chars": [10] * len(langs),
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {r["lang"]: r for r in cu_repetition(spark, d).collect()}
+
+    exp = {}
+    for doc_id, lang in zip(range(1, len(langs) + 1), langs):
+        f = CU_REP_FACTORS.get(lang, CU_REP_DEFAULT)
+        h = int(hashlib.md5(f"rep:{doc_id}".encode()).hexdigest()[:15], 16)
+        n = f // 1000 + (1 if h % 1000 < f % 1000 else 0)
+        di, do = exp.get(lang, (0, 0))
+        exp[lang] = (di + 1, do + n)
+    assert set(got) == set(exp)
+    for lang, (di, do) in exp.items():
+        assert got[lang]["docs_in"] == di
+        assert got[lang]["docs_out"] == do
+        assert got[lang]["chars_out"] == 10 * do
