@@ -77,7 +77,7 @@ _DEFERRED_LAST = [
     "dq_freshness", "ev_concurrency", "ts_seasonal", "mb_rules",
     "ev_survival", "cdc_pit_lookup", "r21_null_semantics",
     "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
-    "gr_kcore", "st_token_bucket",
+    "gr_kcore", "st_token_bucket", "st_bursts",
     # once-green only (r02, no row since the schema-change round) — next
     # refresh priority after the first-rows
     "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",

@@ -953,6 +953,171 @@ SELECT user_id, event_id, CAST(kept AS INTEGER) AS kept, n_kept FROM rec
 """
 
 
+# --- Kleinberg burst detection (2-state Viterbi, bit-identical f64) ----------
+
+BURST_S = 4.0     # burst-state rate multiplier
+BURST_INF = 1e18  # "impossible" initial cost for the burst state
+
+
+def st_bursts(spark: SparkSession, sf: str) -> DataFrame:
+    """Kleinberg 2-state burst detection over each user's inter-arrival
+    gaps (Kleinberg, KDD 2002): state q0 emits gaps at the user's base
+    rate α₀ = (n−1)/span, q1 at 4·α₀; entering q1 costs γ·ln n (γ=1) and
+    the Viterbi path minimizes total −log-likelihood. The gap costs are
+    LINEAR in the gap (−ln α is a per-user constant), so the forward
+    min-plus recurrence is bit-identical f64 cross-engine like the other
+    replays; the backtrack that labels each gap is a second (reverse)
+    recursion. Emits, per gap-ending event, the forward costs and the
+    Viterbi burst label.
+
+    Runs with <2 events or zero span have no gaps and emit nothing (the
+    oracle filters identically)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from orc_spark.operators.recurrence import partitioned_group_scan
+
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g["ts"].to_numpy(np.int64)
+        n = len(t)
+        span = int(t[-1] - t[0])
+        if n < 2 or span <= 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.empty(0, dtype=np.int64),
+                    "event_id": np.empty(0, dtype=np.int64),
+                    "c0": np.empty(0, dtype=np.float64),
+                    "c1": np.empty(0, dtype=np.float64),
+                    "in_burst": np.empty(0, dtype=np.int32),
+                }
+            )
+        a0 = float(n - 1) / float(span)
+        a1 = BURST_S * a0
+        l0 = -math.log(a0)
+        l1 = -math.log(a1)
+        gam = math.log(float(n))
+        m = n - 1
+        c0s = np.empty(m, dtype=np.float64)
+        c1s = np.empty(m, dtype=np.float64)
+        p0 = np.empty(m, dtype=np.int32)  # predecessor state of q0 at step i
+        p1 = np.empty(m, dtype=np.int32)
+        c0, c1 = 0.0, BURST_INF
+        for i in range(m):
+            x = float(t[i + 1] - t[i])
+            cost0 = l0 + a0 * x
+            cost1 = l1 + a1 * x
+            p0[i] = 0 if c0 <= c1 else 1
+            m0 = c0 if c0 <= c1 else c1
+            up = c0 + gam
+            p1[i] = 0 if up < c1 else 1
+            m1 = up if up < c1 else c1
+            c0, c1 = m0 + cost0, m1 + cost1
+            c0s[i], c1s[i] = c0, c1
+        # backtrack
+        s = np.empty(m, dtype=np.int32)
+        s[m - 1] = 1 if c1 < c0 else 0
+        for i in range(m - 1, 0, -1):
+            s[i - 1] = p1[i] if s[i] == 1 else p0[i]
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64)[1:],
+                "event_id": g["event_id"].to_numpy(np.int64)[1:],
+                "c0": c0s,
+                "c1": c1s,
+                "in_burst": s,
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("c0", T.DoubleType()),
+            T.StructField("c1", T.DoubleType()),
+            T.StructField("in_burst", T.IntegerType()),
+        ]
+    )
+    return partitioned_group_scan(ev, ["user_id"], "ts", kernel, schema)
+
+
+def _bursts_sql() -> str:
+    # per-gap costs: cost_i = l_i + a_i * x, with the same op order as the
+    # kernel (a*x first, then l + (a*x)); min-plus via CASE comparisons
+    cost0 = "(b.l0 + b.a0 * b.x)"
+    cost1 = "(b.l1 + b.a1 * b.x)"
+    m0 = "(CASE WHEN r.c0 <= r.c1 THEN r.c0 ELSE r.c1 END)"
+    m1 = "(CASE WHEN r.c0 + b.gam < r.c1 THEN r.c0 + b.gam ELSE r.c1 END)"
+    return f"""
+WITH RECURSIVE params AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         max(epoch_us(ts)) - min(epoch_us(ts)) AS span
+  FROM events GROUP BY user_id
+  HAVING count(*) >= 2 AND max(epoch_us(ts)) > min(epoch_us(ts))
+),
+consts AS (
+  SELECT user_id, n,
+         CAST(n - 1 AS DOUBLE) / CAST(span AS DOUBLE) AS a0,
+         CAST({BURST_S!r} AS DOUBLE)
+           * (CAST(n - 1 AS DOUBLE) / CAST(span AS DOUBLE)) AS a1,
+         -ln(CAST(n - 1 AS DOUBLE) / CAST(span AS DOUBLE)) AS l0,
+         -ln(CAST({BURST_S!r} AS DOUBLE)
+             * (CAST(n - 1 AS DOUBLE) / CAST(span AS DOUBLE))) AS l1,
+         ln(CAST(n AS DOUBLE)) AS gam
+  FROM params
+),
+seq AS (
+  SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY epoch_us(e.ts), e.event_id) AS rn
+  FROM events e JOIN params p ON e.user_id = p.user_id
+),
+gaps AS MATERIALIZED (
+  SELECT s.user_id, s.event_id, s.rn - 1 AS g,
+         CAST(s.ts - lag(s.ts) OVER (PARTITION BY s.user_id ORDER BY s.rn)
+              AS DOUBLE) AS x,
+         c.a0, c.a1, c.l0, c.l1, c.gam,
+         max(s.rn - 1) OVER (PARTITION BY s.user_id) AS m
+  FROM seq s JOIN consts c ON s.user_id = c.user_id
+  QUALIFY s.rn >= 2
+),
+fwd (user_id, event_id, g, m, c0, c1, p0, p1) AS (
+  SELECT b.user_id, b.event_id, b.g, b.m,
+         CAST(0.0 AS DOUBLE) + {cost0},
+         b.gam + {cost1},
+         0, 0
+  FROM gaps b WHERE b.g = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.g, b.m,
+         {m0} + {cost0},
+         {m1} + {cost1},
+         CASE WHEN r.c0 <= r.c1 THEN 0 ELSE 1 END,
+         CASE WHEN r.c0 + b.gam < r.c1 THEN 0 ELSE 1 END
+  FROM fwd r JOIN gaps b ON b.user_id = r.user_id AND b.g = r.g + 1
+),
+fwd_m AS MATERIALIZED (SELECT * FROM fwd),
+bwd (user_id, g, s, p0, p1) AS (
+  SELECT user_id, g, CASE WHEN c1 < c0 THEN 1 ELSE 0 END, p0, p1
+  FROM fwd_m WHERE g = m
+  UNION ALL
+  SELECT f.user_id, f.g,
+         CASE WHEN r.s = 1 THEN r.p1 ELSE r.p0 END,
+         f.p0, f.p1
+  FROM bwd r JOIN fwd_m f ON f.user_id = r.user_id AND f.g = r.g - 1
+  WHERE r.g > 1
+)
+SELECT f.user_id, f.event_id, f.c0, f.c1,
+       CAST(b.s AS INTEGER) AS in_burst
+FROM fwd_m f JOIN bwd b ON f.user_id = b.user_id AND f.g = b.g
+"""
+
+
 # --- token-bucket rate limiter (recursive stateful, integer-exact) -----------
 
 TB_SCALE = 1_000_000         # micro-tokens per token
@@ -1275,4 +1440,5 @@ QUERIES = [
     Query("st_holt", st_holt, _holt_sql(), "Holt level+trend smoothing with 1-step forecasts, bit-identical f64 replay"),
     Query("st_throttle", st_throttle, ST_THROTTLE_SQL, "greedy event throttling/debounce, integer-exact replay"),
     Query("st_token_bucket", st_token_bucket, _token_bucket_sql(), "token-bucket rate limiter (burst-tolerant), integer-exact replay"),
+    Query("st_bursts", st_bursts, _bursts_sql(), "Kleinberg 2-state burst detection: forward Viterbi + backtrack, bit-identical f64"),
 ]
