@@ -465,3 +465,35 @@ def test_cu_repetition_matches_bruteforce(spark, langs):
         assert got[lang]["docs_in"] == di
         assert got[lang]["docs_out"] == do
         assert got[lang]["chars_out"] == 10 * do
+
+
+def test_st_bursts_semantics(spark):
+    """Semantic sanity for the Kleinberg detector: perfectly uniform
+    arrivals never enter the burst state; a dense cluster embedded in a
+    sparse stream is labeled as a burst while the sparse tails are not."""
+    from orc_spark.plans.stateful_q import st_bursts
+
+    hour = 3600 * 1000000
+    uniform = [i * hour for i in range(30)]
+    # sparse hourly tail, then 10 events 1s apart, then sparse again
+    clustered = (
+        [i * hour for i in range(10)]
+        + [10 * hour + i * 1000000 for i in range(10)]
+        + [11 * hour + i * hour for i in range(1, 10)]
+    )
+    sf = _write_events(spark, _mk_rows([uniform, clustered]))
+    rows = st_bursts(spark, sf).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+
+    u1 = sorted(by_user[1], key=lambda r: r["event_id"])
+    assert all(r["in_burst"] == 0 for r in u1), "uniform stream burst-free"
+
+    u2 = sorted(by_user[2], key=lambda r: r["event_id"])
+    # events 40..49 are the cluster (user 2's events start at id 30);
+    # the gaps ENDING at events 41..49 are the 1-second gaps
+    labels = {r["event_id"]: r["in_burst"] for r in u2}
+    assert all(labels[eid] == 1 for eid in range(41, 50)), labels
+    # the sparse tail after the cluster returns to the base state
+    assert all(labels[eid] == 0 for eid in range(52, 59)), labels
