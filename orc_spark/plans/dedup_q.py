@@ -869,18 +869,50 @@ def dd_containment(spark: SparkSession, sf: str) -> DataFrame:
     Python). At corpus scale a containment-recall generator (winnowing
     buckets with hot-bucket caps) would widen candidates; the rerank
     kernel is identical."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     pairs = dd_minhash_pairs(spark, sf).select("doc_a", "doc_b")
-    t = F.lower(F.col("text"))
-    pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (NGRAM_N - 1), F.lit(1)))
-    gram_sets = (
-        load_table(spark, sf, "documents")
-        .select("doc_id", F.explode(pos).alias("pos"), t.alias("t"))
-        .select(
-            "doc_id",
-            F.xxhash64(F.expr(f"substring(t, pos, {NGRAM_N})")).alias("gh"),
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_set("gh").alias("grams"))
+
+    # Distinct-trigram sets per doc, built in ONE narrow pass: packing the
+    # three code points into an int64 ((c0<<42)|(c1<<21)|c2; code points are
+    # <2^21) is exactly injective — string-set semantics with zero collision
+    # risk — and the vectorized numpy build replaces the previous
+    # explode → xxhash64 → collect_set shape, which shuffled ~|corpus chars|
+    # rows (15M at sf0.1) just to regroup grams by doc_id. Docs shorter than
+    # NGRAM_N yield one short gram (substring semantics, matching the
+    # oracle's substr); missing positions pack as 0x1FFFFF, above the
+    # Unicode max, so short grams never equal any real trigram.
+    _SENT = 0x1FFFFF
+
+    def _gram_sets(it):
+        for pdf in it:
+            ids, grams = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                c = np.frombuffer(
+                    text.lower().encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if c.shape[0] >= NGRAM_N:
+                    g = (c[:-2] << 42) | (c[1:-1] << 21) | c[2:]
+                else:
+                    c0 = c[0] if c.shape[0] > 0 else _SENT
+                    c1 = c[1] if c.shape[0] > 1 else _SENT
+                    g = np.array([(c0 << 42) | (c1 << 21) | _SENT], dtype=np.int64)
+                ids.append(doc_id)
+                grams.append(np.unique(g))
+            yield pd.DataFrame({"doc_id": ids, "grams": grams})
+
+    gram_sets = load_table(spark, sf, "documents").select(
+        "doc_id", "text"
+    ).mapInPandas(
+        _gram_sets,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("grams", T.ArrayType(T.LongType())),
+            ]
+        ),
     )
     ga = gram_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
@@ -894,10 +926,6 @@ def dd_containment(spark: SparkSession, sf: str) -> DataFrame:
     # measured ~7s for 16.6k pairs at sf0.1. The Arrow-batched numpy
     # intersection is ~10x cheaper; only the integer sizes come back, so
     # the ratio/threshold float math stays in codegen, mirroring the oracle.
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     def _inter(it):
         for pdf in it:
             i = [

@@ -301,12 +301,23 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
-        keep = deg.where(F.col("degree") >= KCORE_K).select("node")
+        # keep has three consumers (the convergence count + two broadcast
+        # semi-joins); checkpoint so the count materializes the degree agg
+        # once and both broadcasts read the cached rows.
+        keep = (
+            deg.where(F.col("degree") >= KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
         n = keep.count()
         if prev_n is not None and n == prev_n:
             converged = True
             break
         prev_n = n
+        # AQE sees the materialized keep's true (tiny, shrinking) size from
+        # the checkpoint and plans the semi-joins as broadcasts on its own;
+        # forcing F.broadcast here measured no faster and would override the
+        # planner where keep is genuinely large.
         edges = (
             edges.join(keep.withColumnRenamed("node", "ea"), "ea", "left_semi")
             .join(keep.withColumnRenamed("node", "eb"), "eb", "left_semi")
