@@ -412,20 +412,25 @@ def mb_rules(spark: SparkSession, sf: str) -> DataFrame:
     are combinable groupBys; the total-baskets anchor is a 1-row
     broadcast."""
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    # four consumers (anchor, item counts, both pair legs) — materialize
-    # the distinct basket table so the scan+dedup runs once
-    baskets = li.distinct().localCheckpoint(eager=False)
-    n_orders = baskets.agg(
-        F.count_distinct("l_orderkey").alias("n_baskets")
+    # One row per basket (collect_set dedups in the same shuffle a distinct
+    # would cost) — pair generation is then an in-row double explode, so no
+    # self-join of the basket table is ever shuffled. Three consumers
+    # (anchor, item counts, pair legs) — checkpoint so the groupBy runs once.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .localCheckpoint(eager=False)
     )
-    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a, b = baskets.alias("a"), baskets.alias("b")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    exploded = baskets.select(F.explode("parts").alias("l_partkey"))
+    item = exploded.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        baskets.select(
+            F.explode("parts").alias("pa"), F.col("parts").alias("parts")
         )
+        .select("pa", F.explode("parts").alias("pb"))
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .where(F.col("c_ab") >= MB_MIN_SUPPORT)
     )

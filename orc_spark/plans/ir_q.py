@@ -252,16 +252,21 @@ def tx_bm25(spark: SparkSession, sf: str) -> DataFrame:
     window, (N, avgdl) as a 1-row broadcast, one top-k window — the length
     normalization adds a doc-length groupBy that reuses the tf table."""
     tf = _tf(spark, sf)
-    # doc length = total tokens in doc (from the tf table, no re-scan of text)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    n_and_avg = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("tot_dl"),
+    # doc length dl = sum(tf) over the doc partition as a WINDOW, not a
+    # separate groupBy + join — the dl window and the final top-k window
+    # share one hash partitioning on doc_id, and the per-doc-grouped dl
+    # table never exists as a join side. The corpus totals collapse to one
+    # global aggregate over tf (count(distinct doc_id) ≡ |dl|, sum(tf) ≡
+    # Σdl), so tf is computed twice total instead of four times.
+    n_and_avg = tf.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("tot_dl"),
     )
     dfw = Window.partitionBy("term")
+    dlw = Window.partitionBy("doc_id")
     scored = (
         tf.withColumn("df", F.count(F.lit(1)).over(dfw))
-        .join(dl, "doc_id")
+        .withColumn("dl", F.sum("tf").over(dlw))
         .crossJoin(F.broadcast(n_and_avg))
         .withColumn(
             "bm25_raw",

@@ -448,22 +448,19 @@ def r14_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("late"),
         )
     )
+    # When n_late_supp == 1 the lone late supplier IS max(late suppkey), so
+    # the waiting supplier comes out of the SAME aggregate — one pass over
+    # lo (which reuses the join's l_orderkey partitioning), instead of a
+    # second consumption of the stream-sized lo + distinct + join-back.
     per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
             "n_late_supp"
         ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("l_suppkey"),
     )
-    waiting = (
-        lo.where(F.col("late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.where(
-                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-            ),
-            "l_orderkey",
-        )
+    waiting = per_order.where(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
         waiting.groupBy("l_suppkey")
