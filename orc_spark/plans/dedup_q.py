@@ -127,12 +127,28 @@ def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     at 100 TB the join input is |docs|·N_BANDS rows, never |docs|².
 
     Signatures travel as ONE array column (not 16 scalar columns): the join
-    stages codegen over a 2-column schema and the match estimate is a single
-    zip_with/aggregate expression."""
+    stages codegen over a 2-column schema, and the match estimate is 16
+    static element-compares — whole-stage codegen, no HOF."""
     sig16 = dd_minhash_sig(spark, sf)
     sig = sig16.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig")
     ).cache()
+    return _banded_pairs(sig, with_est=True)
+
+
+def _minhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct LSH candidate (doc_a, doc_b) pairs WITHOUT the jaccard
+    estimate — for consumers like dd_containment that rerank with their own
+    exact measure; the signature array never crosses the band shuffle and
+    the 16 compare expressions are never computed."""
+    sig16 = dd_minhash_sig(spark, sf)
+    sig = sig16.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig")
+    ).cache()
+    return _banded_pairs(sig, with_est=False)
+
+
+def _banded_pairs(sig: DataFrame, with_est: bool) -> DataFrame:
     band_structs = [
         F.struct(
             F.lit(band).alias("band_idx"),
@@ -150,24 +166,35 @@ def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # so the candidate pairs never join back to the signature table — the
     # band self-join is the ONLY shuffle-join in the pipeline, and the
     # groupBy that dedupes multi-band matches is the only other shuffle
+    sig_cols = ["doc_id", "sig"] if with_est else ["doc_id"]
     bands = sig.select(
-        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "sig", "bk.band_idx", "bk.band_key")
-    ba = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"),
-        "band_idx", "band_key",
+        *sig_cols, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(*sig_cols, "bk.band_idx", "bk.band_key")
+    a_cols = [F.col("doc_id").alias("doc_a"), "band_idx", "band_key"]
+    b_cols = [F.col("doc_id").alias("doc_b"), "band_idx", "band_key"]
+    if with_est:
+        a_cols.insert(1, F.col("sig").alias("sa"))
+        b_cols.insert(1, F.col("sig").alias("sb"))
+    ba = bands.select(*a_cols)
+    bb = bands.select(*b_cols)
+    matched = ba.join(bb, ["band_idx", "band_key"]).where(
+        F.col("doc_a") < F.col("doc_b")
     )
-    bb = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"),
-        "band_idx", "band_key",
-    )
-    est = F.expr(
-        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    if not with_est:
+        return matched.select("doc_a", "doc_b").distinct()
+    # 16 static element-compares summed — whole-stage codegen, where the
+    # equivalent aggregate(zip_with(...)) HOF is CodegenFallback (interpreted
+    # per candidate row; see CLAUDE.md)
+    est = sum(
+        F.when(
+            F.element_at("sa", i + 1) == F.element_at("sb", i + 1), 1
+        ).otherwise(0)
+        for i in range(N_PERM)
     )
     return (
-        ba.join(bb, ["band_idx", "band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", (est.cast("double") / N_PERM).alias("est_jaccard"))
+        matched.select(
+            "doc_a", "doc_b", (est.cast("double") / N_PERM).alias("est_jaccard")
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
@@ -873,7 +900,7 @@ def dd_containment(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    pairs = dd_minhash_pairs(spark, sf).select("doc_a", "doc_b")
+    pairs = _minhash_candidates(spark, sf)
 
     # Distinct-trigram sets per doc, built in ONE narrow pass: packing the
     # three code points into an int64 ((c0<<42)|(c1<<21)|c2; code points are
