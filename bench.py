@@ -152,10 +152,18 @@ def main() -> None:
         try:
             from orc_spark.plans.orclog_e2e import orclog_full_report
 
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            n = orclog_full_report(spark, real_csv).count()
-            timings["orclog_e2e_real129k"] = round(time.perf_counter() - t0, 3)
+            # same min-of-reps policy as every registry query: the single-shot
+            # number ran last, after 139 queries of accumulated JVM state, and
+            # swung 2.2-3.5s run-to-run on an unchanged plan
+            best = None
+            for _ in range(reps):
+                spark.catalog.clearCache()
+                _drop_persisted()
+                t0 = time.perf_counter()
+                n = orclog_full_report(spark, real_csv).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings["orclog_e2e_real129k"] = round(best, 3)
             print(
                 f"# orclog_e2e_real129k: {timings['orclog_e2e_real129k']:.3f}s ({n} rows)",
                 file=sys.stderr,

@@ -164,14 +164,23 @@ def cu_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     base = docs.join(quality, "doc_id").withColumn(
         "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
     )
-    passed_q = base.where(F.col("quality_score") >= CU_QUALITY_MIN)
+    # ONE digest window over ALL docs, ordered quality-passed first: for a
+    # passed doc every in-partition predecessor is also passed (in the same
+    # n_chars/doc_id order as before), so rn equals the old rank-among-
+    # passed; failed docs never reach the rn test because the status CASE
+    # checks low_quality first. This folds the old passed_q → ranked →
+    # join-back-to-base shape into a single chain (the doc-level frame is
+    # computed twice — status + keepers — instead of four times).
+    passed = (F.col("quality_score") >= CU_QUALITY_MIN).cast("int")
     w = Window.partitionBy("digest").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
+        passed.desc(), F.col("n_chars").desc(), F.col("doc_id").asc()
     )
-    ranked = passed_q.withColumn("digest", F.md5(F.col("text"))).withColumn(
+    ranked = base.withColumn("digest", F.md5(F.col("text"))).withColumn(
         "rn", F.row_number().over(w)
     )
-    keepers = ranked.where(F.col("rn") == 1).select("doc_id")
+    keepers = ranked.where(
+        (F.col("quality_score") >= CU_QUALITY_MIN) & (F.col("rn") == 1)
+    ).select("doc_id")
     near_pairs = (
         dd_minhash_pairs(spark, sf)
         .where(F.col("est_jaccard") >= CU_JACCARD_MIN)
@@ -187,10 +196,7 @@ def cu_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     status = (
-        base.join(
-            ranked.select("doc_id", "rn"), "doc_id", "left"
-        )
-        .join(near_drops.withColumn("nd", F.lit(1)), "doc_id", "left")
+        ranked.join(near_drops.withColumn("nd", F.lit(1)), "doc_id", "left")
         .select(
             "source",
             "lang",

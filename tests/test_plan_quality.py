@@ -418,3 +418,58 @@ def test_io_partition_prune_static_filters(spark, sf_small):
     assert pf, plan
     line = pf[0]
     assert "event_type" in line and "day" in line and "purchase" in line, line
+
+
+def test_mb_rules_no_basket_self_join(spark, sf_small):
+    """mb_rules: pair generation is an in-row double explode over the
+    checkpointed basket table — the basket stream is never self-joined, so
+    the plan has no SortMergeJoin and at most 4 exchanges (basket groupBy,
+    item counts, pair counts, final sort)."""
+    from orc_spark.plans.graph_q import mb_rules
+
+    scans, ex, plan = _plan_stats(mb_rules(spark, sf_small))
+    assert ex <= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tx_bm25_tf_computed_twice_not_four_times(spark, sf_small):
+    """tx_bm25: doc length is a window over the tf chain (sharing the top-k
+    window's doc_id partitioning) and the corpus totals are one global agg,
+    so the token-explode tf aggregate appears twice, not four times."""
+    from orc_spark.plans.ir_q import tx_bm25
+
+    scans, ex, plan = _plan_stats(tx_bm25(spark, sf_small))
+    assert scans <= 2, plan
+    assert ex <= 6, plan
+
+
+def test_r14_single_pass_over_lineitem_orders(spark, sf_small):
+    """r14: the lone late supplier comes out of the per-order aggregate, so
+    the lineitem-orders join is consumed exactly once (no distinct +
+    join-back of a second lo pass)."""
+    from orc_spark.plans.relational2 import r14_waiting_supplier
+
+    scans, ex, plan = _plan_stats(r14_waiting_supplier(spark, sf_small))
+    assert scans <= 3, plan
+    assert ex <= 4, plan
+
+
+def test_dd_minhash_estimate_is_codegen(spark, sf_small):
+    """dd_minhash_pairs: the jaccard estimate is 16 static element
+    compares — no HOF CodegenFallback anywhere in the plan."""
+    from orc_spark.plans.dedup_q import dd_minhash_pairs
+
+    scans, ex, plan = _plan_stats(dd_minhash_pairs(spark, sf_small))
+    assert "zip_with" not in plan and "CodegenFallback" not in plan, plan
+    assert ex <= 4, plan
+
+
+def test_dd_containment_gram_build_is_narrow(spark, sf_small):
+    """dd_containment: per-doc trigram sets are built in one narrow
+    mapInPandas pass (no explode->regroup shuffle); the whole rerank stays
+    within 4 exchanges."""
+    from orc_spark.plans.dedup_q import dd_containment
+
+    scans, ex, plan = _plan_stats(dd_containment(spark, sf_small))
+    assert ex <= 4, plan
+    assert "collect_set" not in plan, plan
