@@ -129,11 +129,7 @@ def dd_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     Signatures travel as ONE array column (not 16 scalar columns): the join
     stages codegen over a 2-column schema, and the match estimate is 16
     static element-compares — whole-stage codegen, no HOF."""
-    sig16 = dd_minhash_sig(spark, sf)
-    sig = sig16.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig")
-    ).cache()
-    return _banded_pairs(sig, with_est=True)
+    return _banded_pairs(_sig(spark, sf), with_est=True)
 
 
 def _minhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
@@ -141,11 +137,16 @@ def _minhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
     estimate — for consumers like dd_containment that rerank with their own
     exact measure; the signature array never crosses the band shuffle and
     the 16 compare expressions are never computed."""
+    return _banded_pairs(_sig(spark, sf), with_est=False)
+
+
+def _sig(spark: SparkSession, sf: str) -> DataFrame:
+    """16-perm signature as ONE array column, cached for the band self-join
+    (both sides of _banded_pairs read it)."""
     sig16 = dd_minhash_sig(spark, sf)
-    sig = sig16.select(
+    return sig16.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig")
     ).cache()
-    return _banded_pairs(sig, with_est=False)
 
 
 def _banded_pairs(sig: DataFrame, with_est: bool) -> DataFrame:
@@ -930,8 +931,15 @@ def dd_containment(spark: SparkSession, sf: str) -> DataFrame:
                 grams.append(np.unique(g))
             yield pd.DataFrame({"doc_id": ids, "grams": grams})
 
+    # NULL-text docs are dropped (matching the previous expression build,
+    # where explode of a NULL position sequence emitted no gram rows); the
+    # repartition spreads the per-doc Python pass across cores — the
+    # documents file is one scan split at these sizes (same reason
+    # dd_minhash_sig repartitions before its shingle fan-out).
     gram_sets = load_table(spark, sf, "documents").select(
         "doc_id", "text"
+    ).where(F.col("text").isNotNull()).repartition(
+        spark.sparkContext.defaultParallelism
     ).mapInPandas(
         _gram_sets,
         T.StructType(

@@ -465,11 +465,13 @@ def test_dd_minhash_estimate_is_codegen(spark, sf_small):
 
 
 def test_dd_containment_gram_build_is_narrow(spark, sf_small):
-    """dd_containment: per-doc trigram sets are built in one narrow
-    mapInPandas pass (no explode->regroup shuffle); the whole rerank stays
-    within 4 exchanges."""
+    """dd_containment: per-doc trigram sets are built in one mapInPandas
+    pass (no explode->regroup shuffle, no collect_set); the only extra
+    exchange is the deliberate round-robin repartition that spreads the
+    single-split documents scan across cores before the Python pass."""
     from orc_spark.plans.dedup_q import dd_containment
 
     scans, ex, plan = _plan_stats(dd_containment(spark, sf_small))
-    assert ex <= 4, plan
+    assert ex <= 5, plan
+    assert "RoundRobinPartitioning" in plan, plan
     assert "collect_set" not in plan, plan
