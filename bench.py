@@ -50,6 +50,10 @@ def _warm_jvm(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("orc_spark_bench")
+    # ERROR-only logging: WARN spam (localCheckpoint MapPartitionsRDD lines)
+    # was eating ~half the driver's ~2 KB stdout-tail capture around the one
+    # JSON line this script exists to emit
+    spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
     names = HEADLINE or sorted(reg)
     timings: dict[str, float] = {}
@@ -110,6 +114,19 @@ def main() -> None:
     # clamp to >=1: reps=0 would leave `best` None and crash the whole run
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     errors: dict[str, str] = {}
+
+    def _gc_nudge(qi: int) -> None:
+        # nudge the driver JVM every 20 queries to collect unreferenced
+        # RDD/broadcast handles so the ContextCleaner actually frees executor
+        # blocks; shared by the success and error paths so a failing query at
+        # a gc boundary doesn't delay cleanup another 20 queries
+        if qi % 20 != 19:
+            return
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+
     for qi, name in enumerate(names):
         q = reg[name]
         best = None
@@ -132,14 +149,9 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             spark.catalog.clearCache()
             _drop_persisted()
+            _gc_nudge(qi)
             continue
-        if qi % 20 == 19:
-            # nudge the driver JVM to collect unreferenced RDD/broadcast
-            # handles so the ContextCleaner actually frees executor blocks
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:  # noqa: BLE001
-                pass
+        _gc_nudge(qi)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     # flagship reference workload: the full 4-metric analytics pass over the

@@ -44,60 +44,38 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # NEW oracles this round (r04): the PID / AHRS / full-firmware-pipeline
-    # recurrences replayed by DuckDB recursive CTEs (bit-identical f64), and
-    # the MINSTD image stub regenerated pixel-by-pixel in SQL — first driver
-    # rows ever for all four; the registry is now fully oracle-bearing
-    "st_pid_replay", "st_ahrs_replay", "st_imu_pipeline", "mm_image_features",
-    "sk_bloom", "cu_decontaminate", "cu_pack",
-    # changed this round: ev_retention plan rewritten (window-min, 2
-    # exchanges), ev_funnel oracle cast fix, ann_ivf_index build-once cache,
-    # cu_mixture single-scan rewrite, dq_expectations scan-fused audit
-    "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
-    "dq_expectations",
-    # the queries ADDED during round 4 — first driver row for every one;
-    # 28 mid-round + the capability-diverse 8 of this session's 16 (the
-    # other eight — r16-r20's classic TPC-H shapes, st_holt, ev_rfm,
-    # dq_freshness, the least novel surfaces, all hash-verified locally at
-    # sf0.001+sf0.01 this session — head _DEFERRED_LAST for r05 first rows)
-    "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
-    "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly", "ev_transitions",
-    "gr_pagerank", "ann_pq", "sk_histq", "ts_lttb", "dd_containment",
-    "io_zorder", "dq_drift", "r13_top_supplier", "r14_waiting_supplier",
-    "ev_sessionize", "cu_split", "st_ewma", "st_kalman", "ev_rolling_uniques",
-    "ts_autocorr", "r15_idle_customers", "st_goertzel", "dq_benford",
-    "ev_ab_test", "st_hysteresis", "ts_crossings",
-    "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv", "ev_paths",
-    "tx_ngram_lm", "dq_kanon", "ts_mannkendall",
-]
-_DEFERRED_LAST = [
-    # first-row candidates that missed the r04 budget — FIRST in r05's gate
+    # r05 head, per VERDICT r04 items 1/3/4.
+    # (a) The one wrong answer, rewritten this round (fixed-point integer
+    #     recurrence on both engines) — must re-green first:
+    "st_goertzel",
+    # (b) The 21 queries that have NEVER had a driver row (added late in
+    #     r04, sorted past that round's 50-query budget; all hash-verified
+    #     locally at sf0.001+sf0.01 under the now-driver-strength strict
+    #     comparator) — first rows for every one:
     "r16_big_orders", "r17_nation_volume", "r18_returned_items",
     "r19_promo_share", "r20_bracket_revenue", "st_holt", "ev_rfm",
     "dq_freshness", "ev_concurrency", "ts_seasonal", "mb_rules",
     "ev_survival", "cdc_pit_lookup", "r21_null_semantics",
     "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
     "gr_kcore", "st_token_bucket", "st_bursts",
-    # once-green only (r02, no row since the schema-change round) — next
-    # refresh priority after the first-rows
+    # (c) deferred-since-r02 heavy oracles (VERDICT r03 item 7 → r04 item
+    #     4): re-green now, ahead of everything fresher:
+    "dd_embcos", "dd_cluster",
+    # (d) the r02-only-green family, two rounds stale:
     "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
     "dp_profile", "mm_frame_sample", "ann_ivf", "ann_bruteforce_fast",
-    # the two most expensive oracles (recursive-CTE closure ~42 s, all-pairs
-    # join-sum ~12 s at sf0.01): r02-green, locally hash-verified every
-    # pytest run; rotate back in r05 (VERDICT r03 item 7 deferred once more
-    # in favor of first-ever rows for the 16 queries added this session)
-    "dd_embcos", "dd_cluster",
-    # twice-green unchanged batteries (refresh rotation r05+)
+    # (e) remaining budget → the stalest greens: the twice-green batteries
+    #     (last row r02/r03-era) then the r03-green rotation prefix. These
+    #     fill slots ~33-50 of the gate budget.
     "dp_stratified", "r4b_cube", "rj_range_join", "r5c_rank_battery",
     "dd_minhash_sig", "dd_simhash", "dd_exact", "dd_simhash_pairs",
     "dp_sample", "dd_minhash_pairs", "approx_sketches", "sk_hll_merge",
     "ann_topk",
-    # fresh r03 greens (all 50 checked queries passed): weakest marginal
-    # signal this round — rotate past the budget; they re-enter in r05.
-    # Order mirrors CORRECTNESS_r03 so next round's rotation can take a
-    # prefix. (ev_retention/ev_funnel/ann_ivf_index moved to the head tier
-    # because they changed this round.)
     "ts_medfilt", "ts_gradient", "ts_runstats", "ts_groupmeans", "ts_welch",
+]
+_DEFERRED_LAST = [
+    # r03-green rotation remainder (next refresh after the head tier; order
+    # mirrors CORRECTNESS_r03 so r06's rotation can take a prefix)
     "ts_deadband", "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
     "r8_tumbling", "r8b_sliding", "r8c_sessions", "aj_asof_join",
     "tr_hier_rollup", "ts_resample", "ts_e2e_report", "io_orc_roundtrip",
@@ -109,6 +87,21 @@ _DEFERRED_LAST = [
     "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
     "r3_shipping_priority", "r4_rollup", "r5_window_topk", "r6_setops",
     "r7_scalar_battery",
+    # freshest greens (r04 rows in CORRECTNESS_r04.json): weakest marginal
+    # signal in r05 — rotate past the budget; they re-enter in r06+.
+    "st_pid_replay", "st_ahrs_replay", "st_imu_pipeline", "mm_image_features",
+    "sk_bloom", "cu_decontaminate", "cu_pack",
+    "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
+    "dq_expectations",
+    "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
+    "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly", "ev_transitions",
+    "gr_pagerank", "ann_pq", "sk_histq", "ts_lttb", "dd_containment",
+    "io_zorder", "dq_drift", "r13_top_supplier", "r14_waiting_supplier",
+    "ev_sessionize", "cu_split", "st_ewma", "st_kalman", "ev_rolling_uniques",
+    "ts_autocorr", "r15_idle_customers", "dq_benford",
+    "ev_ab_test", "st_hysteresis", "ts_crossings",
+    "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv", "ev_paths",
+    "tx_ngram_lm", "dq_kanon", "ts_mannkendall",
 ]
 
 

@@ -242,13 +242,25 @@ KCORE_K = 4
 # the Spark loop against pathological inputs.
 KCORE_ORACLE_ROUNDS = 10
 KCORE_MAX_ROUNDS = 16
+# Bounded driver-finish handoff: once the monotonically-shrinking edge
+# remnant fits this many (bigint, bigint) pairs (~64 MB), one collect
+# finishes the peel exactly on the driver — distributed rounds keep running
+# above it, so driver memory stays hard-bounded at any input scale.
+KCORE_LOCAL_FINISH_EDGES = 4_000_000
 
 
 def _mutual_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
     """The degree-bounded mutual top-K co-occurrence edges gr_triangles
     builds (one definition for both graph queries)."""
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
+    # shuffle_hash, not broadcast: the fact side is LARGE on both sides of
+    # this self-join — the session's 64 MB broadcast threshold would build
+    # and ship a 600 k-row HashedRelation (measured 1.8 s vs 0.75 s at
+    # sf0.1), and at 100 TB broadcasting lineitem is a non-starter; the two
+    # identical shuffles on l_orderkey collapse to one via ReuseExchange
+    a, b = li.alias("a"), li.hint("shuffle_hash").alias("b")
+    # co is consumed by BOTH union branches below — checkpoint so the
+    # self-join + groupBy run once, not once per branch
     co = (
         a.join(b, "l_orderkey")
         .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
@@ -256,6 +268,7 @@ def _mutual_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
     )
     und = co.unionByName(
         co.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
@@ -266,13 +279,17 @@ def _mutual_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") <= TRI_K)
         .select("u", "v")
     )
-    r2 = ranked.select(F.col("u").alias("v2"), F.col("v").alias("u2"))
+    # mutuality without a self-join: each direction contributes its
+    # canonical (min,max) pair once (ranked is unique per (u,v)), so a pair
+    # is mutual ⟺ its canonical form appears exactly twice — one shuffle on
+    # the canonical key instead of a two-shuffle join on swapped keys
     return (
-        ranked.join(
-            r2, (ranked.u == F.col("u2")) & (ranked.v == F.col("v2"))
+        ranked.groupBy(
+            F.least("u", "v").alias("ea"), F.greatest("u", "v").alias("eb")
         )
-        .where(F.col("u") < F.col("v"))
-        .select(F.col("u").alias("ea"), F.col("v").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n_dir"))
+        .where(F.col("n_dir") == 2)
+        .select("ea", "eb")
         .localCheckpoint(eager=False)
     )
 
@@ -280,50 +297,101 @@ def _mutual_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
 def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
     """{K}-core decomposition of the mutual-kNN co-occurrence graph:
     iteratively peel nodes with degree < {K} — the dense-community
-    extractor (spam rings, tight supplier cliques). The driver loop peels
-    until a round removes nothing (EXACT k-core; monotone node counts are
-    the convergence monovariant, same as the CC operator), and the
-    `converged` flag records that the fixpoint was reached inside the
-    safety cap.
+    extractor (spam rings, tight supplier cliques). EXACT k-core: peels
+    until a round removes nothing.
 
-    100 TB shape: each round is one degree groupBy + two semi-joins over
-    an edge list whose degree the mutual-top-K construction already caps;
-    edges shrink monotonically, each round is lineage-truncated the way
-    operators/graph.py checkpoints its CC rounds, and the per-round driver
-    action is a single count."""
+    100 TB shape: DISTRIBUTED peels (one degree groupBy + two broadcast
+    semi-joins, lineage-truncated per round like the CC operator's rounds)
+    while the edge list is large; once the monotonically-shrinking remnant
+    fits the hard KCORE_LOCAL_FINISH_EDGES bound, ONE bounded collect
+    finishes the peel on the driver — the same bounded-handoff policy as
+    the documented k-means sample. Edge count is the convergence
+    monovariant: every node in the degree table has >=1 edge, so a peel
+    removes a node iff it strictly removes edges. Tiny-data wall time stops
+    paying the per-round AQE job floor (r04: 3.6 s → the edge build now
+    dominates); at scale the distributed rounds engage unchanged."""
     edges = _mutual_knn_edges(spark, sf)
-    prev_n = None
+    prev_edges = None
     converged = False
-    for _ in range(KCORE_MAX_ROUNDS):
+    local_edges: list[tuple[int, int]] | None = None
+    peels = 0
+    while peels < KCORE_MAX_ROUNDS:
+        n = edges.count()  # materializes the round's pending checkpoint
+        if prev_edges is not None and n == prev_edges:
+            converged = True
+            peels -= 1  # the confirming round removed nothing
+            break
+        if n <= KCORE_LOCAL_FINISH_EDGES:
+            # bounded driver handoff: ≤ KCORE_LOCAL_FINISH_EDGES pairs of
+            # bigints (~hundreds of MB at the cap, by design driver-safe)
+            local_edges = [(r.ea, r.eb) for r in edges.collect()]
+            break
+        prev_edges = n
         deg = (
             edges.select(F.col("ea").alias("node"))
             .unionByName(edges.select(F.col("eb").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
-        # keep has three consumers (the convergence count + two broadcast
-        # semi-joins); checkpoint so the count materializes the degree agg
-        # once and both broadcasts read the cached rows.
+        # keep has two semi-join consumers; joining the SAME frame through a
+        # join condition (rather than two withColumnRenamed copies) keeps the
+        # canonical subplan identical so ReuseExchange ships ONE broadcast
+        # per round, not two. The pending checkpoint materializes once under
+        # the next round's count (never unpersisted while pending — CLAUDE.md).
         keep = (
             deg.where(F.col("degree") >= KCORE_K)
             .select("node")
             .localCheckpoint(eager=False)
         )
-        n = keep.count()
-        if prev_n is not None and n == prev_n:
-            converged = True
-            break
-        prev_n = n
         # AQE sees the materialized keep's true (tiny, shrinking) size from
         # the checkpoint and plans the semi-joins as broadcasts on its own;
         # forcing F.broadcast here measured no faster and would override the
         # planner where keep is genuinely large.
         edges = (
-            edges.join(keep.withColumnRenamed("node", "ea"), "ea", "left_semi")
-            .join(keep.withColumnRenamed("node", "eb"), "eb", "left_semi")
+            edges.join(keep, edges["ea"] == keep["node"], "left_semi")
+            .join(keep, F.col("eb") == keep["node"], "left_semi")
             .select("ea", "eb")
             .localCheckpoint(eager=False)
         )
+        peels += 1
+    if local_edges is not None:
+        # exact local finish of the bounded remnant
+        es = set(local_edges)
+        while True:
+            deg_map: dict[int, int] = {}
+            for a, b in es:
+                deg_map[a] = deg_map.get(a, 0) + 1
+                deg_map[b] = deg_map.get(b, 0) + 1
+            keep_set = {x for x, d in deg_map.items() if d >= KCORE_K}
+            nes = {(a, b) for a, b in es if a in keep_set and b in keep_set}
+            if nes == es:
+                break
+            es = nes
+            peels += 1
+        converged = True
+        core = sorted(
+            (x, d) for x, d in deg_map.items() if d >= KCORE_K
+        )
+    # Oracle-envelope guard (ADVICE r04): the DuckDB oracle unrolls exactly
+    # KCORE_ORACLE_ROUNDS peels; data needing more would silently diverge,
+    # and the oracle additionally needs one spare round for its own
+    # converged flag. Fail LOUDLY here (like the AHRS ramp bound) instead
+    # of returning an answer the oracle can't replay. `peels` counts
+    # effective (edge-removing) rounds on both paths.
+    if converged and peels > KCORE_ORACLE_ROUNDS - 1:
+        raise RuntimeError(
+            f"gr_kcore: fixpoint needed {peels} peels; oracle unrolls "
+            f"only {KCORE_ORACLE_ROUNDS} — raise KCORE_ORACLE_ROUNDS"
+        )
+    if not converged:
+        raise RuntimeError(
+            f"gr_kcore: no fixpoint within KCORE_MAX_ROUNDS={KCORE_MAX_ROUNDS}"
+        )
+    if local_edges is not None:
+        out = spark.createDataFrame(
+            core or [], "s_suppkey bigint, core_degree bigint"
+        ).withColumn("converged", F.lit(True))
+        return out.orderBy(F.col("core_degree").desc(), F.col("s_suppkey").asc())
     final_deg = (
         edges.select(F.col("ea").alias("node"))
         .unionByName(edges.select(F.col("eb").alias("node")))

@@ -692,11 +692,23 @@ SELECT user_id, event_id, x AS x_est, k AS gain FROM rec
 """
 
 
-# --- Goertzel spectral power (recursive stateful, bit-identical f64) ---------
+# --- Goertzel spectral power (recursive stateful, fixed-point exact) ---------
 
-# 2·cos(2π/period), folded in Python and repr-inlined so neither engine
-# computes the cosine (periods in samples on the per-run index)
+# 2·cos(2π/period), folded in Python (periods in samples on the per-run
+# index). cos(2π/4) is exactly 0 (the 1.22e-16 is float noise of 0), so the
+# quantized period-4 coefficient is 0 — a degenerate-but-valid Goertzel.
 GOERTZEL_COEFFS = {4: 1.2246467991473532e-16, 8: 1.4142135623730951, 16: 1.8477590650225735}
+# Fixed-point scale for the recurrence state. r04 postmortem: the f64
+# recurrence was ALGEBRAICALLY identical across engines but ulp-divergent on
+# the p16 path (9/150 rows bit-equal), so the state itself is quantized to
+# integer units of 1e-4 and stepped in exact integer arithmetic on both
+# sides — the repo's fixed-point determinism pattern (ts_crossings,
+# ev_anomaly, gr_pagerank). Integer headroom: |s| grows ≲ n·max|x|·SCALE
+# (unit-circle characteristic roots → at worst linear resonant growth), so
+# c_fp·s1 stays ≲ 1e17 even at 1e6 samples/series; the final squares use
+# Python ints / DuckDB HUGEINT, which never wrap.
+GOERTZEL_SCALE = 10_000
+GOERTZEL_CFP = {k: round(v * GOERTZEL_SCALE) for k, v in GOERTZEL_COEFFS.items()}
 
 
 def st_goertzel(spark: SparkSession, sf: str) -> DataFrame:
@@ -705,10 +717,10 @@ def st_goertzel(spark: SparkSession, sf: str) -> DataFrame:
     analysis (the reference's domain: its pipeline measures vibration RMS;
     this resolves WHERE in frequency the energy sits). The classic 2-state
     recurrence s_n = v_n + c·s1 − s2 runs per series through the
-    recurrence harness; the oracle steps all three frequencies' states in
-    one recursive CTE with the identical IEEE op order — bit-identical
-    f64 like the PID/AHRS/Kalman replays."""
-    import numpy as np
+    recurrence harness in fixed-point (state in BIGINT 1e-4 units, trunc
+    division, exact integer power at the end, one double cast + one exact
+    division for output); the oracle steps the identical integer recurrence
+    in a recursive CTE — cross-engine EXACT, not merely close."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -717,24 +729,33 @@ def st_goertzel(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    coeffs = [GOERTZEL_COEFFS[k] for k in (4, 8, 16)]
+    sc = GOERTZEL_SCALE
+    cfps = [GOERTZEL_CFP[k] for k in (4, 8, 16)]
+
+    def tdiv(a: int) -> int:  # truncate toward zero == DuckDB integer //
+        return a // sc if a >= 0 else -((-a) // sc)
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        v = g["value"].to_numpy(np.float64)
+        # input quantization: value*SCALE is one double multiply (identical
+        # cross-engine), floor(+0.5) = round-half-up, then exact ints onward
+        xs = [int(math.floor(v * float(sc) + 0.5)) for v in g["value"]]
         powers = []
-        for c in coeffs:
-            s1 = 0.0
-            s2 = 0.0
-            for x in v:
-                s = x + c * s1 - s2
+        for c in cfps:
+            s1 = 0
+            s2 = 0
+            for x in xs:
+                s = x + tdiv(c * s1) - s2
                 s2 = s1
                 s1 = s
-            powers.append(s1 * s1 + s2 * s2 - c * s1 * s2)
+            p = s1 * s1 + s2 * s2 - tdiv(c * s1) * s2
+            powers.append(float(p) / float(sc * sc))
         return pd.DataFrame(
             {
                 "user_id": [int(g["user_id"].iloc[0])],
-                "n": [len(v)],
+                "n": [len(xs)],
                 "p4": [powers[0]],
                 "p8": [powers[1]],
                 "p16": [powers[2]],
@@ -754,25 +775,28 @@ def st_goertzel(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _goertzel_sql() -> str:
-    cs = GOERTZEL_COEFFS
+    # Integer recurrence mirror: state in BIGINT 1e-4 units; DuckDB's
+    # integer `//` truncates toward zero == the kernel's tdiv; the final
+    # power uses HUGEINT so the squares never wrap, then one cast-to-double
+    # and one exact /1e8 — identical rounding to Python float(int)/1e8.
+    sc = GOERTZEL_SCALE
+    cf = GOERTZEL_CFP
     step = ", ".join(
-        f"""(b.value + CAST({cs[p]!r} AS DOUBLE) * r.s1_{p}) - r.s2_{p},
+        f"""b.x_fp + ({cf[p]} * r.s1_{p}) // {sc} - r.s2_{p},
          r.s1_{p}"""
         for p in (4, 8, 16)
     )
     power = ", ".join(
-        f"""((s1_{p} * s1_{p} + s2_{p} * s2_{p})
-        - (CAST({cs[p]!r} AS DOUBLE) * s1_{p}) * s2_{p}) AS p{p}"""
+        f"""CAST(CAST(s1_{p} AS HUGEINT) * s1_{p} + CAST(s2_{p} AS HUGEINT) * s2_{p}
+        - (({cf[p]} * s1_{p}) // {sc}) * CAST(s2_{p} AS HUGEINT) AS DOUBLE)
+        / {float(sc * sc)!r} AS p{p}"""
         for p in (4, 8, 16)
     )
-    seeds = ", ".join(
-        f"""(CAST(value AS DOUBLE) + CAST({cs[p]!r} AS DOUBLE) * CAST(0.0 AS DOUBLE))
-          - CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)"""
-        for p in (4, 8, 16)
-    )
+    seeds = ", ".join(f"x_fp, CAST(0 AS BIGINT)" for p in (4, 8, 16))
     return f"""
 WITH RECURSIVE base AS (
-  SELECT user_id, value,
+  SELECT user_id,
+         CAST(floor(value * {float(sc)!r} + 0.5) AS BIGINT) AS x_fp,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn,
          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
@@ -1434,7 +1458,7 @@ QUERIES = [
     Query("st_imu_pipeline", st_imu_pipeline, _imu_sql(), "full firmware steady-loop replay, hash-checked via recursive-CTE (LOCF + AHRS + 3xPID + transform)"),
     Query("st_ewma", st_ewma, ST_EWMA_SQL, "EWMA smoothing, bit-identical f64 vs recursive-CTE replay"),
     Query("st_kalman", st_kalman, ST_KALMAN_SQL, "scalar Kalman filter, bit-identical f64 vs recursive-CTE replay"),
-    Query("st_goertzel", st_goertzel, _goertzel_sql(), "Goertzel spectral power at period 4/8/16, bit-identical f64"),
+    Query("st_goertzel", st_goertzel, _goertzel_sql(), "Goertzel spectral power at period 4/8/16, fixed-point integer-exact"),
     Query("st_hysteresis", st_hysteresis, ST_HYST_SQL, "Schmitt-trigger hysteresis + flip counts, integer-exact replay"),
     Query("st_cusum", st_cusum, _cusum_sql(), "two-sided CUSUM changepoint alarms, bit-identical f64 replay"),
     Query("st_holt", st_holt, _holt_sql(), "Holt level+trend smoothing with 1-step forecasts, bit-identical f64 replay"),

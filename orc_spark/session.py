@@ -76,6 +76,10 @@ def get_spark(app_name: str = "orc_spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # no console progress bar: its \r frames pollute captured stdout
+        # tails (the driver keeps ~2 KB of bench output) and add nothing in
+        # non-interactive runs
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.orc.impl", "native")
         .config("spark.sql.orc.filterPushdown", "true")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])

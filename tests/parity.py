@@ -78,11 +78,33 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> list[str]:
             )
             continue
         if s_float or o_float:
+            # DRIVER-STRENGTH comparison (r04 postmortem): the driver hashes
+            # the 9-sig-fig canonical strings, so equality must be EXACT on
+            # the rounded values — np.isclose(rtol=1e-8) accepted a 1-ulp
+            # divergence that crossed a rounding boundary and let
+            # st_goertzel ship green locally while failing the driver.
+            # canon() already rounded via float(f"{x:.9g}"), so exact float
+            # equality here ⟺ equality of the hashed strings.
             sv = pd.to_numeric(s[c], errors="coerce").to_numpy(dtype=float)
             ov = pd.to_numeric(o[c], errors="coerce").to_numpy(dtype=float)
-            eq = np.isclose(sv, ov, rtol=1e-8, atol=1e-12, equal_nan=True)
-        else:
-            eq = np.array([a == b or (pd.isna(a) and pd.isna(b)) for a, b in zip(sv, ov)])
+            both_nan = np.isnan(sv) & np.isnan(ov)
+            eq = (sv == ov) | both_nan
+            if not eq.all():
+                close = np.isclose(sv, ov, rtol=1e-8, atol=1e-12, equal_nan=True)
+                tag = (
+                    " [ULP-BOUNDARY: within 1e-8 but 9-sig-fig strings differ"
+                    " — driver hash FAILS; fixed-point the recurrence]"
+                    if close.all()
+                    else ""
+                )
+                bad = int((~eq).sum())
+                idx = int(np.argmax(~eq))
+                problems.append(
+                    f"{name}.{c}: {bad}/{len(eq)} values differ; first at row {idx}: "
+                    f"spark={sv[idx]!r} oracle={ov[idx]!r}{tag}"
+                )
+            continue
+        eq = np.array([a == b or (pd.isna(a) and pd.isna(b)) for a, b in zip(sv, ov)])
         if not eq.all():
             bad = int((~eq).sum())
             idx = int(np.argmax(~eq))

@@ -68,3 +68,46 @@ def test_long_path_converges(spark):
     edges = [(i, i + 1) for i in range(29)]
     got = _run(spark, nodes, edges)
     assert set(got.values()) == {0}
+
+
+# --- k-core: brute-force cross-check + oracle-envelope guard ------------------
+
+
+def _py_kcore(edges, k):
+    """Reference peel: repeatedly drop nodes with degree < k."""
+    es = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nes = {(a, b) for a, b in es if a in keep and b in keep}
+        if nes == es:
+            return deg, keep
+        es = nes
+
+
+def test_kcore_matches_bruteforce_and_converges_inside_envelope(spark, sf_small):
+    """gr_kcore peels to the exact fixpoint (vs a Python peel of the same
+    edge list) AND the testdata converges inside the oracle's fixed unroll —
+    the runtime guard raises otherwise, so merely completing asserts the
+    envelope (ADVICE r04: mirror the AHRS run-length pin)."""
+    from orc_spark.plans.graph_q import KCORE_K, _mutual_knn_edges, gr_kcore
+
+    edges = [(r.ea, r.eb) for r in _mutual_knn_edges(spark, sf_small).collect()]
+    deg, keep = _py_kcore(edges, KCORE_K)
+    want = {n: deg[n] for n in keep}
+    got = {r.s_suppkey: r.core_degree for r in gr_kcore(spark, sf_small).collect()}
+    assert got == want
+    assert all(r.converged for r in gr_kcore(spark, sf_small).collect())
+
+
+def test_kcore_envelope_guard_raises(spark, sf_small, monkeypatch):
+    """Shrinking the oracle unroll below what the data needs must fail
+    loudly, not silently diverge from the oracle."""
+    import orc_spark.plans.graph_q as gq
+
+    monkeypatch.setattr(gq, "KCORE_ORACLE_ROUNDS", 0)
+    with pytest.raises(RuntimeError, match="oracle unrolls"):
+        gq.gr_kcore(spark, sf_small)
