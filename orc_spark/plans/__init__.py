@@ -64,18 +64,20 @@ _PRIORITY_FIRST = [
     # (d) the r02-only-green family, two rounds stale:
     "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
     "dp_profile", "mm_frame_sample", "ann_ivf", "ann_bruteforce_fast",
-    # (e) remaining budget → the stalest greens: the twice-green batteries
-    #     (last row r02/r03-era) then the r03-green rotation prefix. These
-    #     fill slots ~33-50 of the gate budget.
+    # (e) queries ADDED this round (r05) — first driver rows:
+    "tx_gopher_quality", "ts_m4", "sk_theta_ops", "ev_funnel_windowed",
+    "dd_minhash_quality", "ann_recall_eval",
+    # (f) remaining budget → the stalest greens: the twice-green batteries
+    #     (last row r02/r03-era). These fill slots ~38-50 of the gate budget.
     "dp_stratified", "r4b_cube", "rj_range_join", "r5c_rank_battery",
     "dd_minhash_sig", "dd_simhash", "dd_exact", "dd_simhash_pairs",
     "dp_sample", "dd_minhash_pairs", "approx_sketches", "sk_hll_merge",
     "ann_topk",
-    "ts_medfilt", "ts_gradient", "ts_runstats", "ts_groupmeans", "ts_welch",
 ]
 _DEFERRED_LAST = [
     # r03-green rotation remainder (next refresh after the head tier; order
     # mirrors CORRECTNESS_r03 so r06's rotation can take a prefix)
+    "ts_medfilt", "ts_gradient", "ts_runstats", "ts_groupmeans", "ts_welch",
     "ts_deadband", "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
     "r8_tumbling", "r8b_sliding", "r8c_sessions", "aj_asof_join",
     "tr_hier_rollup", "ts_resample", "ts_e2e_report", "io_orc_roundtrip",

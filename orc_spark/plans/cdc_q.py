@@ -851,7 +851,13 @@ def ev_survival(spark: SparkSession, sf: str) -> DataFrame:
         s = _KM_SCALE
         out = np.empty(len(d), dtype=np.int64)
         for i in range(len(d)):
-            s = s * (n[i] - d[i]) // n[i]
+            # Python ints, not np.int64: s·(n−d) wraps silently past 2^63
+            # in numpy (n_at_risk ≳ 9.2e9 users) while DuckDB's BIGINT
+            # multiply raises — keep the scalar state arbitrary-precision
+            # so both engines stay exact (the result ≤ _KM_SCALE always
+            # fits the int64 output)
+            ni, di = int(n[i]), int(d[i])
+            s = s * (ni - di) // ni
             out[i] = s
         g = g.copy()
         g["surv_fp"] = out

@@ -225,6 +225,115 @@ JOIN sig sb ON sb.doc_id = p.doc_b
 """
 
 
+# --- MinHash estimator QA (estimate vs exact Jaccard calibration) ------------
+
+MHQ_ERR_SCALE = 1_000_000_000
+
+
+def dd_minhash_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-pipeline QA: for every LSH candidate pair, the 16-perm MinHash
+    Jaccard ESTIMATE vs the EXACT 5-shingle Jaccard, aggregated into a
+    calibration table per estimate quartile (n_pairs, mean est, mean exact,
+    mean/max absolute error). This is the query a corpus owner runs before
+    trusting a MinHash threshold at 100 TB — it quantifies the estimator on
+    THEIR data, using only the bounded candidate set (never all pairs).
+
+    Determinism: per-pair est/exact/|err| are single float expressions
+    (identical cross-engine); every AGGREGATED mean goes through fixed-point
+    BIGINT (1e-9 units, floor(+0.5)) so accumulation order can't skew
+    engines (CLAUDE.md); max is order-free."""
+    docs = load_table(spark, sf, "documents")
+    cand = dd_minhash_pairs(spark, sf)  # doc_a, doc_b, est_jaccard
+    sh = _shingles(docs)
+    n_sh = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    per_pair = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(n_sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(n_sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "exact_jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
+    )
+    s = float(MHQ_ERR_SCALE)
+    fp = lambda c: F.floor(c * s + F.lit(0.5)).cast("bigint")  # noqa: E731
+    mean6 = lambda tot, n: F.round(  # noqa: E731
+        (tot.cast("double") / n.cast("double")) / s, 6
+    )
+    g = per_pair.groupBy(
+        F.floor(F.col("est_jaccard") * 4.0).cast("bigint").alias("est_quartile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(fp(F.col("est_jaccard"))).alias("_se"),
+        F.sum(fp(F.col("exact_jaccard"))).alias("_sx"),
+        F.sum(fp(F.col("abs_err"))).alias("_serr"),
+        F.round(F.max("abs_err"), 6).alias("max_abs_err"),
+    )
+    return g.select(
+        "est_quartile",
+        "n_pairs",
+        mean6(F.col("_se"), F.col("n_pairs")).alias("mean_est"),
+        mean6(F.col("_sx"), F.col("n_pairs")).alias("mean_exact"),
+        mean6(F.col("_serr"), F.col("n_pairs")).alias("mean_abs_err"),
+        "max_abs_err",
+    ).orderBy("est_quartile")
+
+
+def _minhash_quality_sql() -> str:
+    s = float(MHQ_ERR_SCALE)
+    return f"""
+WITH cand AS ({_minhash_pairs_sql()}),
+sh AS ({_SHINGLES_SQL}),
+nsh AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+per_pair AS (
+  SELECT c.est_jaccard,
+         CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+           / CAST(na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE)
+           AS exact_jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN nsh na ON na.doc_id = c.doc_a
+  JOIN nsh nb ON nb.doc_id = c.doc_b
+),
+errs AS (
+  SELECT est_jaccard, exact_jaccard,
+         abs(est_jaccard - exact_jaccard) AS abs_err
+  FROM per_pair
+)
+SELECT CAST(floor(est_jaccard * 4.0) AS BIGINT) AS est_quartile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round((CAST(sum(CAST(floor(est_jaccard * {s!r} + 0.5) AS BIGINT)) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) / {s!r}, 6) AS mean_est,
+       round((CAST(sum(CAST(floor(exact_jaccard * {s!r} + 0.5) AS BIGINT)) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) / {s!r}, 6) AS mean_exact,
+       round((CAST(sum(CAST(floor(abs_err * {s!r} + 0.5) AS BIGINT)) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) / {s!r}, 6) AS mean_abs_err,
+       round(max(abs_err), 6) AS max_abs_err
+FROM errs
+GROUP BY CAST(floor(est_jaccard * 4.0) AS BIGINT)
+ORDER BY est_quartile
+"""
+
+
 # --- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 60
@@ -784,6 +893,45 @@ WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COS_THRESHOLD}
 """
 
 
+# --- ANN recall evaluation (SRP-LSH vs exact ground truth) --------------------
+
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN QA: recall of the SRP-LSH near-dup path against the exact
+    all-pairs cosine ground truth at the same threshold — the measurement a
+    corpus owner runs before trusting the linear-cost path at 100 TB (the
+    docstring math on ann_srp_pairs predicts ≈0.94; this query measures it
+    on THEIR vectors). Both sides apply the identical rounded-cosine
+    threshold, so retrieved ⊆ truth and recall = n_retrieved / n_truth.
+
+    Scale: the truth side is the block-grid exact join (quadratic — at real
+    corpus scale you'd evaluate on a sampled stratum; the estimator shape
+    is unchanged), the retrieved side is the banded-LSH path being graded."""
+    truth = dd_embcos(spark, sf)
+    retr = ann_srp_pairs(spark, sf)
+    tc = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    rc = retr.agg(F.count(F.lit(1)).alias("n_retrieved"))
+    return tc.crossJoin(rc).select(
+        "n_truth",
+        "n_retrieved",
+        F.round(
+            F.col("n_retrieved").cast("double") / F.col("n_truth").cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH truth AS ({DD_EMBCOS_SQL}),
+srp AS ({ANN_SRP_SQL}),
+tc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+rc AS (SELECT CAST(count(*) AS BIGINT) AS n_retrieved FROM srp)
+SELECT tc.n_truth AS n_truth, rc.n_retrieved AS n_retrieved,
+       round(CAST(rc.n_retrieved AS DOUBLE) / CAST(tc.n_truth AS DOUBLE), 6)
+         AS recall
+FROM tc, rc
+"""
+
+
 def _query_matrix(spark: SparkSession, sf: str):
     """Collect ONLY the fixed query set — a pushed-down `vec_id < n` filter
     bounds the driver transfer to ANN_N_QUERIES rows regardless of corpus
@@ -896,7 +1044,13 @@ def dd_containment(spark: SparkSession, sf: str) -> DataFrame:
     array_intersect over ~|doc|-sized distinct-gram sets (codegen, no
     Python). At corpus scale a containment-recall generator (winnowing
     buckets with hot-bucket caps) would widen candidates; the rerank
-    kernel is identical."""
+    kernel is identical.
+
+    ASCII-corpus assumption (cross-engine): the kernel lower-cases with
+    Python str.lower() while the oracle uses DuckDB lower() over positions
+    from the un-lowered length(text); Unicode case mappings that change
+    string length (e.g. U+0130 İ) would skew the gram sets between
+    engines. The synthetic corpus is ASCII, where both agree exactly."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1051,11 +1205,13 @@ QUERIES = [
     Query("dd_exact", dd_exact, DD_EXACT_SQL, "exact dedup via content digest group-by"),
     Query("dd_minhash_sig", dd_minhash_sig, _minhash_sig_sql(), "MinHash signatures (16 perms, 5-shingles)"),
     Query("dd_minhash_pairs", dd_minhash_pairs, _minhash_pairs_sql(), "LSH banded candidate pairs + estimated jaccard"),
+    Query("dd_minhash_quality", dd_minhash_quality, _minhash_quality_sql(), "MinHash estimator calibration: est vs exact jaccard per quartile, fixed-point means"),
     Query("dd_containment", dd_containment, _containment_sql(), "directional trigram containment rerank of LSH candidates (sub-document dup)"),
     Query("dd_simhash", dd_simhash, DD_SIMHASH_SQL, "60-bit SimHash document fingerprints"),
     Query("dd_simhash_pairs", dd_simhash_pairs, DD_SIMHASH_PAIRS_SQL, "SimHash banded near-dup pairs (hamming ≤ 3)"),
     Query("dd_ngram_jaccard", dd_ngram_jaccard, DD_NGRAM_SQL, "exact trigram Jaccard near-dup (blocked)"),
     Query("dd_embcos", dd_embcos, DD_EMBCOS_SQL, "embedding cosine near-dup pairs"),
     Query("ann_srp_pairs", ann_srp_pairs, ANN_SRP_SQL, "SRP-LSH bucketed embedding near-dup (linear scale path), hash-checked"),
+    Query("ann_recall_eval", ann_recall_eval, ANN_RECALL_SQL, "SRP-LSH recall vs exact cosine ground truth at the shared threshold"),
     Query("ann_topk", ann_topk, ANN_TOPK_SQL, "brute-force cosine top-k baseline"),
 ]

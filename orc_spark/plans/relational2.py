@@ -452,12 +452,19 @@ def r14_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
     # the waiting supplier comes out of the SAME aggregate — one pass over
     # lo (which reuses the join's l_orderkey partitioning), instead of a
     # second consumption of the stream-sized lo + distinct + join-back.
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
+    # Two stacked groupBys instead of twin countDistinct: the distinct pair
+    # would plan an Expand (3× rows) + extra distinct shuffles, while BOTH
+    # these aggregations satisfy their clustering from the join's
+    # l_orderkey partitioning — zero additional exchanges.
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("any_late")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
+        F.max(F.when(F.col("any_late") == 1, F.col("l_suppkey"))).alias(
+            "l_suppkey"
         ),
-        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("l_suppkey"),
     )
     waiting = per_order.where(
         (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)

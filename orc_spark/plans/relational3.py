@@ -383,6 +383,106 @@ LEFT JOIN t3 ON t3.user_id = t1.user_id
 """
 
 
+# --- time-windowed funnel -----------------------------------------------------
+
+FUNNEL_WINDOW_US = 3 * 86_400_000_000  # each stage must fire within 3 days
+
+
+def ev_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion funnel with a TIME CONSTRAINT: the first click within 3
+    days after the first view, then the first purchase within 3 days after
+    that click — the product-analytics funnel as actually asked ("converted
+    within N days"), vs ev_funnel's unconstrained ordering. Same 100 TB
+    shape as ev_funnel: each stage is one equi-join on user_id + one
+    groupBy, no full-stream window, no per-user explode.
+
+    Cross-engine determinism: stage timestamps are exact bigint micros; the
+    mean latency is an exact integer sum divided once (never avg() over
+    accumulated doubles — CLAUDE.md)."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    W = FUNNEL_WINDOW_US
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + W))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + W))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
+    )
+    joined = t1.join(
+        t2.select("user_id", F.col("t2").alias("_t2")), "user_id", "left"
+    ).join(
+        t3.select("user_id", F.col("t3").alias("_t3"), F.col("t1").alias("_t1")),
+        "user_id",
+        "left",
+    )
+    return joined.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("_t2").alias("n_clicked_3d"),
+        F.count("_t3").alias("n_purchased_3d"),
+        F.round(
+            F.count("_t2").cast("double") / F.count("t1").cast("double"), 6
+        ).alias("click_rate"),
+        F.round(
+            F.count("_t3").cast("double") / F.count("t1").cast("double"), 6
+        ).alias("purchase_rate"),
+        F.round(
+            (
+                F.sum(F.col("_t3") - F.col("_t1")).cast("double")
+                / F.count("_t3").cast("double")
+            )
+            / 1000000.0,
+            6,
+        ).alias("avg_view_to_purchase_s"),
+    )
+
+
+EV_FUNNEL_WINDOWED_SQL = f"""
+WITH t1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(t1.t1) AS t1
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+    AND epoch_us(e.ts) <= t1.t1 + {FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3, min(t2.t1) AS t1
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+    AND epoch_us(e.ts) <= t2.t2 + {FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+)
+SELECT count(t1.t1)                          AS n_viewed,
+       count(t2.t2)                          AS n_clicked_3d,
+       count(t3.t3)                          AS n_purchased_3d,
+       round(CAST(count(t2.t2) AS DOUBLE) / CAST(count(t1.t1) AS DOUBLE), 6)
+         AS click_rate,
+       round(CAST(count(t3.t3) AS DOUBLE) / CAST(count(t1.t1) AS DOUBLE), 6)
+         AS purchase_rate,
+       round((CAST(sum(t3.t3 - t3.t1) AS DOUBLE)
+              / CAST(count(t3.t3) AS DOUBLE)) / 1000000.0, 6)
+         AS avg_view_to_purchase_s
+FROM t1
+LEFT JOIN t2 ON t2.user_id = t1.user_id
+LEFT JOIN t3 ON t3.user_id = t1.user_id
+"""
+
+
 # --- count-min sketch (mergeable frequency estimation) -----------------------
 
 CMS_DEPTH = 4
@@ -934,9 +1034,206 @@ ORDER BY event_type
 """
 
 
+# --- theta-sketch set operations ----------------------------------------------
+
+THETA_K = 64
+
+
+def sk_theta_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS between every pair of event-type
+    audiences: estimated |A∪B|, |A∩B| and |A\\B| from K-smallest-hash
+    sketches, with the exact counts alongside. This is the capability KMV
+    cardinality alone lacks (audience overlap without re-scanning raw
+    streams) — the DataSketches theta algebra: theta_p = min(theta_a,
+    theta_b); retained hashes below theta_p from either sketch estimate
+    each op as count · 2^60 / theta_p (simplified fixed-theta union — no
+    re-capping at K — declared as this engine's semantics and mirrored
+    exactly in the oracle). Unsaturated sketches (|set| < K) have theta =
+    2^60, so their estimates are exact by construction.
+
+    100 TB shape: sketches are per-type top-K windows over a single
+    distinct pass (mergeable partial aggregates); all pairwise algebra
+    runs on |types|·K retained rows — broadcast-sized by construction —
+    and never touches the raw stream again. The exact columns are one
+    distinct self-join, only present to make the estimator hash-checkable
+    and error-visible."""
+    from orc_spark.functions.hashing import h60
+
+    TWO60 = float(1 << 60)
+    ev = load_table(spark, sf, "events")
+    pairs_du = (
+        ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    )
+    du = pairs_du.select(
+        "event_type",
+        h60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
+    ).distinct()
+    win = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    kept = (
+        du.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= THETA_K)
+        .select("event_type", "h")
+        .localCheckpoint(eager=False)
+    )
+    sk = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth")
+    )
+    sk = sk.select(
+        "event_type",
+        F.when(F.col("n_kept") < THETA_K, F.lit(int(1 << 60)))
+        .otherwise(F.col("kth"))
+        .alias("theta"),
+    )
+    pr = (
+        sk.select(F.col("event_type").alias("ta"), F.col("theta").alias("theta_a"))
+        .join(
+            sk.select(
+                F.col("event_type").alias("tb"), F.col("theta").alias("theta_b")
+            ),
+            F.col("ta") < F.col("tb"),
+        )
+        .select("ta", "tb", F.least("theta_a", "theta_b").alias("theta_p"))
+        .localCheckpoint(eager=False)
+    )
+    ka = kept.select(F.col("event_type").alias("ta"), "h")
+    kb = kept.select(F.col("event_type").alias("tb"), F.col("h").alias("hb"))
+    ca = (
+        ka.join(pr, "ta")
+        .where(F.col("h") < F.col("theta_p"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    cb = (
+        kb.join(pr, "tb")
+        .where(F.col("hb") < F.col("theta_p"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ci = (
+        ka.join(kb, ka.h == kb.hb)
+        .join(pr, ["ta", "tb"])
+        .where(F.col("h") < F.col("theta_p"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("ci"))
+    )
+    da = pairs_du.select(F.col("event_type").alias("ta"), "user_id")
+    db = pairs_du.select(F.col("event_type").alias("tb"), "user_id")
+    ex_i = (
+        da.join(db, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    nd = pairs_du.groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
+    est = lambda c: F.round(  # noqa: E731
+        c.cast("double") * (F.lit(TWO60) / F.col("theta_p").cast("double")), 3
+    )
+    out = (
+        pr.join(ca, ["ta", "tb"])
+        .join(cb, ["ta", "tb"])
+        .join(ci, ["ta", "tb"], "left")
+        .join(ex_i, ["ta", "tb"], "left")
+        .join(nd.select(F.col("event_type").alias("ta"), F.col("nd").alias("na")), "ta")
+        .join(nd.select(F.col("event_type").alias("tb"), F.col("nd").alias("nb")), "tb")
+        .na.fill({"ci": 0, "exact_inter": 0})
+    )
+    return out.select(
+        "ta",
+        "tb",
+        "theta_p",
+        est(F.col("ca") + F.col("cb") - F.col("ci")).alias("est_union"),
+        est(F.col("ci")).alias("est_inter"),
+        est(F.col("ca") - F.col("ci")).alias("est_diff_ab"),
+        (F.col("na") + F.col("nb") - F.col("exact_inter")).alias("exact_union"),
+        F.col("exact_inter"),
+        (F.col("na") - F.col("exact_inter")).alias("exact_diff_ab"),
+    ).orderBy("ta", "tb")
+
+
+def _theta_sql() -> str:
+    h = h60_sql("'kmv:' || user_id")
+    two60 = float(1 << 60)
+    return f"""
+WITH pdu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+du AS (
+  SELECT DISTINCT event_type, {h} AS h FROM pdu
+),
+kept AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+    FROM du
+  ) WHERE rn <= {THETA_K}
+),
+sk AS (
+  SELECT event_type,
+         CASE WHEN count(*) < {THETA_K} THEN CAST({1 << 60} AS BIGINT)
+              ELSE max(h) END AS theta
+  FROM kept GROUP BY event_type
+),
+pr AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         least(a.theta, b.theta) AS theta_p
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+),
+ca AS (
+  SELECT p.ta, p.tb, CAST(count(*) AS BIGINT) AS ca
+  FROM pr p JOIN kept k ON k.event_type = p.ta AND k.h < p.theta_p
+  GROUP BY p.ta, p.tb
+),
+cb AS (
+  SELECT p.ta, p.tb, CAST(count(*) AS BIGINT) AS cb
+  FROM pr p JOIN kept k ON k.event_type = p.tb AND k.h < p.theta_p
+  GROUP BY p.ta, p.tb
+),
+ci AS (
+  SELECT p.ta, p.tb, CAST(count(*) AS BIGINT) AS ci
+  FROM pr p
+  JOIN kept x ON x.event_type = p.ta
+  JOIN kept y ON y.event_type = p.tb AND y.h = x.h
+  WHERE x.h < p.theta_p
+  GROUP BY p.ta, p.tb
+),
+ex_i AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(count(*) AS BIGINT) AS exact_inter
+  FROM pdu a JOIN pdu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+),
+nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nd FROM pdu GROUP BY event_type
+)
+SELECT p.ta AS ta, p.tb AS tb, p.theta_p AS theta_p,
+       round(CAST(a.ca + b.cb - COALESCE(i.ci, 0) AS DOUBLE)
+             * (CAST({two60!r} AS DOUBLE) / CAST(p.theta_p AS DOUBLE)), 3)
+         AS est_union,
+       round(CAST(COALESCE(i.ci, 0) AS DOUBLE)
+             * (CAST({two60!r} AS DOUBLE) / CAST(p.theta_p AS DOUBLE)), 3)
+         AS est_inter,
+       round(CAST(a.ca - COALESCE(i.ci, 0) AS DOUBLE)
+             * (CAST({two60!r} AS DOUBLE) / CAST(p.theta_p AS DOUBLE)), 3)
+         AS est_diff_ab,
+       na.nd + nb.nd - COALESCE(e.exact_inter, 0) AS exact_union,
+       COALESCE(e.exact_inter, 0) AS exact_inter,
+       na.nd - COALESCE(e.exact_inter, 0) AS exact_diff_ab
+FROM pr p
+JOIN ca a ON a.ta = p.ta AND a.tb = p.tb
+JOIN cb b ON b.ta = p.ta AND b.tb = p.tb
+LEFT JOIN ci i ON i.ta = p.ta AND i.tb = p.tb
+LEFT JOIN ex_i e ON e.ta = p.ta AND e.tb = p.tb
+JOIN nd na ON na.event_type = p.ta
+JOIN nd nb ON nb.event_type = p.tb
+ORDER BY p.ta, p.tb
+"""
+
+
 QUERIES = [
     Query("r9_scalar_subquery", r9_scalar_subquery, R9_SQL, "correlated scalar subquery, decorrelated (TPC-H Q17 shape)"),
     Query("ev_funnel", ev_funnel, EV_FUNNEL_SQL, "sequential-pattern funnel (view → click → purchase) with stage latencies"),
+    Query("ev_funnel_windowed", ev_funnel_windowed, EV_FUNNEL_WINDOWED_SQL, "time-constrained funnel: each stage within 3 days, integer-exact latencies"),
     Query("ev_retention", ev_retention, EV_RETENTION_SQL, "cohort retention matrix (first-seen week × weeks active)"),
     Query("r10_outer_hist", r10_outer_hist, R10_SQL, "left outer join + count histogram (TPC-H Q13 shape)"),
     Query("r11_stats_agg", r11_stats_agg, R11_SQL, "stddev/percentile/corr/covar/regression battery"),
@@ -948,4 +1245,5 @@ QUERIES = [
     Query("sk_bloom", sk_bloom, _bloom_sql(), "Bloom membership sketch + probe battery, fully hash-checked (no-false-negative guarantee asserted per row)"),
     Query("sk_histq", sk_histq, SK_HISTQ_SQL, "mergeable 128-bin histogram quantile sketch, fully hash-checked"),
     Query("sk_kmv", sk_kmv, _kmv_sql(), "KMV distinct sketch + exact union-merge proof, fully hash-checked"),
+    Query("sk_theta_ops", sk_theta_ops, _theta_sql(), "theta-sketch union/intersection/difference estimates between audience pairs, exact side attached"),
 ]

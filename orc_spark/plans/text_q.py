@@ -104,6 +104,106 @@ FROM base
 """
 
 
+# --- Gopher-style quality rule battery --------------------------------------
+
+# The published Gopher (Rae et al. 2021) document-filter rules, adapted to
+# the corpus (no line structure → the line-level bullet/ellipsis rules are
+# represented by the '...' symbol ratio). Public-paper thresholds.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def tx_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule quality filter (the published heuristics LLM corpora are
+    cleaned with): word-count window, mean-word-length window, symbol-to-
+    word ratio, fraction of words containing a letter, and >=2 distinct
+    required stopwords; emits each signal, each rule verdict, and the
+    composite keep flag. Pure column expressions — per-row narrow map, no
+    shuffle, codegen end-to-end at 100 TB. Letter-containing words are
+    counted with a regex instead of a higher-order filter (HOFs are
+    CodegenFallback — CLAUDE.md); stopword presence is a fixed 8-way
+    padded-LIKE battery, not a token explode."""
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    toks = F.split(F.trim(t), r"\s+")
+    n_words = F.size(toks)
+    n_space = F.size(F.expr(r"regexp_extract_all(text, ' ', 0)"))
+    mwl = (n_chars - n_space).cast("double") / n_words.cast("double")
+    n_symbols = F.size(F.expr(r"regexp_extract_all(text, '#|\\.\\.\\.', 0)"))
+    symbol_ratio = n_symbols.cast("double") / n_words.cast("double")
+    n_alpha_words = F.size(F.expr(r"regexp_extract_all(text, '[^ ]*[a-z][^ ]*', 0)"))
+    alpha_frac = n_alpha_words.cast("double") / n_words.cast("double")
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    n_stop = sum(
+        (F.instr(padded, f" {w} ") > 0).cast("int") for w in GOPHER_STOPWORDS
+    )
+    pass_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    pass_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    pass_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    pass_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    pass_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        pass_words.alias("pass_words"),
+        pass_mwl.alias("pass_mwl"),
+        pass_symbol.alias("pass_symbol"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stop.alias("pass_stop"),
+        (pass_words & pass_mwl & pass_symbol & pass_alpha & pass_stop).alias(
+            "keep"
+        ),
+    )
+
+
+# CAST(bool AS INT), not CASE WHEN: NULL text must null-propagate exactly
+# like Spark's (instr > 0).cast("int") does (a CASE's ELSE 0 would turn a
+# NULL doc into 0 on one engine only)
+_GOPHER_STOP_SQL = " + ".join(
+    f"CAST(position(' {w} ' IN ' ' || text || ' ') > 0 AS INTEGER)"
+    for w in GOPHER_STOPWORDS
+)
+TX_GOPHER_QUALITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+         CAST(length(text) - len(regexp_extract_all(text, ' ')) AS DOUBLE)
+           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mwl,
+         CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS symbol_ratio,
+         CAST(len(regexp_extract_all(text, '[^ ]*[a-z][^ ]*')) AS DOUBLE)
+           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS alpha_frac,
+         CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_words,
+       round(mwl, 6)          AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(alpha_frac, 6)   AS alpha_frac,
+       n_stopwords,
+       n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS pass_words,
+       mwl >= {GOPHER_MIN_MWL} AND mwl <= {GOPHER_MAX_MWL}             AS pass_mwl,
+       symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}                       AS pass_symbol,
+       alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}                           AS pass_alpha,
+       n_stopwords >= {GOPHER_MIN_STOPWORDS}                           AS pass_stop,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AND (mwl >= {GOPHER_MIN_MWL} AND mwl <= {GOPHER_MAX_MWL})
+         AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+         AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+         AND n_stopwords >= {GOPHER_MIN_STOPWORDS}                     AS keep
+FROM base
+"""
+
+
 # --- language-ID heuristic --------------------------------------------------
 
 def tx_langid(spark: SparkSession, sf: str) -> DataFrame:
@@ -260,6 +360,7 @@ FROM fps GROUP BY doc_id
 QUERIES = [
     Query("tx_tokens", tx_tokens, TX_TOKENS_SQL, "token/word/subtoken counting"),
     Query("tx_quality", tx_quality, TX_QUALITY_SQL, "document quality scoring"),
+    Query("tx_gopher_quality", tx_gopher_quality, TX_GOPHER_QUALITY_SQL, "Gopher-rule quality filter battery (published thresholds)"),
     Query("tx_langid", tx_langid, TX_LANGID_SQL, "stopword/CJK language heuristic"),
     Query("tx_fingerprint", tx_fingerprint, TX_FINGERPRINT_SQL, "normalized-content fingerprints"),
     Query("tx_winnow", tx_winnow, TX_WINNOW_SQL, "winnowing rolling-hash fingerprints (MOSS scheme)"),

@@ -937,6 +937,76 @@ ORDER BY p.user_id
 """
 
 
+# --- M4 downsampling (min/max/first/last per time bucket) ---------------------
+
+M4_BUCKETS = 8
+
+
+def ts_m4(spark: SparkSession, sf: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014 — the error-free
+    visualization downsampler): each user's value series is split into
+    {M4_BUCKETS} equal time buckets; per bucket emit count, first/last
+    timestamps and the four value extrema (min, max, first, last) that make
+    pixel-perfect line rendering possible. Complements ts_lttb (perceptual)
+    with the exact-envelope variant.
+
+    Cross-engine exact with no tricks: bucket index is pure integer
+    arithmetic (trunc div on epoch micros), and every output value is a
+    RAW input double selected by min/max/arg-ordering — nothing is
+    accumulated, so no fixed-point needed. Plan: ONE shuffle (window by
+    user computes span + order rank; the groupBy on (user, bucket) reuses
+    the user-hash partitioning so needs no second exchange)."""
+    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id")
+    wo = w.orderBy("ts", "event_id")
+    base = (
+        ev.withColumn("tmin", F.min("ts").over(w))
+        .withColumn("tmax", F.max("ts").over(w))
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"least((ts - tmin) * {M4_BUCKETS} div (tmax - tmin + 1), "
+                f"{M4_BUCKETS - 1})"
+            ),
+        )
+    )
+    return base.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.min("ts").alias("ts_first"),
+        F.max("ts").alias("ts_last"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min_by("value", "rn").alias("v_first"),
+        F.max_by("value", "rn").alias("v_last"),
+    )
+
+
+TS_M4_SQL = f"""
+WITH base AS (
+  SELECT user_id, value, epoch_us(ts) AS tsu,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS tmin,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id) AS tmax
+  FROM events
+)
+SELECT user_id,
+       least((tsu - tmin) * {M4_BUCKETS} // (tmax - tmin + 1),
+             {M4_BUCKETS - 1})        AS bucket,
+       CAST(count(*) AS BIGINT)      AS n_pts,
+       min(tsu)                      AS ts_first,
+       max(tsu)                      AS ts_last,
+       min(value)                    AS v_min,
+       max(value)                    AS v_max,
+       arg_min(value, rn)            AS v_first,
+       arg_max(value, rn)            AS v_last
+FROM base
+GROUP BY user_id, least((tsu - tmin) * {M4_BUCKETS} // (tmax - tmin + 1),
+                        {M4_BUCKETS - 1})
+"""
+
+
 QUERIES = [
     Query("ts_medfilt", ts_medfilt, _medfilt_sql(15), "O18 zero-padded median filter k=15"),
     Query("ts_gradient", ts_gradient, TS_GRADIENT_SQL, "O19 np.gradient edge semantics"),
@@ -955,4 +1025,5 @@ QUERIES = [
     Query("ts_mannkendall", ts_mannkendall, TS_MANNKENDALL_SQL, "Mann-Kendall trend test: integer S/pairs, tau + z from single float exprs"),
     Query("ts_seasonal", ts_seasonal, TS_SEASONAL_SQL, "hour-of-day seasonal profile, cross-multiplied exact deviations"),
     Query("ts_twap", ts_twap, TS_TWAP_SQL, "time-weighted average per user-day, integer weights + one final division"),
+    Query("ts_m4", ts_m4, TS_M4_SQL, "M4 downsampling: per-bucket min/max/first/last envelope, raw-value exact"),
 ]

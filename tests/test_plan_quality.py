@@ -475,3 +475,13 @@ def test_dd_containment_gram_build_is_narrow(spark, sf_small):
     assert ex <= 5, plan
     assert "RoundRobinPartitioning" in plan, plan
     assert "collect_set" not in plan, plan
+
+
+def test_ts_m4_single_scan_single_exchange(spark, sf_small):
+    """ts_m4: one events scan, one user-hash exchange — the (user, bucket)
+    groupBy must reuse the window's user partitioning, not add a shuffle."""
+    from orc_spark.plans.timeseries_q import ts_m4
+
+    scans, ex, plan = _plan_stats(ts_m4(spark, sf_small))
+    assert scans == 1, plan
+    assert ex <= 1, plan
