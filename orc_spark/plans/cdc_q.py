@@ -1300,6 +1300,100 @@ ORDER BY r_score, f_score, m_score
 """
 
 
+# --- bot / abuse detection ----------------------------------------------------
+
+BOT_MAX_EPM = 2  # max events in any 1-minute bucket (corpus-scaled)
+BOT_DUP_RATIO = 0.5  # consecutive duplicate-event ratio
+
+
+def ev_bot_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Bot/abuse screening per user — the data-cleaning gate a telemetry
+    corpus runs before analytics or training: (a) burst rate = max events
+    in any 1-minute bucket, (b) consecutive-duplicate ratio (same
+    event_type AND value as the immediately-preceding event, null-safe).
+    Flags users breaching either threshold. Everything is integer until
+    the final ratio (one division); equality on raw doubles is exact.
+
+    Plan: ONE user-hash exchange — the per-minute burst count is a window
+    over (user, minute) and the lag a window over (user), both satisfied
+    by the same user partitioning, then the per-user groupBy reuses it
+    too (no second shuffle)."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    minute = F.expr("ts div 60000000")
+    wm = Window.partitionBy("user_id", minute)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = (
+        ev.withColumn("epm", F.count(F.lit(1)).over(wm))
+        .withColumn("prev_type", F.lag("event_type").over(wl))
+        .withColumn("prev_value", F.lag("value").over(wl))
+        .withColumn(
+            "is_dup",
+            F.expr(
+                "CAST((prev_type <=> event_type) AND (prev_value <=> value) AS INT)"
+            ),
+        )
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("epm").alias("max_epm"),
+        F.sum("is_dup").alias("n_dup_consec"),
+    )
+    dup_ratio = F.when(
+        F.col("n_events") > 1,
+        F.round(
+            F.col("n_dup_consec").cast("double")
+            / (F.col("n_events") - 1).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "max_epm",
+        F.col("n_dup_consec").cast("bigint").alias("n_dup_consec"),
+        dup_ratio.alias("dup_ratio"),
+        (
+            (F.col("max_epm") > BOT_MAX_EPM)
+            | (dup_ratio >= BOT_DUP_RATIO)
+        ).alias("is_bot"),
+    ).orderBy("user_id")
+
+
+EV_BOT_SQL = f"""
+WITH base AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id, epoch_us(ts) // 60000000)
+           AS epm,
+         CAST((lag(event_type) OVER w IS NOT DISTINCT FROM event_type)
+              AND (lag(value) OVER w IS NOT DISTINCT FROM value) AS INTEGER)
+           AS is_dup
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(epm) AS BIGINT) AS max_epm,
+         CAST(sum(is_dup) AS BIGINT) AS n_dup_consec
+  FROM base GROUP BY user_id
+)
+SELECT user_id, n_events, max_epm, n_dup_consec,
+       CASE WHEN n_events > 1
+            THEN round(CAST(n_dup_consec AS DOUBLE)
+                       / CAST(n_events - 1 AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_ratio,
+       (max_epm > {BOT_MAX_EPM}
+        OR CASE WHEN n_events > 1
+                THEN round(CAST(n_dup_consec AS DOUBLE)
+                           / CAST(n_events - 1 AS DOUBLE), 6)
+                ELSE 0.0 END >= {BOT_DUP_RATIO}) AS is_bot
+FROM per_user
+ORDER BY user_id
+"""
+
+
 QUERIES = [
     Query("cdc_scd2", cdc_scd2, CDC_SCD2_SQL, "CDC → SCD2 history (valid intervals, current flag, exact running state)"),
     Query("ev_attribution", ev_attribution, EV_ATTRIBUTION_SQL, "last-touch attribution within a 7-day window"),
@@ -1315,4 +1409,5 @@ QUERIES = [
     Query("ev_concurrency", ev_concurrency, EV_CONCURRENCY_SQL, "peak concurrent sessions per day via two-phase interval sweep"),
     Query("ev_survival", ev_survival, EV_SURVIVAL_SQL, "Kaplan-Meier time-to-purchase curve, truncating fixed-point product"),
     Query("cdc_pit_lookup", cdc_pit_lookup, CDC_PIT_SQL, "point-in-time AS-OF lookup against the SCD2 history"),
+    Query("ev_bot_detect", ev_bot_detect, EV_BOT_SQL, "bot screening: burst rate + consecutive-duplicate ratio per user, one exchange"),
 ]

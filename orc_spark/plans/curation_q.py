@@ -798,6 +798,157 @@ ORDER BY lang
 """
 
 
+# --- annealed mixture weights -------------------------------------------------
+
+ANNEAL_SCALE = 1_000_000
+
+
+def cu_anneal_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-annealed sampling weights: the multilingual-corpus recipe
+    (XLM/mBERT, public) that re-weights languages by n^alpha to keep
+    low-resource languages visible; alpha = 0.5 so the power is sqrt —
+    IEEE-exact correctly-rounded on BOTH engines, unlike pow(). Per
+    language: empirical share, sqrt-annealed share, and the implied
+    up/down-sampling factor.
+
+    Determinism: sqrt(n) per language is a single exact-rounded double →
+    quantized to fixed-point BIGINT before the cross-language SUM (5-double
+    accumulation order would already be engine-dependent — CLAUDE.md);
+    every share is one division of exact integers.
+
+    Scale: one count per language (map-side combinable) — the annealing
+    algebra runs on |langs| rows."""
+    docs = load_table(spark, sf, "documents").select("lang")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    s = float(ANNEAL_SCALE)
+    per = per.withColumn(
+        "sq_fp",
+        F.floor(F.sqrt(F.col("n").cast("double")) * s + F.lit(0.5)).cast("bigint"),
+    )
+    tot = Window.partitionBy()
+    return (
+        per.withColumn("n_tot", F.sum("n").over(tot))
+        .withColumn("sq_tot", F.sum("sq_fp").over(tot))
+        .select(
+            "lang",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_tot").cast("double"), 6
+            ).alias("natural_share"),
+            F.round(
+                F.col("sq_fp").cast("double") / F.col("sq_tot").cast("double"), 6
+            ).alias("annealed_share"),
+            F.round(
+                (F.col("sq_fp").cast("double") / F.col("sq_tot").cast("double"))
+                / (F.col("n").cast("double") / F.col("n_tot").cast("double")),
+                6,
+            ).alias("upsample_factor"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- corpus curation report ---------------------------------------------------
+
+REPORT_NEAR_DUP_EST = 0.5  # MinHash-estimate threshold counted as near-dup
+
+
+def cu_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The ONE-ROW corpus health report a curation pipeline publishes per
+    intake snapshot: document count, null-text count, exact-duplicate rows
+    (beyond the first copy of each digest), MinHash near-dup pairs above
+    the action threshold, Gopher-rule rejects, and total whitespace
+    tokens. Composes the engine's own dedup/quality queries — the numbers
+    are the SAME ones those queries hash-check in detail.
+
+    Scale: every component is a bounded aggregate (digest groupBy, banded
+    LSH pairs, narrow column expressions); the report is a cross-join of
+    1-row frames."""
+    from orc_spark.plans.dedup_q import dd_minhash_pairs
+    from orc_spark.plans.text_q import tx_gopher_quality
+
+    docs = load_table(spark, sf, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("text").isNull().cast("int")).cast("bigint").alias("n_null_text"),
+        F.count_distinct(F.md5("text")).alias("n_digests"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
+    near = (
+        dd_minhash_pairs(spark, sf)
+        .where(F.col("est_jaccard") >= REPORT_NEAR_DUP_EST)
+        .agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
+    )
+    gfail = (
+        tx_gopher_quality(spark, sf)
+        .where(F.col("keep") == False)  # noqa: E712 — excludes NULL-text rows on both engines
+        .agg(F.count(F.lit(1)).alias("n_gopher_fail"))
+    )
+    return base.crossJoin(near).crossJoin(gfail).select(
+        "n_docs",
+        "n_null_text",
+        (F.col("n_docs") - F.col("n_null_text") - F.col("n_digests"))
+        .cast("bigint")
+        .alias("n_exact_dup_docs"),
+        "n_near_dup_pairs",
+        "n_gopher_fail",
+        "total_tokens",
+    )
+
+
+def _corpus_report_sql() -> str:
+    from orc_spark.plans.dedup_q import _minhash_pairs_sql
+    from orc_spark.plans.text_q import TX_GOPHER_QUALITY_SQL
+
+    return rf"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+gq AS ({TX_GOPHER_QUALITY_SQL}),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(text IS NULL AS INTEGER)) AS BIGINT) AS n_null_text,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_digests,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS total_tokens
+  FROM documents
+),
+near AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs
+  FROM pairs WHERE est_jaccard >= {REPORT_NEAR_DUP_EST}
+),
+gfail AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_gopher_fail
+  FROM gq WHERE keep = FALSE
+)
+SELECT n_docs, n_null_text,
+       CAST(n_docs - n_null_text - n_digests AS BIGINT) AS n_exact_dup_docs,
+       n_near_dup_pairs, n_gopher_fail, total_tokens
+FROM base, near, gfail
+"""
+
+
+CU_ANNEAL_SQL = f"""
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {float(ANNEAL_SCALE)!r} + 0.5)
+              AS BIGINT) AS sq_fp
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(sq_fp) AS BIGINT) AS sq_tot
+  FROM per
+)
+SELECT lang, n,
+       round(CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS natural_share,
+       round(CAST(sq_fp AS DOUBLE) / CAST(sq_tot AS DOUBLE), 6) AS annealed_share,
+       round((CAST(sq_fp AS DOUBLE) / CAST(sq_tot AS DOUBLE))
+             / (CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE)), 6) AS upsample_factor
+FROM per, tot
+ORDER BY lang
+"""
+
+
 QUERIES = [
     Query("tx_redact", tx_redact, TX_REDACT_SQL, "PII-style redaction battery (emails/URLs/long numbers)"),
     Query("dd_keepbest", dd_keepbest, DD_KEEPBEST_SQL, "exact-dup keep-best resolution (longest, tie→min id)"),
@@ -805,6 +956,8 @@ QUERIES = [
     Query("cu_pipeline", cu_pipeline, _cu_pipeline_sql(), "e2e curation: quality gate → exact keep-best → LSH near-dup drop → audit"),
     Query("cu_budget", cu_budget, _cu_budget_sql(), "per-language token-budget sampling (quality-ranked greedy fill)"),
     Query("cu_mixture", cu_mixture, _cu_mixture_sql(), "domain-mixture sampling to a target language distribution"),
+    Query("cu_anneal_mixture", cu_anneal_mixture, CU_ANNEAL_SQL, "sqrt-annealed (alpha=0.5) language sampling weights, fixed-point shares"),
+    Query("cu_corpus_report", cu_corpus_report, _corpus_report_sql(), "one-row corpus health report: dups, near-dups, quality rejects, tokens"),
     Query("cu_decontaminate", cu_decontaminate, _cu_decon_sql(), "benchmark decontamination: 20-gram winnowing overlap vs a held-out eval split"),
     Query("cu_pack", cu_pack, CU_PACK_SQL, "sequence packing: concat-and-chunk the corpus into context-length bins"),
     Query("cu_split", cu_split, CU_SPLIT_SQL, "deterministic hash-bucket train/val/test split audit"),

@@ -479,8 +479,76 @@ LIMIT 50
 """
 
 
+# --- full referential-integrity audit ----------------------------------------
+
+# every FK edge of the schema: (edge name, child table, child key,
+# parent table, parent key)
+_FK_EDGES = [
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def dq_referential(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit of the ENTIRE foreign-key graph: one row
+    per FK edge with child row count, orphan count (child keys with no
+    parent) and distinct orphan keys. The whole-schema complement to
+    dq_expectations' spot checks — the audit a warehouse runs after every
+    intake batch.
+
+    Scale: each edge is one anti-join of the child key against a
+    (broadcastable) parent key set, aggregated map-side to a single audit
+    row — the output is O(edges) regardless of data volume, and the child
+    scans prune to the key column only."""
+    rows = []
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        c = load_table(spark, sf, child).select(F.col(ckey).alias("k"))
+        p = load_table(spark, sf, parent).select(F.col(pkey).alias("k"))
+        orphans = c.join(p, "k", "left_anti")
+        audit = c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+            orphans.agg(
+                F.count(F.lit(1)).alias("n_orphans"),
+                F.count_distinct("k").alias("n_orphan_keys"),
+            )
+        )
+        rows.append(
+            audit.select(
+                F.lit(name).alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+                "n_orphan_keys",
+                (F.col("n_orphans") == 0).alias("intact"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fk_edge")
+
+
+def _referential_sql() -> str:
+    parts = []
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        parts.append(f"""
+SELECT '{name}' AS fk_edge,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+       CAST(count(*) AS BIGINT) AS n_orphans,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_orphan_keys,
+       count(*) = 0 AS intact
+FROM (SELECT {ckey} AS k FROM {child} c
+      WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                        WHERE p.{pkey} = c.{ckey}))""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY fk_edge"
+
+
 QUERIES = [
     Query("dq_expectations", dq_expectations, DQ_SQL, "data-quality audit: uniqueness, FK integrity, ranges, null/derived-column checks"),
+    Query("dq_referential", dq_referential, _referential_sql(), "whole-schema FK orphan audit, one row per edge"),
     Query("dq_drift", dq_drift, DQ_DRIFT_SQL, "10-bin PSI drift between event-stream halves, per event_type"),
     Query("dq_benford", dq_benford, DQ_BENFORD_SQL, "Benford first-digit audit of prices, chi-square terms"),
     Query("dq_freshness", dq_freshness, DQ_FRESHNESS_SQL, "per-source freshness + arrival-rate monitor, integer-exact"),

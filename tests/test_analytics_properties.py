@@ -497,3 +497,115 @@ def test_st_bursts_semantics(spark):
     assert all(labels[eid] == 1 for eid in range(41, 50)), labels
     # the sparse tail after the cluster returns to the base state
     assert all(labels[eid] == 0 for eid in range(52, 59)), labels
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=3))
+def test_ts_m4_matches_bruteforce(spark, user_times):
+    from orc_spark.plans.timeseries_q import M4_BUCKETS, ts_m4
+
+    rng_vals = {}
+
+    def extra(ui, eid, t):
+        v = float((eid * 37 % 11) - 5)  # deterministic, includes repeats
+        rng_vals[eid] = v
+        return {"value": v}
+
+    rows = _mk_rows(user_times, extra=extra)
+    sf = _write_events(spark, rows)
+    got = {
+        (r["user_id"], r["bucket"]): r for r in ts_m4(spark, sf).collect()
+    }
+
+    # brute force per user
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for uid, rs in per_user.items():
+        rs = sorted(rs, key=lambda r: (r["ts_us"], r["event_id"]))
+        tmin = min(r["ts_us"] for r in rs)
+        tmax = max(r["ts_us"] for r in rs)
+        for r in rs:
+            b = min(
+                (r["ts_us"] - tmin) * M4_BUCKETS // (tmax - tmin + 1),
+                M4_BUCKETS - 1,
+            )
+            k = (uid, b)
+            w = want.setdefault(
+                k,
+                {
+                    "n_pts": 0,
+                    "ts_first": r["ts_us"],
+                    "ts_last": r["ts_us"],
+                    "v_min": r["value"],
+                    "v_max": r["value"],
+                    "v_first": r["value"],
+                    "v_last": r["value"],
+                },
+            )
+            w["n_pts"] += 1
+            w["ts_first"] = min(w["ts_first"], r["ts_us"])
+            w["ts_last"] = max(w["ts_last"], r["ts_us"])
+            w["v_min"] = min(w["v_min"], r["value"])
+            w["v_max"] = max(w["v_max"], r["value"])
+            w["v_last"] = r["value"]  # rows arrive in rn order
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        for f in (
+            "n_pts", "ts_first", "ts_last", "v_min", "v_max", "v_first", "v_last",
+        ):
+            assert g[f] == w[f], (k, f, g, w)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ev_bot_detect_matches_bruteforce(spark, user_times, seed):
+    from orc_spark.plans.cdc_q import BOT_MAX_EPM, ev_bot_detect
+
+    rng = np.random.RandomState(seed)
+
+    def extra(ui, eid, t):
+        return {
+            "event_type": ["view", "click"][int(rng.randint(2))],
+            "value": float(rng.randint(2)),  # small domain → real dups
+        }
+
+    rows = _mk_rows(user_times, extra=extra)
+    sf = _write_events(spark, rows)
+    got = {r["user_id"]: r for r in ev_bot_detect(spark, sf).collect()}
+
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    for uid, rs in per_user.items():
+        rs = sorted(rs, key=lambda r: (r["ts_us"], r["event_id"]))
+        minutes = {}
+        for r in rs:
+            m = r["ts_us"] // 60000000
+            minutes[m] = minutes.get(m, 0) + 1
+        n_dup = sum(
+            1
+            for a, b in zip(rs, rs[1:])
+            if a["event_type"] == b["event_type"] and a["value"] == b["value"]
+        )
+        g = got[uid]
+        assert g["n_events"] == len(rs)
+        assert g["max_epm"] == max(minutes.values())
+        assert g["n_dup_consec"] == n_dup
+        want_ratio = 0.0 if len(rs) == 1 else round(n_dup / (len(rs) - 1), 6)
+        assert abs(g["dup_ratio"] - want_ratio) < 1e-12
+        want_bot = g["max_epm"] > BOT_MAX_EPM or want_ratio >= 0.5
+        assert g["is_bot"] == want_bot
