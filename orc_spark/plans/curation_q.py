@@ -848,6 +848,61 @@ def cu_anneal_mixture(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- document chunking ----------------------------------------------------------
+
+CHUNK_LEN = 200  # characters per chunk
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def cu_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window document chunking — the embedding/pretraining prep
+    step (RAG context windows, packed-sequence inputs): fixed {CHUNK_LEN}-
+    char chunks every {CHUNK_STRIDE} chars (overlap keeps boundary context),
+    one row per chunk with its span, whitespace-token estimate and content
+    digest (the digest feeds chunk-level dedup downstream).
+
+    Pure narrow map (sequence → explode → substring), whole-stage codegen,
+    no shuffle — the canonical linear pass at any corpus size. NULL texts
+    yield no chunks on either engine (explode/unnest of NULL)."""
+    from orc_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunks = docs.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.expr(f"substring(text, start, {CHUNK_LEN})")
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start",
+        F.length(chunk).alias("chunk_chars"),
+        F.size(F.split(F.trim(chunk), r"\s+")).cast("bigint").alias("est_tokens"),
+        h60(chunk).alias("chunk_digest"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+CU_CHUNK_SQL = rf"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text), 1) + 1, {CHUNK_STRIDE})) AS start,
+         unnest(generate_series(0,
+           (greatest(length(text), 1) - 1) // {CHUNK_STRIDE})) AS chunk_idx
+  FROM documents
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(start AS INTEGER) AS start,
+       CAST(length(substr(text, start, {CHUNK_LEN})) AS INTEGER) AS chunk_chars,
+       CAST(len(string_split_regex(trim(substr(text, start, {CHUNK_LEN})), '\s+'))
+            AS BIGINT) AS est_tokens,
+       {h60_sql(f'substr(text, start, {CHUNK_LEN})')} AS chunk_digest
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+
 # --- corpus curation report ---------------------------------------------------
 
 REPORT_NEAR_DUP_EST = 0.5  # MinHash-estimate threshold counted as near-dup
@@ -958,6 +1013,7 @@ QUERIES = [
     Query("cu_mixture", cu_mixture, _cu_mixture_sql(), "domain-mixture sampling to a target language distribution"),
     Query("cu_anneal_mixture", cu_anneal_mixture, CU_ANNEAL_SQL, "sqrt-annealed (alpha=0.5) language sampling weights, fixed-point shares"),
     Query("cu_corpus_report", cu_corpus_report, _corpus_report_sql(), "one-row corpus health report: dups, near-dups, quality rejects, tokens"),
+    Query("cu_chunk", cu_chunk, CU_CHUNK_SQL, "sliding-window document chunking with overlap, token estimates + chunk digests"),
     Query("cu_decontaminate", cu_decontaminate, _cu_decon_sql(), "benchmark decontamination: 20-gram winnowing overlap vs a held-out eval split"),
     Query("cu_pack", cu_pack, CU_PACK_SQL, "sequence packing: concat-and-chunk the corpus into context-length bins"),
     Query("cu_split", cu_split, CU_SPLIT_SQL, "deterministic hash-bucket train/val/test split audit"),

@@ -485,3 +485,33 @@ def test_ts_m4_single_scan_single_exchange(spark, sf_small):
     scans, ex, plan = _plan_stats(ts_m4(spark, sf_small))
     assert scans == 1, plan
     assert ex <= 1, plan
+
+
+def test_ev_bot_detect_single_exchange(spark, sf_small):
+    """ev_bot_detect: burst window, lag window and per-user groupBy all
+    reuse one user-hash exchange (plus the count agg's own; the query's
+    orderBy is presentation-only, so assert on the pre-sort shape)."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.plans.cdc_q import ev_bot_detect
+
+    df = ev_bot_detect(spark, sf_small)
+    scans, ex, plan = _plan_stats(df.select(F2.count(F2.lit(1))))
+    assert scans == 1, plan
+    assert ex <= 2, plan
+
+
+def test_cu_chunk_no_shuffle(spark, sf_small):
+    """cu_chunk: pure narrow map — no Exchange anywhere (the orderBy in the
+    query is presentation-only; assert on the pre-sort plan shape)."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.plans.curation_q import cu_chunk
+
+    df = cu_chunk(spark, sf_small)
+    # strip the final presentation sort: count exchanges feeding it
+    scans, ex, plan = _plan_stats(df.select(F2.count(F2.lit(1))))
+    # one partial+final count agg exchange is expected; the chunking itself
+    # must add none
+    assert scans == 1, plan
+    assert ex <= 1, plan
