@@ -25,6 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Bounded driver-finish handoff (same policy as gr_kcore): once the
+# symmetric-closure edge list fits this many rows (~64 MB of bigint pairs),
+# ONE collect + exact union-find replaces the iterative rounds — tiny
+# graphs stop paying the per-round job-scheduling floor, driver memory
+# stays hard-bounded, and above the cap the distributed pointer-jumping
+# loop runs unchanged (the 100 TB path).
+CC_LOCAL_FINISH_ROWS = 4_000_000
+
 
 def _step(sym: DataFrame, labels: DataFrame) -> DataFrame:
     """One neighbor-min propagation + one pointer jump (comp ← comp[comp]).
@@ -83,6 +91,42 @@ def connected_components(
     # Spark job per round instead of two (eager checkpoint + separate agg),
     # which matters because round cost here is job/stage scheduling overhead,
     # not data volume
+    if sym.count() <= CC_LOCAL_FINISH_ROWS:
+        # exact local finish: union-find with union-by-min root, so each
+        # root IS the component's min id — identical labels to the
+        # distributed min-label fixpoint
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        label_rows = [(n, find(n)) for n in parent]
+        spark = nodes.sparkSession
+        labels = spark.createDataFrame(
+            label_rows or [(-1, -1)], "node bigint, comp bigint"
+        )
+        if not label_rows:
+            labels = labels.limit(0)
+        return (
+            nodes.select("node")
+            .join(F.broadcast(labels), "node", "left")
+            .select("node", F.coalesce("comp", "node").alias("comp"))
+        )
     labels = (
         sym.select("src").distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("comp"))

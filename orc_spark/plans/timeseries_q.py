@@ -937,6 +937,95 @@ ORDER BY p.user_id
 """
 
 
+# --- MAD robust outlier screening ----------------------------------------------
+
+# 3 sigma-equivalents: 3 · 1.4826 (the normal-consistency constant), folded
+# in Python so both engines multiply by the same literal
+MAD_THRESH_MULT = 3.0 * 1.4826
+
+
+def ts_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier screening per user series: median / MAD (median
+    absolute deviation) with the standard 3-sigma-equivalent threshold —
+    the outlier detector that, unlike z-scores, a single spike cannot mask.
+    Emits the per-user robust location/scale and the outlier count.
+
+    Cross-engine: exact interpolated percentile == DuckDB quantile_cont
+    (proven by r11's battery); every other float is a single expression on
+    identical inputs; the outlier count is an integer aggregate.
+
+    Scale: two groupBy passes over the stream (median, then MAD of
+    deviations) + one flag-count — all partial+final hash aggs on the user
+    key, no window over the full stream."""
+    ev = load_table(spark, sf, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.min("med").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = dev.join(mad.select("user_id", "mad"), "user_id").withColumn(
+        "is_out",
+        (F.col("adev") > F.col("mad") * MAD_THRESH_MULT).cast("int"),
+    )
+    counts = flagged.groupBy("user_id").agg(
+        F.sum("is_out").cast("bigint").alias("n_outliers")
+    )
+    return (
+        mad.join(counts, "user_id")
+        .select(
+            "user_id",
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(F.col("mad") * MAD_THRESH_MULT, 6).alias("threshold"),
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
+            ).alias("outlier_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TS_OUTLIER_MAD_SQL = f"""
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id
+),
+dev AS (
+  SELECT e.user_id, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m ON m.user_id = e.user_id
+),
+mad AS (
+  SELECT user_id, quantile_cont(adev, 0.5) AS mad, min(med) AS med,
+         CAST(count(*) AS BIGINT) AS n
+  FROM dev GROUP BY user_id
+),
+counts AS (
+  SELECT d.user_id,
+         CAST(sum(CAST(d.adev > m.mad * {MAD_THRESH_MULT!r} AS INTEGER))
+              AS BIGINT) AS n_outliers
+  FROM dev d JOIN mad m ON m.user_id = d.user_id
+  GROUP BY d.user_id
+)
+SELECT m.user_id AS user_id, m.n AS n,
+       round(m.med, 6) AS med,
+       round(m.mad, 6) AS mad,
+       round(m.mad * {MAD_THRESH_MULT!r}, 6) AS threshold,
+       c.n_outliers AS n_outliers,
+       round(CAST(c.n_outliers AS DOUBLE) / CAST(m.n AS DOUBLE), 6)
+         AS outlier_rate
+FROM mad m JOIN counts c ON c.user_id = m.user_id
+ORDER BY m.user_id
+"""
+
+
 # --- M4 downsampling (min/max/first/last per time bucket) ---------------------
 
 M4_BUCKETS = 8
@@ -1026,4 +1115,5 @@ QUERIES = [
     Query("ts_seasonal", ts_seasonal, TS_SEASONAL_SQL, "hour-of-day seasonal profile, cross-multiplied exact deviations"),
     Query("ts_twap", ts_twap, TS_TWAP_SQL, "time-weighted average per user-day, integer weights + one final division"),
     Query("ts_m4", ts_m4, TS_M4_SQL, "M4 downsampling: per-bucket min/max/first/last envelope, raw-value exact"),
+    Query("ts_outlier_mad", ts_outlier_mad, TS_OUTLIER_MAD_SQL, "median/MAD robust outlier screening per user, exact interpolated percentiles"),
 ]
