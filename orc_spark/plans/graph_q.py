@@ -561,9 +561,292 @@ LIMIT 20
 """
 
 
+# --- multi-source BFS ---------------------------------------------------------
+
+BFS_HOPS = 4  # fixed unroll depth (exact distances up to this many hops)
+BFS_INF = 999  # "unreached" sentinel, strictly larger than any real hop
+BFS_SOURCE_MOD = 20  # sources = graph nodes with node % MOD == 0
+
+# The mutual-kNN edge construction, as a SQL CTE prefix shared by the graph
+# oracles that run on the same graph (gr_triangles/gr_kcore inline the same
+# text; kept verbatim so the three oracles stay literally identical).
+_MUTUAL_EDGES_CTE = f"""
+co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+),
+und AS (
+  SELECT u, v, w FROM co UNION ALL SELECT v AS u, u AS v, w FROM co
+),
+ranked AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+           row_number() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rn
+    FROM und
+  ) WHERE rn <= {TRI_K}
+),
+edges AS MATERIALIZED (
+  SELECT r1.u AS ea, r1.v AS eb
+  FROM ranked r1 JOIN ranked r2 ON r1.u = r2.v AND r1.v = r2.u
+  WHERE r1.u < r1.v
+),
+sym AS MATERIALIZED (
+  SELECT ea AS src, eb AS dst FROM edges
+  UNION ALL SELECT eb AS src, ea AS dst FROM edges
+)"""
+
+
+def _sym_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric closure of the mutual-kNN edges: one row per direction."""
+    edges = _mutual_knn_edges(spark, sf)
+    return edges.select(
+        F.col("ea").alias("src"), F.col("eb").alias("dst")
+    ).unionByName(
+        edges.select(F.col("eb").alias("src"), F.col("ea").alias("dst"))
+    )
+
+
+def gr_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS over the mutual-kNN co-occurrence graph: exact hop
+    distance from the seed set (nodes ≡ 0 mod {BFS_SOURCE_MOD}) up to
+    {BFS_HOPS} hops — the reachability primitive behind crawl-frontier
+    expansion and seed-set influence radius. Emits one row per hop level
+    (hop −1 = unreached within the horizon) with the node count and an
+    order-independent membership digest.
+
+    Determinism: distances are small integers (min-propagation of d+1), the
+    digest is the xor of per-node 60-bit hashes — no float anywhere.
+
+    100 TB shape: {BFS_HOPS} unrolled rounds, each ONE equi-join of the
+    distance table with the src-partitioned edge list + one min-groupBy on
+    dst — the textbook distributed Bellman-Ford step with a fixed horizon
+    (lineage stays shallow; a frontier-delta formulation would touch less
+    data per round but needs driver-loop convergence, the same trade
+    gr_kcore documents)."""
+    from orc_spark.functions.hashing import xor_digest
+
+    sym = _sym_edges(spark, sf).localCheckpoint(eager=False)
+    dist = (
+        sym.select("src").distinct()
+        .select(
+            F.col("src").alias("node"),
+            F.when(F.col("src") % BFS_SOURCE_MOD == 0, F.lit(0))
+            .otherwise(F.lit(BFS_INF))
+            .alias("d"),
+        )
+    )
+    # dist has TWO consumers per round (the neighbor-min join and the
+    # merge) — checkpoint each round's node-sized frame so lineage doesn't
+    # double per round (48 exchanges unchecked → 13; same pattern as the CC
+    # operator's rounds; the node table is orders smaller than the edges)
+    dist = dist.localCheckpoint(eager=False)
+    for _ in range(BFS_HOPS):
+        nbr = (
+            sym.join(dist, sym.src == dist.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg((F.min("d") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(nbr, dist.node == nbr.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("d"), F.coalesce(F.col("nd"), F.lit(BFS_INF))
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        dist.select(
+            "node",
+            F.when(F.col("d") >= BFS_INF, F.lit(-1))
+            .otherwise(F.col("d"))
+            .alias("hop"),
+        )
+        .groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            xor_digest(F.col("node").cast("string")).alias("node_digest"),
+        )
+        .orderBy("hop")
+    )
+
+
+def _bfs_sql() -> str:
+    from orc_spark.functions.hashing import h60_sql
+
+    rounds = []
+    prev = "d0"
+    for i in range(1, BFS_HOPS + 1):
+        rounds.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT p.node,
+         least(p.d, coalesce(m.nd, {BFS_INF})) AS d
+  FROM {prev} p LEFT JOIN (
+    SELECT s.dst AS node, min(q.d) + 1 AS nd
+    FROM sym s JOIN {prev} q ON q.node = s.src
+    GROUP BY s.dst
+  ) m ON m.node = p.node
+)""")
+        prev = f"d{i}"
+    chain = ",".join(rounds)
+    return f"""
+WITH {_MUTUAL_EDGES_CTE},
+d0 AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN node % {BFS_SOURCE_MOD} = 0 THEN 0 ELSE {BFS_INF} END AS d
+  FROM (SELECT DISTINCT src AS node FROM sym)
+),
+{chain}
+SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+       bit_xor({h60_sql("CAST(node AS VARCHAR)")}) AS node_digest
+FROM (
+  SELECT node, CASE WHEN d >= {BFS_INF} THEN -1 ELSE d END AS hop
+  FROM {prev}
+)
+GROUP BY hop
+ORDER BY hop
+"""
+
+
+# --- link prediction ----------------------------------------------------------
+
+LP_AA_SCALE = 1_000_000_000  # fixed-point scale for Adamic-Adar terms
+LP_TOP = 20
+
+
+def gr_linkpred(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction over the mutual-kNN graph: for every non-adjacent
+    node pair sharing ≥1 neighbor, the three classic proximity scores —
+    common-neighbor count, Jaccard overlap, and Adamic-Adar (neighbors
+    weighted 1/ln(degree)) — top-{LP_TOP} candidate edges. The
+    recommender/entity-resolution primitive ("suppliers likely to co-occur
+    next").
+
+    Determinism: cn/degrees are integers; the Adamic-Adar sum accumulates
+    floor(1e9 / ln(deg)) per shared neighbor in BIGINT (each term is ONE
+    correctly-rounded double division on identical inputs, floored — no
+    float accumulation crosses engines); jaccard is a single final float
+    expression.
+
+    100 TB shape: wedge enumeration is a self-join of the src-partitioned
+    edge list on the wedge center — degree is bounded by the top-{TRI_K}
+    construction, so wedges per node ≤ C({TRI_K},2) and the whole plan is
+    linear in edges: one shuffle on the center, one on the candidate pair,
+    one broadcast-size anti-join against the (sparse) existing edges."""
+    edges = _mutual_knn_edges(spark, sf)
+    sym = _sym_edges(spark, sf).localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).localCheckpoint(eager=False)
+    # per-center Adamic-Adar term, fixed-point. Degree-1 centers cannot
+    # form a wedge, but ANSI mode evaluates 1/ln(1)=1/0 BEFORE the wedge
+    # join would drop them — filter them out first (both engines).
+    centers = sym.join(
+        deg, (sym.src == deg.node) & (deg.degree >= 2)
+    ).select(
+        F.col("src").alias("z"),
+        F.col("dst").alias("nb"),
+        F.expr(
+            f"CAST(floor({LP_AA_SCALE} / ln(CAST(degree AS DOUBLE))) AS BIGINT)"
+        ).alias("aa_term"),
+    )
+    w1, w2 = centers.alias("w1"), centers.alias("w2")
+    cand = (
+        w1.join(
+            w2,
+            (F.col("w1.z") == F.col("w2.z"))
+            & (F.col("w1.nb") < F.col("w2.nb")),
+        )
+        .groupBy(
+            F.col("w1.nb").alias("u"), F.col("w2.nb").alias("v")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("w1.aa_term").alias("aa_fp"),
+        )
+    )
+    non_edges = cand.join(
+        edges,
+        (cand.u == edges.ea) & (cand.v == edges.eb),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    return (
+        non_edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            "deg_u",
+            "deg_v",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            "aa_fp",
+        )
+        .orderBy(
+            F.col("cn").desc(),
+            F.col("aa_fp").desc(),
+            F.col("u").asc(),
+            F.col("v").asc(),
+        )
+        .limit(LP_TOP)
+    )
+
+
+GR_LINKPRED_SQL = f"""
+WITH {_MUTUAL_EDGES_CTE},
+deg AS MATERIALIZED (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM sym GROUP BY src
+),
+centers AS (
+  SELECT s.src AS z, s.dst AS nb,
+         CAST(floor({LP_AA_SCALE} / ln(CAST(d.degree AS DOUBLE)))
+              AS BIGINT) AS aa_term
+  FROM sym s JOIN deg d ON d.node = s.src AND d.degree >= 2
+),
+cand AS (
+  SELECT w1.nb AS u, w2.nb AS v,
+         CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(w1.aa_term) AS BIGINT) AS aa_fp
+  FROM centers w1 JOIN centers w2
+    ON w1.z = w2.z AND w1.nb < w2.nb
+  GROUP BY w1.nb, w2.nb
+),
+non_edges AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.ea = c.u AND e.eb = c.v
+  )
+)
+SELECT n.u AS u, n.v AS v, n.cn AS cn,
+       du.degree AS deg_u, dv.degree AS deg_v,
+       round(CAST(n.cn AS DOUBLE)
+             / CAST(du.degree + dv.degree - n.cn AS DOUBLE), 6) AS jaccard,
+       n.aa_fp AS aa_fp
+FROM non_edges n
+JOIN deg du ON du.node = n.u
+JOIN deg dv ON dv.node = n.v
+ORDER BY cn DESC, aa_fp DESC, u ASC, v ASC
+LIMIT {LP_TOP}
+"""
+
+
 QUERIES = [
     Query("gr_pagerank", gr_pagerank, _pagerank_sql(), "fixed-point integer PageRank, 4 iterations, bit-exact cross-engine"),
     Query("gr_triangles", gr_triangles, GR_TRIANGLES_SQL, "triangle counts over a mutual-kNN co-occurrence graph, integer-exact"),
     Query("mb_rules", mb_rules, MB_RULES_SQL, "market-basket association rules: support/confidence/lift, top-20"),
     Query("gr_kcore", gr_kcore, _kcore_sql(), "k-core peeling of the mutual-kNN graph, unrolled rounds + convergence flag"),
+    Query("gr_bfs", gr_bfs, _bfs_sql(), "multi-source BFS hop distances, 4 unrolled rounds, integer-exact"),
+    Query("gr_linkpred", gr_linkpred, GR_LINKPRED_SQL, "link prediction: common-neighbor/Jaccard/Adamic-Adar top-20, fixed-point AA"),
 ]
