@@ -729,6 +729,173 @@ WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COS_THRESHOLD}
 """
 
 
+# --- SemDeDup-style semantic dedup ------------------------------------------
+
+SEM_TAU = 0.3  # within-cluster cosine above this ⇒ semantic duplicate
+SEM_N_BLOCKS = 4
+
+
+def dd_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup à la SemDeDup (Abbas et al. 2023, public recipe):
+    within each embedding CLUSTER (the pre-computed `label` column stands
+    in for the k-means assignment), any pair with cosine ≥ {SEM_TAU} marks
+    the higher vec_id a semantic duplicate; survivors are the vecs not
+    dominated by an earlier one. Emits the per-cluster keep/drop audit
+    with an order-independent survivor digest.
+
+    The drop rule is the deterministic "dominated-by-earlier" variant
+    (v drops ⟺ ∃ u<v in-cluster with cos(u,v) ≥ τ) — unlike greedy
+    sequential pruning it needs no recurrence, so it distributes and
+    oracles cleanly.
+
+    Cross-engine: cosines follow dd_embcos exactly (numpy matmul vs
+    join-sum, both rounded to 6 before the threshold); everything else is
+    integer counts and xor digests.
+
+    100 TB shape: clustering bounds candidates to same-label pairs; within
+    a cluster the same block-grid as dd_embcos keeps per-task memory to
+    two blocks — cells are (label, block_a, block_b), so a huge cluster
+    splits across tasks instead of one matmul. At real scale the label
+    comes from the IVF coarse quantizer (operators/similarity.py) and τ
+    rises with corpus density."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from orc_spark.functions.hashing import xor_digest
+
+    nb = SEM_N_BLOCKS
+    emb = (
+        load_table(spark, sf, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .withColumn("blk", (F.col("vec_id") % nb).cast("int"))
+    )
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(nb) for b in range(a, nb)], "ba int, bb int"
+    )
+    off_diag = grid.where(F.col("ba") != F.col("bb"))
+    a_side = emb.join(F.broadcast(grid), emb.blk == grid.ba).select(
+        "label", "ba", "bb", F.lit("a").alias("side"), "vec_id", "embedding"
+    )
+    b_side = emb.join(F.broadcast(off_diag), emb.blk == off_diag.bb).select(
+        "label", "ba", "bb", F.lit("b").alias("side"), "vec_id", "embedding"
+    )
+    tagged = a_side.unionByName(b_side)
+
+    schema = T.StructType(
+        [
+            T.StructField("label", T.IntegerType()),
+            T.StructField("vec_drop", T.LongType()),
+        ]
+    )
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "label": pd.Series([], dtype="int32"),
+                "vec_drop": pd.Series([], dtype="int64"),
+            }
+        )
+        a = pdf[pdf["side"] == "a"]
+        diagonal = bool(pdf["ba"].iloc[0] == pdf["bb"].iloc[0])
+        b = a if diagonal else pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return empty
+        aid = a["vec_id"].to_numpy()
+        bid = b["vec_id"].to_numpy()
+        am = np.vstack(a["embedding"].map(np.asarray).to_numpy()).astype(
+            np.float64
+        )
+        bm = np.vstack(b["embedding"].map(np.asarray).to_numpy()).astype(
+            np.float64
+        )
+        am = am / np.linalg.norm(am, axis=1, keepdims=True)
+        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        sims = np.round(am @ bm.T, 6)
+        ri, ci = np.where(sims >= SEM_TAU)
+        va, vb = aid[ri], bid[ci]
+        keep = va != vb  # diagonal cells see self-pairs and both orders
+        drops = np.unique(np.maximum(va[keep], vb[keep]))
+        if drops.size == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "label": np.full(drops.size, int(pdf["label"].iloc[0]), dtype="int32"),
+                "vec_drop": drops.astype("int64"),
+            }
+        )
+
+    dropped = (
+        tagged.groupBy("label", "ba", "bb")
+        .applyInPandas(cell, schema)
+        .select("label", "vec_drop")
+        .distinct()
+    )
+    kept = emb.join(
+        dropped, emb.vec_id == dropped.vec_drop, "left_anti"
+    ).select("label", "vec_id")
+    per_kept = kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        xor_digest(F.col("vec_id").cast("string")).alias("survivor_digest"),
+    )
+    totals = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        totals.join(per_kept, "label")
+        .select(
+            "label",
+            "n_vecs",
+            (F.col("n_vecs") - F.col("n_kept")).alias("n_dropped"),
+            "n_kept",
+            "survivor_digest",
+        )
+        .orderBy("label")
+    )
+
+
+DD_SEMDEDUP_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, label, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM (SELECT vec_id, label, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id, any_value(label) AS label, sqrt(sum(v * v)) AS nrm
+  FROM flat GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS dot
+  FROM flat a JOIN flat b
+    ON a.i = b.i AND a.vec_id < b.vec_id AND a.label = b.label
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT vb AS vec_id FROM dots
+  JOIN norms na ON na.vec_id = va
+  JOIN norms nbn ON nbn.vec_id = vb
+  WHERE round(dot / (na.nrm * nbn.nrm), 6) >= {SEM_TAU}
+),
+kept AS (
+  SELECT e.label, e.vec_id FROM embeddings e
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+),
+per_kept AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+         bit_xor({h60_sql("CAST(vec_id AS VARCHAR)")}) AS survivor_digest
+  FROM kept GROUP BY label
+),
+totals AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM embeddings GROUP BY label
+)
+SELECT t.label AS label, t.n_vecs AS n_vecs,
+       t.n_vecs - k.n_kept AS n_dropped,
+       k.n_kept AS n_kept, k.survivor_digest AS survivor_digest
+FROM totals t JOIN per_kept k ON k.label = t.label
+ORDER BY t.label
+"""
+
+
 # --- SRP-LSH embedding near-dup (the bucketed 100 TB path) ------------------
 
 SRP_PLANES = 64
@@ -1211,6 +1378,7 @@ QUERIES = [
     Query("dd_simhash_pairs", dd_simhash_pairs, DD_SIMHASH_PAIRS_SQL, "SimHash banded near-dup pairs (hamming ≤ 3)"),
     Query("dd_ngram_jaccard", dd_ngram_jaccard, DD_NGRAM_SQL, "exact trigram Jaccard near-dup (blocked)"),
     Query("dd_embcos", dd_embcos, DD_EMBCOS_SQL, "embedding cosine near-dup pairs"),
+    Query("dd_semdedup", dd_semdedup, DD_SEMDEDUP_SQL, "SemDeDup-style within-cluster semantic dedup, per-cluster survivor audit"),
     Query("ann_srp_pairs", ann_srp_pairs, ANN_SRP_SQL, "SRP-LSH bucketed embedding near-dup (linear scale path), hash-checked"),
     Query("ann_recall_eval", ann_recall_eval, ANN_RECALL_SQL, "SRP-LSH recall vs exact cosine ground truth at the shared threshold"),
     Query("ann_topk", ann_topk, ANN_TOPK_SQL, "brute-force cosine top-k baseline"),

@@ -1026,6 +1026,101 @@ ORDER BY m.user_id
 """
 
 
+# --- Theil-Sen robust trend ---------------------------------------------------
+
+TS_DAY_US = 86400000000.0  # µs per day, the slope's time unit
+
+
+def ts_theilsen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend per user series: the median of all pairwise
+    slopes (value units per DAY) and the median-residual intercept — the
+    slope complement of ts_mannkendall's direction test (MK says "is there
+    a trend", Theil-Sen says "how steep", both immune to outliers that
+    wreck OLS).
+
+    Cross-engine: each pairwise slope is ONE float expression on identical
+    inputs ((Δv) / (Δt_µs / 86400e6) — association mirrored literally in
+    the oracle); the medians are exact interpolated percentiles (proven
+    cross-engine); nothing float is ever accumulated. Equal-timestamp
+    pairs are excluded (zero Δt; standard Theil-Sen skips them).
+
+    100 TB shape: per-series O(n²) pair join BY DESIGN, same bounded-run
+    envelope ts_mannkendall documents (series length ≤ a few hundred);
+    one shuffle on user_id for the pairs, one user-key join back for the
+    intercept residuals."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.ts") < F.col("b.ts")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            (F.col("b.value") - F.col("a.value"))
+            / ((F.col("b.ts") - F.col("a.ts")) / F.lit(TS_DAY_US))
+        ).alias("slope"),
+    )
+    med = pairs.groupBy("user_id").agg(
+        F.expr("percentile(slope, 0.5)").alias("slope_med"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    resid = ev.join(med, "user_id").select(
+        "user_id",
+        "slope_med",
+        "n_pairs",
+        (
+            F.col("value")
+            - F.col("slope_med") * (F.col("ts") / F.lit(TS_DAY_US))
+        ).alias("r"),
+    )
+    return (
+        resid.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_pairs").alias("n_pairs"),
+            F.min("slope_med").alias("slope_med"),
+            F.expr("percentile(r, 0.5)").alias("intercept"),
+        )
+        .select("user_id", "n", "n_pairs", "slope_med", "intercept")
+        .orderBy("user_id")
+    )
+
+
+TS_THEILSEN_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts, value FROM events
+),
+pairs AS (
+  SELECT a.user_id,
+         (b.value - a.value)
+           / (CAST(b.ts - a.ts AS DOUBLE) / CAST(86400000000 AS DOUBLE))
+           AS slope
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id AND a.ts < b.ts
+),
+med AS (
+  SELECT user_id, quantile_cont(slope, 0.5) AS slope_med,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY user_id
+),
+resid AS (
+  SELECT e.user_id, m.slope_med, m.n_pairs,
+         e.value - m.slope_med
+           * (CAST(e.ts AS DOUBLE) / CAST(86400000000 AS DOUBLE)) AS r
+  FROM ev e JOIN med m ON m.user_id = e.user_id
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       min(n_pairs) AS n_pairs,
+       min(slope_med) AS slope_med,
+       quantile_cont(r, 0.5) AS intercept
+FROM resid GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # --- M4 downsampling (min/max/first/last per time bucket) ---------------------
 
 M4_BUCKETS = 8
@@ -1116,4 +1211,5 @@ QUERIES = [
     Query("ts_twap", ts_twap, TS_TWAP_SQL, "time-weighted average per user-day, integer weights + one final division"),
     Query("ts_m4", ts_m4, TS_M4_SQL, "M4 downsampling: per-bucket min/max/first/last envelope, raw-value exact"),
     Query("ts_outlier_mad", ts_outlier_mad, TS_OUTLIER_MAD_SQL, "median/MAD robust outlier screening per user, exact interpolated percentiles"),
+    Query("ts_theilsen", ts_theilsen, TS_THEILSEN_SQL, "Theil-Sen robust trend: median pairwise slope + median-residual intercept"),
 ]

@@ -523,6 +523,26 @@ def test_gr_linkpred_bounded_wedge_join(spark, sf_small):
     assert "CartesianProduct" not in plan
 
 
+def test_ts_theilsen_equijoin_not_cartesian(spark, sf_small):
+    """ts_theilsen: the pair generation must be a user_id equi-join with
+    the ts inequality as a post-join filter — never a cartesian."""
+    from orc_spark.plans.timeseries_q import ts_theilsen
+
+    scans, ex, plan = _plan_stats(ts_theilsen(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert ex <= 8, plan
+
+
+def test_dd_semdedup_no_cartesian(spark, sf_small):
+    """dd_semdedup: block tagging is two broadcast joins; the only wide op
+    is the (label, block, block) cell shuffle feeding the Arrow kernel."""
+    from orc_spark.plans.dedup_q import dd_semdedup
+
+    scans, ex, plan = _plan_stats(dd_semdedup(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 def test_cu_chunk_no_shuffle(spark, sf_small):
     """cu_chunk: pure narrow map — no Exchange anywhere (the orderBy in the
     query is presentation-only; assert on the pre-sort plan shape)."""
