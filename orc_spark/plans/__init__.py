@@ -69,16 +69,13 @@ _PRIORITY_FIRST = [
     "dd_minhash_quality", "ann_recall_eval",
     "cu_anneal_mixture", "cu_corpus_report", "ev_bot_detect", "dq_referential",
     "cu_chunk", "ts_outlier_mad", "gr_bfs", "gr_linkpred", "ts_theilsen",
-    "dd_semdedup",
-    # (f) remaining budget → the stalest greens: the twice-green batteries
-    #     (last row r02/r03-era). These fill slots ~47-50 of the gate budget.
-    "dp_stratified", "r4b_cube",
+    "dd_semdedup", "io_compaction", "tx_zipf",
 ]
 _DEFERRED_LAST = [
     # twice-green battery overflow (the 50-slot budget cut) + the r03-green
     # rotation remainder (next refresh after the head tier; order mirrors
     # CORRECTNESS_r03 so r06's rotation can take a prefix)
-    "rj_range_join", "r5c_rank_battery",
+    "dp_stratified", "r4b_cube", "rj_range_join", "r5c_rank_battery",
     "dd_minhash_sig", "dd_simhash", "dd_exact", "dd_simhash_pairs",
     "dp_sample", "dd_minhash_pairs",
     "approx_sketches", "sk_hll_merge", "ann_topk",

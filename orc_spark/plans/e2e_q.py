@@ -29,6 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from orc_spark.functions.hashing import h60_sql
 from orc_spark.operators.stats import welch_components
 from orc_spark.operators.timeseries import median_filter, np_gradient
 from orc_spark.plans import Query
@@ -393,6 +394,102 @@ ORDER BY day
 """
 
 
+# --- small-file compaction planning ------------------------------------------
+
+COMPACT_TARGET_ROWS = 2000  # rows per output bin (the 128 MB analog)
+
+
+def io_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction PLANNER (the Delta/Iceberg OPTIMIZE shape):
+    given a manifest of small files, greedily pack them — in deterministic
+    file order, within each layout partition — into output bins of
+    ~{COMPACT_TARGET_ROWS} rows, and emit the per-bin plan (file count,
+    rows, id range, membership digest). Each order stands in for one
+    manifest entry (file id = o_orderkey, rows = its lineitem count,
+    partition = order month) — the planning query itself is exactly what
+    runs against a real table-format manifest.
+
+    Bin assignment is closed-form, not iterative: bin = (running rows
+    BEFORE this file) div target — the standard capacity-overflow greedy
+    pack, expressible as ONE window cumsum so both engines agree exactly
+    (all integers).
+
+    100 TB shape: compaction is planned PER PARTITION (exactly like
+    OPTIMIZE): the window partitions by layout partition, so no global
+    sort exists and each partition's plan is independent — the planner
+    scales with the manifest (≪ data), not the data."""
+    from orc_spark.functions.hashing import xor_digest
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey")
+    per_file = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    man = orders.join(
+        per_file, orders.o_orderkey == per_file.l_orderkey
+    ).select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("part"),
+        F.col("o_orderkey").alias("fid"),
+        "n_rows",
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("fid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = man.withColumn(
+        "cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+    ).withColumn(
+        "bin",
+        F.expr(f"CAST(cum_before div {COMPACT_TARGET_ROWS} AS BIGINT)"),
+    )
+    return (
+        packed.groupBy("part", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("total_rows"),
+            F.min("fid").alias("first_fid"),
+            F.max("fid").alias("last_fid"),
+            xor_digest(F.col("fid").cast("string")).alias("file_digest"),
+        )
+        .orderBy("part", "bin")
+    )
+
+
+IO_COMPACTION_SQL = f"""
+WITH per_file AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_orderkey
+),
+man AS (
+  SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS INTEGER)
+           AS part,
+         o.o_orderkey AS fid, p.n_rows AS n_rows
+  FROM orders o JOIN per_file p ON p.l_orderkey = o.o_orderkey
+),
+packed AS (
+  SELECT part, fid, n_rows,
+         coalesce(sum(n_rows) OVER (
+           PARTITION BY part ORDER BY fid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM man
+)
+SELECT part, CAST(cum_before // {COMPACT_TARGET_ROWS} AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       min(fid) AS first_fid, max(fid) AS last_fid,
+       bit_xor({h60_sql("CAST(fid AS VARCHAR)")}) AS file_digest
+FROM packed
+GROUP BY part, CAST(cum_before // {COMPACT_TARGET_ROWS} AS BIGINT)
+ORDER BY part, bin
+"""
+
+
 QUERIES = [
     Query(
         "ts_e2e_report",
@@ -408,4 +505,5 @@ QUERIES = [
     ),
     Query("io_zorder", io_zorder, IO_ZORDER_SQL, "z-order (Morton) layout + 2-D range query; footer-stat data skipping"),
     Query("io_partition_prune", io_partition_prune, IO_PARTN_SQL, "hive-partitioned layout probe: partition filters skip directories"),
+    Query("io_compaction", io_compaction, IO_COMPACTION_SQL, "small-file compaction planner: per-partition greedy bin packing, integer-exact"),
 ]

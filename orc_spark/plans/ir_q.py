@@ -432,10 +432,146 @@ ORDER BY d.doc_id
 """
 
 
+# --- Zipf corpus diagnostics --------------------------------------------------
+
+ZIPF_SC1 = 1_000_000_000  # fixed-point scale for single-log sums
+ZIPF_SC2 = 1_000_000  # scale for log-product sums (headroom at 1e8 vocab)
+
+# The log-log OLS slope from the six integer sums, as ONE shared expression
+# string — both engines parse the identical tree over identical BIGINTs, so
+# the double is identical. x = ln(rank), y = ln(cf).
+_ZIPF_SLOPE_EXPR = (
+    f"(CAST(n_terms AS DOUBLE)"
+    f" * (CAST(sxy_fp AS DOUBLE) / CAST({ZIPF_SC2} AS DOUBLE))"
+    f" - (CAST(sx_fp AS DOUBLE) / CAST({ZIPF_SC1} AS DOUBLE))"
+    f" * (CAST(sy_fp AS DOUBLE) / CAST({ZIPF_SC1} AS DOUBLE)))"
+    f" / (CAST(n_terms AS DOUBLE)"
+    f" * (CAST(sxx_fp AS DOUBLE) / CAST({ZIPF_SC2} AS DOUBLE))"
+    f" - (CAST(sx_fp AS DOUBLE) / CAST({ZIPF_SC1} AS DOUBLE))"
+    f" * (CAST(sx_fp AS DOUBLE) / CAST({ZIPF_SC1} AS DOUBLE)))"
+)
+
+_ZIPF_TERM_EXPRS = {
+    "x_fp": f"CAST(floor(ln(CAST(rnk AS DOUBLE))"
+    f" * CAST({ZIPF_SC1} AS DOUBLE)) AS BIGINT)",
+    "y_fp": f"CAST(floor(ln(CAST(cf AS DOUBLE))"
+    f" * CAST({ZIPF_SC1} AS DOUBLE)) AS BIGINT)",
+    "xy_fp": f"CAST(floor(ln(CAST(rnk AS DOUBLE)) * ln(CAST(cf AS DOUBLE))"
+    f" * CAST({ZIPF_SC2} AS DOUBLE)) AS BIGINT)",
+    "xx_fp": f"CAST(floor(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))"
+    f" * CAST({ZIPF_SC2} AS DOUBLE)) AS BIGINT)",
+}
+
+
+def tx_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf-law corpus diagnostics: rank terms by corpus frequency and fit
+    the log-log OLS slope (natural Zipf exponent ≈ −1), plus head-mass
+    shares — the quick health check that a scraped corpus has a natural
+    token distribution (a bot-generated or template-heavy crawl shows up
+    immediately as a flattened head or truncated tail).
+
+    Determinism: every per-term regression term floor-quantizes ONE
+    correctly-rounded double expression (ln of an integer, or a product of
+    two such lns) into BIGINT fixed point; only integer sums cross the
+    aggregation, and the slope is one shared final expression
+    (_ZIPF_SLOPE_EXPR) over those integers. Head shares are exact integer
+    ratios.
+
+    100 TB shape: corpus frequency is one groupBy(term) with map-side
+    combine over the tf table; the rank assignment is a single sort of the
+    VOCABULARY (≪ corpus — even web-scale vocab is ~1e8 rows, a few GB);
+    production would two-phase the ranking (range-partitioned sort with
+    sampled split points) exactly like Spark's own orderBy does."""
+    cf = (
+        _tf(spark, sf)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("cf"))
+    )
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    ranked = cf.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    terms = ranked.select(
+        "rnk",
+        "cf",
+        *[F.expr(e).alias(k) for k, e in _ZIPF_TERM_EXPRS.items()],
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("cf").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("rnk") == 1, F.col("cf")).otherwise(0))
+        .cast("bigint")
+        .alias("top1_tokens"),
+        F.sum(F.when(F.col("rnk") <= 10, F.col("cf")).otherwise(0))
+        .cast("bigint")
+        .alias("head10_tokens"),
+        F.sum("x_fp").cast("bigint").alias("sx_fp"),
+        F.sum("y_fp").cast("bigint").alias("sy_fp"),
+        F.sum("xy_fp").cast("bigint").alias("sxy_fp"),
+        F.sum("xx_fp").cast("bigint").alias("sxx_fp"),
+    )
+    return agg.select(
+        "n_terms",
+        "total_tokens",
+        F.round(
+            F.col("top1_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("top1_share"),
+        F.round(
+            F.col("head10_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("head10_share"),
+        F.round(F.expr(_ZIPF_SLOPE_EXPR), 6).alias("zipf_slope"),
+    )
+
+
+TX_ZIPF_SQL = f"""
+WITH tf AS ({_TF_SQL}),
+cf AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
+),
+ranked AS (
+  SELECT term, cf,
+         CAST(row_number() OVER (ORDER BY cf DESC, term ASC) AS BIGINT)
+           AS rnk
+  FROM cf
+),
+terms AS (
+  SELECT rnk, cf,
+         {_ZIPF_TERM_EXPRS['x_fp']} AS x_fp,
+         {_ZIPF_TERM_EXPRS['y_fp']} AS y_fp,
+         {_ZIPF_TERM_EXPRS['xy_fp']} AS xy_fp,
+         {_ZIPF_TERM_EXPRS['xx_fp']} AS xx_fp
+  FROM ranked
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(cf) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN rnk = 1 THEN cf ELSE 0 END) AS BIGINT)
+           AS top1_tokens,
+         CAST(sum(CASE WHEN rnk <= 10 THEN cf ELSE 0 END) AS BIGINT)
+           AS head10_tokens,
+         CAST(sum(x_fp) AS BIGINT) AS sx_fp,
+         CAST(sum(y_fp) AS BIGINT) AS sy_fp,
+         CAST(sum(xy_fp) AS BIGINT) AS sxy_fp,
+         CAST(sum(xx_fp) AS BIGINT) AS sxx_fp
+  FROM terms
+)
+SELECT n_terms, total_tokens,
+       round(CAST(top1_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         AS top1_share,
+       round(CAST(head10_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         AS head10_share,
+       round({_ZIPF_SLOPE_EXPR}, 6) AS zipf_slope
+FROM agg
+"""
+
+
 QUERIES = [
     Query("tx_tfidf", tx_tfidf, TX_TFIDF_SQL, "TF-IDF weighting, top-5 terms per doc"),
     Query("tx_postings", tx_postings, TX_POSTINGS_SQL, "inverted-index posting-list digests"),
     Query("tx_collocations", tx_collocations, TX_COLLOC_SQL, "PMI bigram collocation mining, top-20"),
     Query("tx_bm25", tx_bm25, TX_BM25_SQL, "Okapi BM25 term weighting, top-5 terms per doc"),
     Query("tx_ngram_lm", tx_ngram_lm, TX_NGRAM_LM_SQL, "bigram LM familiarity scoring, integer aggregation + one final ln"),
+    Query("tx_zipf", tx_zipf, TX_ZIPF_SQL, "Zipf-law corpus diagnostics: fixed-point log-log OLS slope + head shares"),
 ]

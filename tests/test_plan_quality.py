@@ -543,6 +543,29 @@ def test_dd_semdedup_no_cartesian(spark, sf_small):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_io_compaction_bounded_shuffles(spark, sf_small):
+    """io_compaction: per-file rows groupBy, manifest join, the
+    per-partition pack window and the final bin groupBy — 4 exchanges, no
+    global sort (the window partitions by layout partition)."""
+    from orc_spark.plans.e2e_q import io_compaction
+
+    scans, ex, plan = _plan_stats(io_compaction(spark, sf_small))
+    assert scans == 2, plan
+    assert ex <= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tx_zipf_single_docs_scan(spark, sf_small):
+    """tx_zipf: one documents scan; tf groupBy, cf groupBy and the
+    vocabulary rank sort are the only exchanges (rank is a sort of the
+    VOCAB, not the corpus)."""
+    from orc_spark.plans.ir_q import tx_zipf
+
+    scans, ex, plan = _plan_stats(tx_zipf(spark, sf_small))
+    assert scans == 1, plan
+    assert ex <= 3, plan
+
+
 def test_cu_chunk_no_shuffle(spark, sf_small):
     """cu_chunk: pure narrow map — no Exchange anywhere (the orderBy in the
     query is presentation-only; assert on the pre-sort plan shape)."""
