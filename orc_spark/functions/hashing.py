@@ -64,6 +64,14 @@ def minhash_sql(hexpr: str, a: int, b: int) -> str:
     return f"(({a} * ({hexpr} % {MERSENNE_P}) + {b}) % {MERSENNE_P})"
 
 
+def h60_py(s: str) -> int:
+    """Same 60-bit hash, driver-side Python (for bounded local-finish paths
+    that must emit digests bit-identical to h60/h60_sql)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def xor_digest(*cols) -> Column:
     """Order-independent 60-bit digest AGGREGATE of ':'-joined columns —
     the canonical Spark-side partner of ``bit_xor(h60_sql(...))`` oracles

@@ -567,6 +567,14 @@ BFS_HOPS = 4  # fixed unroll depth (exact distances up to this many hops)
 BFS_INF = 999  # "unreached" sentinel, strictly larger than any real hop
 BFS_SOURCE_MOD = 20  # sources = graph nodes with node % MOD == 0
 
+# Bounded driver-finish cap shared by gr_bfs/gr_linkpred (same policy as
+# gr_kcore/the CC operator): the mutual-kNN graph is degree-bounded
+# (≤ TRI_K per node), so under this many edges the whole graph is a few
+# hundred MB of bigint pairs — ONE collect + exact local compute replaces
+# the per-round distributed jobs; above it the distributed path runs
+# unchanged (the 100 TB shape).
+GRAPH_LOCAL_FINISH_EDGES = 4_000_000
+
 # The mutual-kNN edge construction, as a SQL CTE prefix shared by the graph
 # oracles that run on the same graph (gr_triangles/gr_kcore inline the same
 # text; kept verbatim so the three oracles stay literally identical).
@@ -598,16 +606,6 @@ sym AS MATERIALIZED (
 )"""
 
 
-def _sym_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Symmetric closure of the mutual-kNN edges: one row per direction."""
-    edges = _mutual_knn_edges(spark, sf)
-    return edges.select(
-        F.col("ea").alias("src"), F.col("eb").alias("dst")
-    ).unionByName(
-        edges.select(F.col("eb").alias("src"), F.col("ea").alias("dst"))
-    )
-
-
 def gr_bfs(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-source BFS over the mutual-kNN co-occurrence graph: exact hop
     distance from the seed set (nodes ≡ 0 mod {BFS_SOURCE_MOD}) up to
@@ -619,15 +617,47 @@ def gr_bfs(spark: SparkSession, sf: str) -> DataFrame:
     Determinism: distances are small integers (min-propagation of d+1), the
     digest is the xor of per-node 60-bit hashes — no float anywhere.
 
-    100 TB shape: {BFS_HOPS} unrolled rounds, each ONE equi-join of the
-    distance table with the src-partitioned edge list + one min-groupBy on
-    dst — the textbook distributed Bellman-Ford step with a fixed horizon
-    (lineage stays shallow; a frontier-delta formulation would touch less
-    data per round but needs driver-loop convergence, the same trade
-    gr_kcore documents)."""
-    from orc_spark.functions.hashing import xor_digest
+    100 TB shape: above GRAPH_LOCAL_FINISH_EDGES, {BFS_HOPS} unrolled
+    rounds, each ONE equi-join of the distance table with the
+    src-partitioned edge list + one min-groupBy on dst — the textbook
+    distributed Bellman-Ford step with a fixed horizon (lineage stays
+    shallow via per-round checkpoints). Under the cap, ONE bounded collect
+    + exact frontier BFS on the driver (tiny graphs stop paying the
+    per-round job floor; tests assert local == distributed)."""
+    from orc_spark.functions.hashing import h60_py, xor_digest
 
-    sym = _sym_edges(spark, sf).localCheckpoint(eager=False)
+    edges_df = _mutual_knn_edges(spark, sf)
+    if edges_df.count() <= GRAPH_LOCAL_FINISH_EDGES:
+        adj: dict[int, list[int]] = {}
+        for r in edges_df.collect():
+            adj.setdefault(r[0], []).append(r[1])
+            adj.setdefault(r[1], []).append(r[0])
+        hops = {n: 0 for n in adj if n % BFS_SOURCE_MOD == 0}
+        frontier = list(hops)
+        for h in range(1, BFS_HOPS + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in hops:
+                        hops[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        groups: dict[int, list[int]] = {}
+        for n in adj:
+            g = groups.setdefault(hops.get(n, -1), [0, 0])
+            g[0] += 1
+            g[1] ^= h60_py(str(n))
+        rows = sorted((hop, c, dig) for hop, (c, dig) in groups.items())
+        return spark.createDataFrame(
+            rows, "hop int, n_nodes bigint, node_digest bigint"
+        )
+    sym = (
+        edges_df.select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+        .unionByName(
+            edges_df.select(F.col("eb").alias("src"), F.col("ea").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
     dist = (
         sym.select("src").distinct()
         .select(
@@ -735,9 +765,62 @@ def gr_linkpred(spark: SparkSession, sf: str) -> DataFrame:
     edge list on the wedge center — degree is bounded by the top-{TRI_K}
     construction, so wedges per node ≤ C({TRI_K},2) and the whole plan is
     linear in edges: one shuffle on the center, one on the candidate pair,
-    one broadcast-size anti-join against the (sparse) existing edges."""
-    edges = _mutual_knn_edges(spark, sf)
-    sym = _sym_edges(spark, sf).localCheckpoint(eager=False)
+    one broadcast-size anti-join against the (sparse) existing edges.
+    Under GRAPH_LOCAL_FINISH_EDGES, ONE bounded collect + the identical
+    wedge count in plain Python (degree ≤ {TRI_K} bounds driver work to
+    C({TRI_K},2)·nodes; tests assert local == distributed — the AA term
+    1e9/ln(deg) sees only the integers 2..{TRI_K}, where JVM, CPython and
+    DuckDB libm agree bit-for-bit, proven by the distributed path's own
+    parity row)."""
+    import math
+
+    edges_df = _mutual_knn_edges(spark, sf)
+    if edges_df.count() <= GRAPH_LOCAL_FINISH_EDGES:
+        eset = {(r[0], r[1]) for r in edges_df.collect()}
+        adj: dict[int, set[int]] = {}
+        for a, b in eset:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        deg = {n: len(s) for n, s in adj.items()}
+        aa = {
+            n: math.floor(float(LP_AA_SCALE) / math.log(float(d)))
+            for n, d in deg.items()
+            if d >= 2
+        }
+        cand: dict[tuple[int, int], list[int]] = {}
+        for z, nbrs in adj.items():
+            if deg[z] < 2:
+                continue
+            ns = sorted(nbrs)
+            t = aa[z]
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    e = cand.setdefault((ns[i], ns[j]), [0, 0])
+                    e[0] += 1
+                    e[1] += t
+        rows = []
+        for (u, v), (cn, aa_fp) in cand.items():
+            if (u, v) in eset:
+                continue
+            du, dv = deg[u], deg[v]
+            # exact ratios of small ints never land on a half-ulp decimal
+            # boundary, so Python/Spark/DuckDB rounding agree
+            jac = round(cn / float(du + dv - cn), 6)
+            rows.append((u, v, cn, du, dv, jac, aa_fp))
+        rows.sort(key=lambda r: (-r[2], -r[6], r[0], r[1]))
+        return spark.createDataFrame(
+            rows[:LP_TOP],
+            "u bigint, v bigint, cn bigint, deg_u bigint, deg_v bigint,"
+            " jaccard double, aa_fp bigint",
+        )
+    edges = edges_df
+    sym = (
+        edges_df.select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+        .unionByName(
+            edges_df.select(F.col("eb").alias("src"), F.col("ea").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     ).localCheckpoint(eager=False)

@@ -111,3 +111,29 @@ def test_kcore_envelope_guard_raises(spark, sf_small, monkeypatch):
     monkeypatch.setattr(gq, "KCORE_ORACLE_ROUNDS", 0)
     with pytest.raises(RuntimeError, match="oracle unrolls"):
         gq.gr_kcore(spark, sf_small)
+
+
+def test_gr_bfs_local_finish_equals_distributed(spark, sf_small, monkeypatch):
+    """The bounded driver finish and the unrolled distributed rounds must
+    emit identical hop rows (counts AND membership digests)."""
+    import orc_spark.plans.graph_q as gq
+
+    local = [tuple(r) for r in gq.gr_bfs(spark, sf_small).collect()]
+    monkeypatch.setattr(gq, "GRAPH_LOCAL_FINISH_EDGES", -1)
+    dist = [tuple(r) for r in gq.gr_bfs(spark, sf_small).collect()]
+    assert local == dist
+    assert local  # non-degenerate: at least one hop row
+
+
+def test_gr_linkpred_local_finish_equals_distributed(
+    spark, sf_small, monkeypatch
+):
+    """Driver finish == distributed wedge join, including the fixed-point
+    Adamic-Adar sums and the rounded jaccard doubles."""
+    import orc_spark.plans.graph_q as gq
+
+    local = [tuple(r) for r in gq.gr_linkpred(spark, sf_small).collect()]
+    monkeypatch.setattr(gq, "GRAPH_LOCAL_FINISH_EDGES", -1)
+    dist = [tuple(r) for r in gq.gr_linkpred(spark, sf_small).collect()]
+    assert local == dist
+    assert local

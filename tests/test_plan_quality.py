@@ -501,24 +501,26 @@ def test_ev_bot_detect_single_exchange(spark, sf_small):
     assert ex <= 2, plan
 
 
-def test_gr_bfs_rounds_checkpointed(spark, sf_small):
-    """gr_bfs: each round's dist frame is checkpointed (two consumers per
-    round — unchecked the lineage doubles every round: 48 exchanges
-    observed; checkpointed, the final visible plan is the last merge +
-    group only)."""
-    from orc_spark.plans.graph_q import gr_bfs
+def test_gr_bfs_rounds_checkpointed(spark, sf_small, monkeypatch):
+    """gr_bfs DISTRIBUTED path (cap forced off): each round's dist frame is
+    checkpointed (two consumers per round — unchecked the lineage doubles
+    every round: 48 exchanges observed; checkpointed, the final visible
+    plan is the last merge + group only)."""
+    import orc_spark.plans.graph_q as gq
 
-    scans, ex, plan = _plan_stats(gr_bfs(spark, sf_small))
+    monkeypatch.setattr(gq, "GRAPH_LOCAL_FINISH_EDGES", -1)
+    scans, ex, plan = _plan_stats(gq.gr_bfs(spark, sf_small))
     assert ex <= 3, plan
     assert "CartesianProduct" not in plan
 
 
-def test_gr_linkpred_bounded_wedge_join(spark, sf_small):
-    """gr_linkpred: wedge enumeration is an equi-join on the center (never
-    cartesian); the whole plan stays bounded."""
-    from orc_spark.plans.graph_q import gr_linkpred
+def test_gr_linkpred_bounded_wedge_join(spark, sf_small, monkeypatch):
+    """gr_linkpred DISTRIBUTED path (cap forced off): wedge enumeration is
+    an equi-join on the center (never cartesian); the plan stays bounded."""
+    import orc_spark.plans.graph_q as gq
 
-    scans, ex, plan = _plan_stats(gr_linkpred(spark, sf_small))
+    monkeypatch.setattr(gq, "GRAPH_LOCAL_FINISH_EDGES", -1)
+    scans, ex, plan = _plan_stats(gq.gr_linkpred(spark, sf_small))
     assert ex <= 12, plan
     assert "CartesianProduct" not in plan
 
