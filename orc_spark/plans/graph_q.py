@@ -741,6 +741,127 @@ ORDER BY hop
 """
 
 
+# --- label propagation communities --------------------------------------------
+
+LP_ROUNDS = 3  # fixed synchronous rounds (deterministic unroll)
+
+
+def gr_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), made DETERMINISTIC: labels start as node ids; each round
+    every node adopts the most frequent label among its NEIGHBORS, ties
+    broken by smallest label; {LP_ROUNDS} fixed rounds (the async/random
+    variant converges further but is irreproducible — a fixed synchronous
+    unroll is the form a pipeline can oracle and re-run). Emits one row
+    per surviving community: size + member digest.
+
+    Determinism: labels are node ids (integers); the per-round argmax is
+    count-desc/label-asc — total order, no randomness, no floats.
+
+    100 TB shape: above GRAPH_LOCAL_FINISH_EDGES each round is one
+    edge-join + one (node, label) count + one argmax window — all
+    partitioned on the node key; under the cap, ONE bounded collect runs
+    the identical rounds in Python (tests assert equality)."""
+    from orc_spark.functions.hashing import h60_py, xor_digest
+
+    edges_df = _mutual_knn_edges(spark, sf)
+    if edges_df.count() <= GRAPH_LOCAL_FINISH_EDGES:
+        adj: dict[int, list[int]] = {}
+        for r in edges_df.collect():
+            adj.setdefault(r[0], []).append(r[1])
+            adj.setdefault(r[1], []).append(r[0])
+        labels = {n: n for n in adj}
+        for _ in range(LP_ROUNDS):
+            nxt = {}
+            for n, nbrs in adj.items():
+                counts: dict[int, int] = {}
+                for v in nbrs:
+                    lv = labels[v]
+                    counts[lv] = counts.get(lv, 0) + 1
+                nxt[n] = min(
+                    counts, key=lambda lab: (-counts[lab], lab)
+                )
+            labels = nxt
+        comm: dict[int, list[int]] = {}
+        for n, lab in labels.items():
+            g = comm.setdefault(lab, [0, 0])
+            g[0] += 1
+            g[1] ^= h60_py(str(n))
+        rows = sorted(
+            ((lab, c, dig) for lab, (c, dig) in comm.items()),
+            key=lambda r: (-r[1], r[0]),
+        )
+        return spark.createDataFrame(
+            rows, "community bigint, size bigint, member_digest bigint"
+        )
+    sym = (
+        edges_df.select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+        .unionByName(
+            edges_df.select(F.col("eb").alias("src"), F.col("ea").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    ).localCheckpoint(eager=False)
+    win = Window.partitionBy("node2").orderBy(
+        F.col("c").desc(), F.col("lab").asc()
+    )
+    for _ in range(LP_ROUNDS):
+        counts = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(F.col("node2").alias("node"), "lab")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            xor_digest(F.col("node").cast("string")).alias("member_digest"),
+        )
+        .orderBy(F.col("size").desc(), F.col("community").asc())
+    )
+
+
+def _label_prop_sql() -> str:
+    from orc_spark.functions.hashing import h60_sql
+
+    rounds = []
+    prev = "l0"
+    for i in range(1, LP_ROUNDS + 1):
+        rounds.append(f"""
+l{i} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT s.dst AS node, p.lab,
+           row_number() OVER (
+             PARTITION BY s.dst
+             ORDER BY count(*) DESC, p.lab ASC) AS rn
+    FROM sym s JOIN {prev} p ON p.node = s.src
+    GROUP BY s.dst, p.lab
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    chain = ",".join(rounds)
+    return f"""
+WITH {_MUTUAL_EDGES_CTE},
+l0 AS MATERIALIZED (
+  SELECT node, node AS lab FROM (SELECT DISTINCT src AS node FROM sym)
+),
+{chain}
+SELECT lab AS community, CAST(count(*) AS BIGINT) AS size,
+       bit_xor({h60_sql("CAST(node AS VARCHAR)")}) AS member_digest
+FROM {prev}
+GROUP BY lab
+ORDER BY size DESC, community ASC
+"""
+
+
 # --- link prediction ----------------------------------------------------------
 
 LP_AA_SCALE = 1_000_000_000  # fixed-point scale for Adamic-Adar terms
@@ -932,4 +1053,5 @@ QUERIES = [
     Query("gr_kcore", gr_kcore, _kcore_sql(), "k-core peeling of the mutual-kNN graph, unrolled rounds + convergence flag"),
     Query("gr_bfs", gr_bfs, _bfs_sql(), "multi-source BFS hop distances, 4 unrolled rounds, integer-exact"),
     Query("gr_linkpred", gr_linkpred, GR_LINKPRED_SQL, "link prediction: common-neighbor/Jaccard/Adamic-Adar top-20, fixed-point AA"),
+    Query("gr_label_prop", gr_label_prop, _label_prop_sql(), "deterministic synchronous label-propagation communities, 3 unrolled rounds"),
 ]

@@ -432,6 +432,101 @@ ORDER BY d.doc_id
 """
 
 
+# --- hashing-trick linear classifier inference --------------------------------
+
+CLF_BUCKETS = 65536  # 2^16 feature buckets (the hashing trick)
+CLF_W_RANGE = 2001  # pseudo-weights in [-1000, 1000]
+
+
+def tx_hashclf(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear text-classifier INFERENCE via the hashing trick (Weinberger
+    et al. 2009; the fastText-style quality/topic gate every curation
+    pipeline runs at scale): hash each token into {CLF_BUCKETS} buckets,
+    gather the bucket weight from a broadcast model table, sum per
+    document, squash once. The model here is a deterministic pseudo-model
+    (weight(b) = h60('w:'+b) mod {CLF_W_RANGE} − 1000 — no model files in
+    this environment); the SHAPE is the production one: a real model swaps
+    in as the same broadcast (bucket → weight) table.
+
+    Determinism: scores accumulate as BIGINT weight sums (never floats);
+    the sigmoid is ONE shared float expression over the integer score, and
+    the accept label compares the INTEGER score against 0 so no float
+    boundary decides it.
+
+    100 TB shape: tokenize is a narrow map; the weight gather is a
+    broadcast join (the model table is ~2^16 rows — megabytes — however
+    big the corpus); one groupBy(doc_id) with map-side combine. Inference
+    cost is linear in tokens with zero wide shuffles of the text."""
+    from orc_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    ).select(
+        "doc_id", (h60(F.col("tok")) % CLF_BUCKETS).alias("bucket")
+    )
+    weights = spark.range(CLF_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            h60(F.concat(F.lit("w:"), F.col("id").cast("string")))
+            % CLF_W_RANGE
+            - 1000
+        ).alias("w"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w").cast("bigint").alias("score_fp"),
+        )
+    )
+    z = "CAST(score_fp AS DOUBLE) / (CAST(1000 AS DOUBLE) * CAST(n_feats AS DOUBLE))"
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "score_fp",
+        F.round(
+            F.expr(f"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-({z})))"),
+            6,
+        ).alias("prob"),
+        F.when(F.col("score_fp") > 0, 1).otherwise(0).alias("accept"),
+    ).orderBy("doc_id")
+
+
+TX_HASHCLF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {h60_sql("tok")} % {CLF_BUCKETS} AS bucket
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents)
+),
+weights AS (
+  SELECT b AS bucket,
+         {h60_sql("'w:' || CAST(b AS VARCHAR)")} % {CLF_W_RANGE} - 1000 AS w
+  FROM (SELECT unnest(range(0, {CLF_BUCKETS})) AS b)
+),
+scored AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(w.w) AS BIGINT) AS score_fp
+  FROM toks t JOIN weights w ON w.bucket = t.bucket
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_feats, score_fp,
+       round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+         + exp(-(CAST(score_fp AS DOUBLE)
+                 / (CAST(1000 AS DOUBLE) * CAST(n_feats AS DOUBLE))))), 6)
+         AS prob,
+       CASE WHEN score_fp > 0 THEN 1 ELSE 0 END AS accept
+FROM scored
+ORDER BY doc_id
+"""
+
+
 # --- Zipf corpus diagnostics --------------------------------------------------
 
 ZIPF_SC1 = 1_000_000_000  # fixed-point scale for single-log sums
@@ -574,4 +669,5 @@ QUERIES = [
     Query("tx_bm25", tx_bm25, TX_BM25_SQL, "Okapi BM25 term weighting, top-5 terms per doc"),
     Query("tx_ngram_lm", tx_ngram_lm, TX_NGRAM_LM_SQL, "bigram LM familiarity scoring, integer aggregation + one final ln"),
     Query("tx_zipf", tx_zipf, TX_ZIPF_SQL, "Zipf-law corpus diagnostics: fixed-point log-log OLS slope + head shares"),
+    Query("tx_hashclf", tx_hashclf, TX_HASHCLF_SQL, "hashing-trick linear classifier inference: broadcast weight table, integer scores"),
 ]

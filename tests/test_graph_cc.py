@@ -137,3 +137,17 @@ def test_gr_linkpred_local_finish_equals_distributed(
     dist = [tuple(r) for r in gq.gr_linkpred(spark, sf_small).collect()]
     assert local == dist
     assert local
+
+
+def test_gr_label_prop_local_finish_equals_distributed(
+    spark, sf_small, monkeypatch
+):
+    """Driver finish == distributed synchronous rounds (argmax with
+    count-desc/label-asc tie-break), including community digests."""
+    import orc_spark.plans.graph_q as gq
+
+    local = [tuple(r) for r in gq.gr_label_prop(spark, sf_small).collect()]
+    monkeypatch.setattr(gq, "GRAPH_LOCAL_FINISH_EDGES", -1)
+    dist = [tuple(r) for r in gq.gr_label_prop(spark, sf_small).collect()]
+    assert local == dist
+    assert local

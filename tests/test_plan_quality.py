@@ -568,6 +568,28 @@ def test_tx_zipf_single_docs_scan(spark, sf_small):
     assert ex <= 3, plan
 
 
+def test_gr_label_prop_rounds_checkpointed(spark, sf_small, monkeypatch):
+    """gr_label_prop DISTRIBUTED path: per-round label frames are
+    checkpointed, so the visible plan is the last round + final agg."""
+    import orc_spark.plans.graph_q as gq
+
+    monkeypatch.setattr(gq, "GRAPH_LOCAL_FINISH_EDGES", -1)
+    scans, ex, plan = _plan_stats(gq.gr_label_prop(spark, sf_small))
+    assert ex <= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tx_hashclf_broadcast_model(spark, sf_small):
+    """tx_hashclf: ONE documents scan; the weight gather must be a
+    broadcast join (the model table never shuffles the token stream)."""
+    from orc_spark.plans.ir_q import tx_hashclf
+
+    scans, ex, plan = _plan_stats(tx_hashclf(spark, sf_small))
+    assert scans == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert ex <= 3, plan
+
+
 def test_cu_chunk_no_shuffle(spark, sf_small):
     """cu_chunk: pure narrow map — no Exchange anywhere (the orderBy in the
     query is presentation-only; assert on the pre-sort plan shape)."""
