@@ -609,3 +609,131 @@ def test_ev_bot_detect_matches_bruteforce(spark, user_times, seed):
         assert abs(g["dup_ratio"] - want_ratio) < 1e-12
         want_bot = g["max_epm"] > BOT_MAX_EPM or want_ratio >= 0.5
         assert g["is_bot"] == want_bot
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=3))
+def test_ts_theilsen_matches_bruteforce(spark, user_times):
+    """Median pairwise slope + median-residual intercept vs a plain numpy
+    oracle (independent of the DuckDB SQL the driver compares against)."""
+    import math
+
+    from orc_spark.plans.timeseries_q import TS_DAY_US, ts_theilsen
+
+    def val(t):
+        return ((t // 1000003) % 17) * 0.5 - 4.0
+
+    rows = _mk_rows(
+        user_times, extra=lambda ui, eid, t: {"value": val(t)}
+    )
+    sf = _write_events(spark, rows)
+    got = {r["user_id"]: r for r in ts_theilsen(spark, sf).collect()}
+
+    for ui, times in enumerate(user_times):
+        uid = ui + 1
+        ts = sorted(times)
+        vs = [val(t) for t in ts]
+        slopes = [
+            (vs[j] - vs[i]) / ((ts[j] - ts[i]) / TS_DAY_US)
+            for i in range(len(ts))
+            for j in range(i + 1, len(ts))
+        ]
+        if not slopes:
+            assert uid not in got  # n == 1: no pairs, user absent
+            continue
+        g = got[uid]
+        slope = float(np.median(slopes))
+        resid = [v - slope * (t / TS_DAY_US) for t, v in zip(ts, vs)]
+        assert g["n"] == len(ts)
+        assert g["n_pairs"] == len(slopes)
+        assert math.isclose(g["slope_med"], slope, rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(
+            g["intercept"], float(np.median(resid)), rel_tol=1e-9, abs_tol=1e-9
+        )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=3))
+def test_ts_outlier_mad_matches_bruteforce(spark, user_times):
+    """Per-user median/MAD screening vs plain numpy."""
+    import math
+
+    from orc_spark.plans.timeseries_q import MAD_THRESH_MULT, ts_outlier_mad
+
+    def val(t):
+        return ((t // 999983) % 23) * 0.25 - 2.0
+
+    rows = _mk_rows(
+        user_times, extra=lambda ui, eid, t: {"value": val(t)}
+    )
+    sf = _write_events(spark, rows)
+    got = {r["user_id"]: r for r in ts_outlier_mad(spark, sf).collect()}
+
+    for ui, times in enumerate(user_times):
+        uid = ui + 1
+        vs = np.array([val(t) for t in sorted(times)], dtype=np.float64)
+        med = float(np.median(vs))
+        adev = np.abs(vs - med)
+        mad = float(np.median(adev))
+        n_out = int(np.sum(adev > mad * MAD_THRESH_MULT))
+        g = got[uid]
+        assert g["n"] == len(vs)
+        assert math.isclose(g["med"], round(med, 6), abs_tol=1e-9)
+        assert math.isclose(g["mad"], round(mad, 6), abs_tol=1e-9)
+        assert g["n_outliers"] == n_out
+
+
+def test_io_compaction_matches_bruteforce(spark, sf_small):
+    """Greedy per-partition packing vs a plain-Python replay of the rule
+    (bin = rows-before div target) on the real sf0.001 manifest."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from orc_spark.plans.e2e_q import COMPACT_TARGET_ROWS, io_compaction
+
+    got = [tuple(r) for r in io_compaction(spark, sf_small).collect()]
+
+    li = pq.read_table(
+        os.path.join(sf_small, "lineitem.parquet"), columns=["l_orderkey"]
+    ).to_pandas()
+    od = pq.read_table(
+        os.path.join(sf_small, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    ).to_pandas()
+    rows_per = li.groupby("l_orderkey").size().to_dict()
+    man = collections.defaultdict(list)
+    for _, r in od.iterrows():
+        fid = int(r["o_orderkey"])
+        if fid not in rows_per:
+            continue
+        part = r["o_orderdate"].year * 100 + r["o_orderdate"].month
+        man[part].append(fid)
+    want = []
+    for part in sorted(man):
+        cum = 0
+        bins = collections.defaultdict(list)
+        for fid in sorted(man[part]):
+            bins[cum // COMPACT_TARGET_ROWS].append(fid)
+            cum += rows_per[fid]
+        for b in sorted(bins):
+            fids = bins[b]
+            want.append(
+                (
+                    part,
+                    b,
+                    len(fids),
+                    sum(rows_per[f] for f in fids),
+                    min(fids),
+                    max(fids),
+                )
+            )
+    assert [(g[0], g[1], g[2], g[3], g[4], g[5]) for g in got] == want
