@@ -61,26 +61,28 @@ _PRIORITY_FIRST = [
     # (c) deferred-since-r02 heavy oracles (VERDICT r03 item 7 → r04 item
     #     4): re-green now, ahead of everything fresher:
     "dd_embcos", "dd_cluster",
-    # (d) the r02-only-green family, two rounds stale (ann_ivf and the
-    #     rows-only ann_bruteforce_fast yield their two slots to this
-    #     round's first-row additions: ann_ivf's machinery re-verifies via
-    #     ann_ivf_index's fresh r04 row, and a rows-only check is the
-    #     weakest marginal signal in the registry — both rotate to r06):
+    # (d) the r02-only-green family, two rounds stale (mm_frame_sample,
+    #     ann_ivf and the rows-only ann_bruteforce_fast yield their slots
+    #     to this round's first-row additions: ann_ivf's machinery
+    #     re-verifies via ann_ivf_index's fresh r04 row, mm_frame_sample's
+    #     stub-codec domain via mm_image_features' fresh row, and a
+    #     rows-only check is the weakest marginal signal — all rotate to
+    #     r06):
     "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
-    "dp_profile", "mm_frame_sample",
+    "dp_profile",
     # (e) queries ADDED this round (r05) — first driver rows:
     "tx_gopher_quality", "ts_m4", "sk_theta_ops", "ev_funnel_windowed",
     "dd_minhash_quality", "ann_recall_eval",
     "cu_anneal_mixture", "cu_corpus_report", "ev_bot_detect", "dq_referential",
     "cu_chunk", "ts_outlier_mad", "gr_bfs", "gr_linkpred", "ts_theilsen",
     "dd_semdedup", "io_compaction", "tx_zipf", "tx_hashclf",
-    "gr_label_prop",
+    "gr_label_prop", "ev_feature_snapshot",
 ]
 _DEFERRED_LAST = [
     # twice-green battery overflow (the 50-slot budget cut) + the r03-green
     # rotation remainder (next refresh after the head tier; order mirrors
     # CORRECTNESS_r03 so r06's rotation can take a prefix)
-    "ann_ivf", "ann_bruteforce_fast",
+    "mm_frame_sample", "ann_ivf", "ann_bruteforce_fast",
     "dp_stratified", "r4b_cube", "rj_range_join", "r5c_rank_battery",
     "dd_minhash_sig", "dd_simhash", "dd_exact", "dd_simhash_pairs",
     "dp_sample", "dd_minhash_pairs",

@@ -1394,6 +1394,104 @@ ORDER BY user_id
 """
 
 
+# --- point-in-time feature snapshots ------------------------------------------
+
+FEAT_WIN_US = 7 * 86400 * 1000000  # trailing feature window
+
+
+def ev_feature_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """LEAKAGE-FREE training-feature extraction: for every label event
+    (purchase), the user's trailing-7-day activity features computed
+    STRICTLY BEFORE the label instant — the point-in-time-correct feature
+    join every ML training pipeline needs (naive joins leak the label
+    window; as-of semantics here are a value-based RANGE frame ending 1 µs
+    before the row, so same-instant events never leak either).
+
+    Determinism: every feature is an integer window sum (counts,
+    round-to-cents spend) over a value-based frame — frame membership
+    depends only on the ts VALUE, so ties resolve identically on both
+    engines and no float ever accumulates.
+
+    100 TB shape: ONE user-hash exchange + per-user sort serves all
+    features (shared frame); the label filter happens after the window, so
+    no second pass over events — the standard windowed feature-backfill
+    plan, linear in events."""
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).select(
+        "*",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("iv"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ic"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-FEAT_WIN_US, -1)
+    )
+    feats = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "cents",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("n_prior_7d"),
+        F.coalesce(F.sum("iv").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("n_views_7d"),
+        F.coalesce(F.sum("ic").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("n_clicks_7d"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("spend_cents_7d"),
+    )
+    return (
+        feats.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts div 86400000000").cast("bigint").alias("label_day"),
+            "n_prior_7d",
+            "n_views_7d",
+            "n_clicks_7d",
+            "spend_cents_7d",
+            F.col("cents").alias("label_cents"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EV_FEATURE_SNAPSHOT_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts, event_type,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS iv,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ic,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+feats AS (
+  SELECT event_id, user_id, ts, event_type, cents,
+         CAST(coalesce(count(*) OVER w, 0) AS BIGINT) AS n_prior_7d,
+         CAST(coalesce(sum(iv) OVER w, 0) AS BIGINT) AS n_views_7d,
+         CAST(coalesce(sum(ic) OVER w, 0) AS BIGINT) AS n_clicks_7d,
+         CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS spend_cents_7d
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN {FEAT_WIN_US} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       CAST(ts // 86400000000 AS BIGINT) AS label_day,
+       n_prior_7d, n_views_7d, n_clicks_7d, spend_cents_7d,
+       cents AS label_cents
+FROM feats
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
 QUERIES = [
     Query("cdc_scd2", cdc_scd2, CDC_SCD2_SQL, "CDC → SCD2 history (valid intervals, current flag, exact running state)"),
     Query("ev_attribution", ev_attribution, EV_ATTRIBUTION_SQL, "last-touch attribution within a 7-day window"),
@@ -1410,4 +1508,5 @@ QUERIES = [
     Query("ev_survival", ev_survival, EV_SURVIVAL_SQL, "Kaplan-Meier time-to-purchase curve, truncating fixed-point product"),
     Query("cdc_pit_lookup", cdc_pit_lookup, CDC_PIT_SQL, "point-in-time AS-OF lookup against the SCD2 history"),
     Query("ev_bot_detect", ev_bot_detect, EV_BOT_SQL, "bot screening: burst rate + consecutive-duplicate ratio per user, one exchange"),
+    Query("ev_feature_snapshot", ev_feature_snapshot, EV_FEATURE_SNAPSHOT_SQL, "leakage-free point-in-time feature extraction: trailing-window integer features strictly before each label"),
 ]

@@ -590,6 +590,20 @@ def test_tx_hashclf_broadcast_model(spark, sf_small):
     assert ex <= 3, plan
 
 
+def test_ev_feature_snapshot_single_exchange(spark, sf_small):
+    """ev_feature_snapshot: all trailing-window features share ONE
+    user-hash exchange + sort; the label filter adds no second pass
+    (orderBy is presentation-only — assert on the pre-sort shape)."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.plans.cdc_q import ev_feature_snapshot
+
+    df = ev_feature_snapshot(spark, sf_small)
+    scans, ex, plan = _plan_stats(df.select(F2.count(F2.lit(1))))
+    assert scans == 1, plan
+    assert ex <= 1, plan
+
+
 def test_cu_chunk_no_shuffle(spark, sf_small):
     """cu_chunk: pure narrow map — no Exchange anywhere (the orderBy in the
     query is presentation-only; assert on the pre-sort plan shape)."""
