@@ -938,44 +938,65 @@ def ann_srp_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ids, deduped BEFORE the embeddings join back, so the rounded-cosine
     rerank runs exactly once per candidate pair.
 
-    Physical shape: posexplode + BROADCAST sign join + two-level groupBy —
-    all whole-stage-codegen operators. (The closed-form alternative — 64
-    fold-aggregates over the array column — is CodegenFallback in Spark:
-    higher-order functions interpret their lambdas per row, measured ~6×
-    slower here.) Every stage is SQL-expressible, so unlike IVF this ANN
-    path is fully hash-checked. Recall for true near-dups (cos ≥ 0.9) is
-    ≈ 1-(1-0.857^8)^8 ≈ 0.94 at these parameters; tune planes/bands for the
-    corpus's similarity floor."""
-    signs_df = spark.createDataFrame(
-        [
-            (p, i, s)
-            for p, row in enumerate(_srp_signs())
-            for i, s in enumerate(row)
-        ],
-        "p int, i int, s int",
-    )
+    Physical shape: the sketch is ONE Arrow-batched numpy pass — quantize,
+    one int64 matmul against the 64 inlined hyperplanes, pack bits — per
+    input partition (narrow, no shuffle). Integer dots are ORDER-EXACT, so
+    the kernel's band values are bit-identical to the SQL oracle's
+    join-sum formulation; the previously-shipped broadcast-join shape
+    materialized |corpus|·dims·planes joined rows (20M at sf0.1, ~1.2 s of
+    the query) to compute the same integers. The candidate join and
+    rounded-cosine rerank stay whole-stage-codegen SQL. Recall for true
+    near-dups (cos ≥ 0.9) is ≈ 1-(1-0.857^8)^8 ≈ 0.94 at these
+    parameters; tune planes/bands for the corpus's similarity floor."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "vf")
     ).select("vec_id", "i", F.col("vf").cast("double").alias("v"))
-    quant = flat.select(
-        "vec_id", "i", F.floor(F.col("v") * SRP_QUANT).cast("bigint").alias("qv")
-    )
-    dots = (
-        quant.join(F.broadcast(signs_df), "i")
-        .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("qv") * F.col("s")).alias("d"))
-    )
-    bands = dots.groupBy(
-        "vec_id", F.expr(f"p div {SRP_BAND_BITS}").alias("band_idx")
-    ).agg(
-        F.sum(
-            F.expr(
-                f"case when d >= 0 then cast(pow(2.0, p % {SRP_BAND_BITS}) as bigint)"
-                " else 0 end"
+
+    signs = np.array(_srp_signs(), dtype=np.int64)  # (planes, dims)
+    pow2 = 1 << np.arange(SRP_BAND_BITS, dtype=np.int64)
+
+    def _sketch(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            n = len(pdf)
+            m = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(
+                np.float64
             )
-        ).alias("band_val")
-    )
+            # floor(v·1000) in float64 == the oracle's floor(CAST … * 1000)
+            qm = np.floor(m * SRP_QUANT).astype(np.int64)
+            bits = (qm @ signs.T >= 0).astype(np.int64)  # (n, planes)
+            bv = bits.reshape(n, SRP_N_BANDS, SRP_BAND_BITS) @ pow2
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), SRP_N_BANDS
+                    ),
+                    "band_idx": np.tile(
+                        np.arange(SRP_N_BANDS, dtype=np.int32), n
+                    ),
+                    "band_val": bv.reshape(-1),
+                }
+            )
+
+    # cached: the band self-join consumes this twice (same reason
+    # _sig caches for the MinHash band join) — without it the kernel and
+    # the embeddings scan run once per join side
+    bands = emb.mapInPandas(
+        _sketch,
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("band_idx", T.IntegerType()),
+                T.StructField("band_val", T.LongType()),
+            ]
+        ),
+    ).cache()
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_idx", "band_val"])

@@ -141,18 +141,21 @@ def test_dd_ngram_bucket_is_subdivided(spark, sf_small):
     assert m, plan
 
 
-def test_ann_srp_signs_broadcast_and_codegen(spark, sf_small):
-    """ann_srp_pairs: the hyperplane sign table must BROADCAST into the
-    exploded scan (a shuffle there would widen with the corpus), and the
-    sketch pipeline must stay inside whole-stage codegen (the fold-aggregate
-    formulation is CodegenFallback — measured ~6x slower)."""
+def test_ann_srp_sketch_narrow_and_codegen(spark, sf_small):
+    """ann_srp_pairs: the sketch must be ONE narrow Arrow pass (no join or
+    shuffle may widen with corpus·dims·planes — the broadcast-join
+    formulation materialized 20M rows at sf0.1), and no CodegenFallback
+    HOF fold may appear anywhere in the plan."""
     from orc_spark.plans.dedup_q import ann_srp_pairs
-    from orc_spark.plans.explain import count_broadcast_joins, formatted_plan
+    from orc_spark.plans.explain import formatted_plan
 
     df = ann_srp_pairs(spark, sf_small)
     plan = formatted_plan(df)
-    assert count_broadcast_joins(df) >= 1, "sign table must broadcast"
     assert "ArrayAggregate" not in plan, "HOF fold must not appear in the plan"
+    assert "MapInPandas" in plan, plan
+    # the sketch materializes ONCE into the cached band table; both sides
+    # of the candidate self-join read the cache
+    assert "InMemoryRelation" in plan, plan
 
 
 def test_cu_pipeline_single_docs_scan_family(spark, sf_small):
