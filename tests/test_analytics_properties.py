@@ -737,3 +737,57 @@ def test_io_compaction_matches_bruteforce(spark, sf_small):
                 )
             )
     assert [(g[0], g[1], g[2], g[3], g[4], g[5]) for g in got] == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=3))
+def test_ev_feature_snapshot_matches_bruteforce(spark, user_times):
+    """Point-in-time features vs a brute-force replay: for each label
+    event, count/sum over events with label_ts - 7d <= ts <= label_ts - 1
+    (strictly before — same-instant events must NOT leak)."""
+    from orc_spark.plans.cdc_q import FEAT_WIN_US, ev_feature_snapshot
+
+    def typ(eid):
+        return ["view", "click", "purchase"][eid % 3]
+
+    def val(t):
+        return ((t // 777767) % 31) * 0.37 + 0.5
+
+    rows = _mk_rows(
+        user_times,
+        extra=lambda ui, eid, t: {"event_type": typ(eid), "value": val(t)},
+    )
+    sf = _write_events(spark, rows)
+    got = {r["event_id"]: r for r in ev_feature_snapshot(spark, sf).collect()}
+
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_labels = 0
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        n_labels += 1
+        t = r["ts_us"]
+        prior = [
+            o
+            for o in by_user[r["user_id"]]
+            if t - FEAT_WIN_US <= o["ts_us"] <= t - 1
+        ]
+        g = got[r["event_id"]]
+        assert g["n_prior_7d"] == len(prior)
+        assert g["n_views_7d"] == sum(
+            1 for o in prior if o["event_type"] == "view"
+        )
+        assert g["n_clicks_7d"] == sum(
+            1 for o in prior if o["event_type"] == "click"
+        )
+        assert g["spend_cents_7d"] == sum(
+            int(round(o["value"] * 100)) for o in prior
+        )
+        assert g["label_cents"] == int(round(r["value"] * 100))
+    assert len(got) == n_labels
