@@ -68,8 +68,14 @@ _PRIORITY_FIRST = [
     #     stub-codec domain via mm_image_features' fresh row, and a
     #     rows-only check is the weakest marginal signal — all rotate to
     #     r06):
-    "dd_keepbest", "tx_fingerprint", "tx_redact", "sk_salted_agg",
+    "dd_keepbest", "tx_fingerprint", "tx_redact",
     "dp_profile",
+    # (d') CHANGED-CODE re-verification (tier-1 per the ordering policy):
+    #     the SRP sketch moved to an Arrow kernel this round — its last
+    #     driver row (r03) predates the rewrite, so it outranks one more
+    #     stale refresh (sk_salted_agg → r06; its semantics are also
+    #     pinned by the skew-equivalence unit tests):
+    "ann_srp_pairs",
     # (e) queries ADDED this round (r05) — first driver rows:
     "tx_gopher_quality", "ts_m4", "sk_theta_ops", "ev_funnel_windowed",
     "dd_minhash_quality", "ann_recall_eval",
@@ -91,7 +97,7 @@ _DEFERRED_LAST = [
     "ts_deadband", "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
     "r8_tumbling", "r8b_sliding", "r8c_sessions", "aj_asof_join",
     "tr_hier_rollup", "ts_resample", "ts_e2e_report", "io_orc_roundtrip",
-    "ann_srp_pairs", "cu_pipeline", "cu_budget",
+    "sk_salted_agg", "cu_pipeline", "cu_budget",
     "mm_audio_windows", "ts_welch_p", "tx_winnow", "sk_countmin",
     "r7b_dates", "r7c_json_map", "r12_unpivot", "r_pivot",
     "r9_scalar_subquery", "r11_stats_agg", "r10_outer_hist", "r5b_range_frame",
