@@ -567,13 +567,120 @@ BFS_HOPS = 4  # fixed unroll depth (exact distances up to this many hops)
 BFS_INF = 999  # "unreached" sentinel, strictly larger than any real hop
 BFS_SOURCE_MOD = 20  # sources = graph nodes with node % MOD == 0
 
-# Bounded driver-finish cap shared by gr_bfs/gr_linkpred (same policy as
-# gr_kcore/the CC operator): the mutual-kNN graph is degree-bounded
-# (≤ TRI_K per node), so under this many edges the whole graph is a few
-# hundred MB of bigint pairs — ONE collect + exact local compute replaces
-# the per-round distributed jobs; above it the distributed path runs
-# unchanged (the 100 TB shape).
+# Bounded driver-finish cap shared by gr_bfs/gr_linkpred/gr_label_prop
+# (same policy as gr_kcore/the CC operator): the mutual-kNN graph is
+# degree-bounded (≤ TRI_K per node), so under this many edges the whole
+# graph is a few hundred MB of bigint pairs — ONE collect + exact local
+# compute replaces the per-round distributed jobs; above it the
+# distributed path runs unchanged (the 100 TB shape).
 GRAPH_LOCAL_FINISH_EDGES = 4_000_000
+
+
+def _adj(edges: list[tuple[int, int]]) -> dict[int, list[int]]:
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    return adj
+
+
+def local_bfs_hops(
+    edges: list[tuple[int, int]], source_mod: int, max_hops: int
+) -> list[tuple[int, int, int]]:
+    """Exact driver-side BFS finish: (hop, n_nodes, xor member digest)
+    rows, hop −1 = unreached within the horizon. Pure function so known
+    topologies unit-test the semantics directly; the monkeypatch equality
+    tests pin it against the distributed rounds."""
+    from orc_spark.functions.hashing import h60_py
+
+    adj = _adj(edges)
+    hops = {n: 0 for n in adj if n % source_mod == 0}
+    frontier = list(hops)
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in hops:
+                    hops[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    groups: dict[int, list[int]] = {}
+    for n in adj:
+        g = groups.setdefault(hops.get(n, -1), [0, 0])
+        g[0] += 1
+        g[1] ^= h60_py(str(n))
+    return sorted((hop, c, dig) for hop, (c, dig) in groups.items())
+
+
+def local_lpa_communities(
+    edges: list[tuple[int, int]], rounds: int
+) -> list[tuple[int, int, int]]:
+    """Exact driver-side synchronous label propagation: (community, size,
+    xor member digest) rows, size-desc/label-asc order."""
+    from orc_spark.functions.hashing import h60_py
+
+    adj = _adj(edges)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for v in nbrs:
+                lv = labels[v]
+                counts[lv] = counts.get(lv, 0) + 1
+            nxt[n] = min(counts, key=lambda lab: (-counts[lab], lab))
+        labels = nxt
+    comm: dict[int, list[int]] = {}
+    for n, lab in labels.items():
+        g = comm.setdefault(lab, [0, 0])
+        g[0] += 1
+        g[1] ^= h60_py(str(n))
+    return sorted(
+        ((lab, c, dig) for lab, (c, dig) in comm.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+
+
+def local_linkpred(
+    edges: list[tuple[int, int]], aa_scale: int, top: int
+) -> list[tuple[int, int, int, int, int, float, int]]:
+    """Exact driver-side link prediction: top candidates as
+    (u, v, cn, deg_u, deg_v, jaccard, aa_fp) rows."""
+    import math
+
+    eset = set(edges)
+    adjs: dict[int, set[int]] = {}
+    for a, b in eset:
+        adjs.setdefault(a, set()).add(b)
+        adjs.setdefault(b, set()).add(a)
+    deg = {n: len(s) for n, s in adjs.items()}
+    aa = {
+        n: math.floor(float(aa_scale) / math.log(float(d)))
+        for n, d in deg.items()
+        if d >= 2
+    }
+    cand: dict[tuple[int, int], list[int]] = {}
+    for z, nbrs in adjs.items():
+        if deg[z] < 2:
+            continue
+        ns = sorted(nbrs)
+        t = aa[z]
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                e = cand.setdefault((ns[i], ns[j]), [0, 0])
+                e[0] += 1
+                e[1] += t
+    rows = []
+    for (u, v), (cn, aa_fp) in cand.items():
+        if (u, v) in eset:
+            continue
+        du, dv = deg[u], deg[v]
+        # exact ratios of small ints never land on a half-ulp decimal
+        # boundary, so Python/Spark/DuckDB rounding agree
+        jac = round(cn / float(du + dv - cn), 6)
+        rows.append((u, v, cn, du, dv, jac, aa_fp))
+    rows.sort(key=lambda r: (-r[2], -r[6], r[0], r[1]))
+    return rows[:top]
 
 # The mutual-kNN edge construction, as a SQL CTE prefix shared by the graph
 # oracles that run on the same graph (gr_triangles/gr_kcore inline the same
@@ -624,30 +731,15 @@ def gr_bfs(spark: SparkSession, sf: str) -> DataFrame:
     shallow via per-round checkpoints). Under the cap, ONE bounded collect
     + exact frontier BFS on the driver (tiny graphs stop paying the
     per-round job floor; tests assert local == distributed)."""
-    from orc_spark.functions.hashing import h60_py, xor_digest
+    from orc_spark.functions.hashing import xor_digest
 
     edges_df = _mutual_knn_edges(spark, sf)
     if edges_df.count() <= GRAPH_LOCAL_FINISH_EDGES:
-        adj: dict[int, list[int]] = {}
-        for r in edges_df.collect():
-            adj.setdefault(r[0], []).append(r[1])
-            adj.setdefault(r[1], []).append(r[0])
-        hops = {n: 0 for n in adj if n % BFS_SOURCE_MOD == 0}
-        frontier = list(hops)
-        for h in range(1, BFS_HOPS + 1):
-            nxt = []
-            for u in frontier:
-                for v in adj[u]:
-                    if v not in hops:
-                        hops[v] = h
-                        nxt.append(v)
-            frontier = nxt
-        groups: dict[int, list[int]] = {}
-        for n in adj:
-            g = groups.setdefault(hops.get(n, -1), [0, 0])
-            g[0] += 1
-            g[1] ^= h60_py(str(n))
-        rows = sorted((hop, c, dig) for hop, (c, dig) in groups.items())
+        rows = local_bfs_hops(
+            [(r[0], r[1]) for r in edges_df.collect()],
+            BFS_SOURCE_MOD,
+            BFS_HOPS,
+        )
         return spark.createDataFrame(
             rows, "hop int, n_nodes bigint, node_digest bigint"
         )
@@ -762,34 +854,12 @@ def gr_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     edge-join + one (node, label) count + one argmax window — all
     partitioned on the node key; under the cap, ONE bounded collect runs
     the identical rounds in Python (tests assert equality)."""
-    from orc_spark.functions.hashing import h60_py, xor_digest
+    from orc_spark.functions.hashing import xor_digest
 
     edges_df = _mutual_knn_edges(spark, sf)
     if edges_df.count() <= GRAPH_LOCAL_FINISH_EDGES:
-        adj: dict[int, list[int]] = {}
-        for r in edges_df.collect():
-            adj.setdefault(r[0], []).append(r[1])
-            adj.setdefault(r[1], []).append(r[0])
-        labels = {n: n for n in adj}
-        for _ in range(LP_ROUNDS):
-            nxt = {}
-            for n, nbrs in adj.items():
-                counts: dict[int, int] = {}
-                for v in nbrs:
-                    lv = labels[v]
-                    counts[lv] = counts.get(lv, 0) + 1
-                nxt[n] = min(
-                    counts, key=lambda lab: (-counts[lab], lab)
-                )
-            labels = nxt
-        comm: dict[int, list[int]] = {}
-        for n, lab in labels.items():
-            g = comm.setdefault(lab, [0, 0])
-            g[0] += 1
-            g[1] ^= h60_py(str(n))
-        rows = sorted(
-            ((lab, c, dig) for lab, (c, dig) in comm.items()),
-            key=lambda r: (-r[1], r[0]),
+        rows = local_lpa_communities(
+            [(r[0], r[1]) for r in edges_df.collect()], LP_ROUNDS
         )
         return spark.createDataFrame(
             rows, "community bigint, size bigint, member_digest bigint"
@@ -893,44 +963,13 @@ def gr_linkpred(spark: SparkSession, sf: str) -> DataFrame:
     1e9/ln(deg) sees only the integers 2..{TRI_K}, where JVM, CPython and
     DuckDB libm agree bit-for-bit, proven by the distributed path's own
     parity row)."""
-    import math
-
     edges_df = _mutual_knn_edges(spark, sf)
     if edges_df.count() <= GRAPH_LOCAL_FINISH_EDGES:
-        eset = {(r[0], r[1]) for r in edges_df.collect()}
-        adj: dict[int, set[int]] = {}
-        for a, b in eset:
-            adj.setdefault(a, set()).add(b)
-            adj.setdefault(b, set()).add(a)
-        deg = {n: len(s) for n, s in adj.items()}
-        aa = {
-            n: math.floor(float(LP_AA_SCALE) / math.log(float(d)))
-            for n, d in deg.items()
-            if d >= 2
-        }
-        cand: dict[tuple[int, int], list[int]] = {}
-        for z, nbrs in adj.items():
-            if deg[z] < 2:
-                continue
-            ns = sorted(nbrs)
-            t = aa[z]
-            for i in range(len(ns)):
-                for j in range(i + 1, len(ns)):
-                    e = cand.setdefault((ns[i], ns[j]), [0, 0])
-                    e[0] += 1
-                    e[1] += t
-        rows = []
-        for (u, v), (cn, aa_fp) in cand.items():
-            if (u, v) in eset:
-                continue
-            du, dv = deg[u], deg[v]
-            # exact ratios of small ints never land on a half-ulp decimal
-            # boundary, so Python/Spark/DuckDB rounding agree
-            jac = round(cn / float(du + dv - cn), 6)
-            rows.append((u, v, cn, du, dv, jac, aa_fp))
-        rows.sort(key=lambda r: (-r[2], -r[6], r[0], r[1]))
+        rows = local_linkpred(
+            [(r[0], r[1]) for r in edges_df.collect()], LP_AA_SCALE, LP_TOP
+        )
         return spark.createDataFrame(
-            rows[:LP_TOP],
+            rows,
             "u bigint, v bigint, cn bigint, deg_u bigint, deg_v bigint,"
             " jaccard double, aa_fp bigint",
         )

@@ -151,3 +151,45 @@ def test_gr_label_prop_local_finish_equals_distributed(
     dist = [tuple(r) for r in gq.gr_label_prop(spark, sf_small).collect()]
     assert local == dist
     assert local
+
+
+def test_local_bfs_known_topology():
+    """Chain 0-1-2-3-4-5-6 with source 0 (0 % 20 == 0): exact hops, node 6
+    beyond the 4-hop horizon maps to -1; counts per level are 1."""
+    from orc_spark.plans.graph_q import local_bfs_hops
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    rows = {hop: n for hop, n, _dig in local_bfs_hops(edges, 20, 4)}
+    assert rows == {-1: 2, 0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_local_lpa_two_cliques_bridged():
+    """Two 4-cliques joined by one bridge edge: labels converge to the two
+    clique minima (the bridge can't outvote 3 internal neighbors)."""
+    from orc_spark.plans.graph_q import local_lpa_communities
+
+    def clique(ns):
+        return [(a, b) for i, a in enumerate(ns) for b in ns[i + 1:]]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    rows = local_lpa_communities(edges, 3)
+    assert [(lab, size) for lab, size, _d in rows] == [(1, 4), (10, 4)]
+
+
+def test_local_linkpred_known_topology():
+    """Path 1-2-3 plus hub 2-4: candidates are the distance-2 pairs through
+    hub 2 (deg 3); common-neighbor count 1, Adamic-Adar term 1e9/ln(3)."""
+    import math
+
+    from orc_spark.plans.graph_q import local_linkpred
+
+    edges = [(1, 2), (2, 3), (2, 4)]
+    rows = local_linkpred(edges, 1_000_000_000, 20)
+    aa3 = math.floor(1e9 / math.log(3.0))
+    want = {
+        (1, 3): (1, 1, 1, round(1 / 1.0, 6), aa3),
+        (1, 4): (1, 1, 1, round(1 / 1.0, 6), aa3),
+        (3, 4): (1, 1, 1, round(1 / 1.0, 6), aa3),
+    }
+    got = {(u, v): (cn, du, dv, j, aa) for u, v, cn, du, dv, j, aa in rows}
+    assert got == want
