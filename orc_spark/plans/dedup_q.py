@@ -750,7 +750,10 @@ def dd_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 
     Cross-engine: cosines follow dd_embcos exactly (numpy matmul vs
     join-sum, both rounded to 6 before the threshold); everything else is
-    integer counts and xor digests.
+    integer counts and xor digests. Non-null-label assumption: a NULL
+    label would form one Spark group but never match DuckDB's equality
+    join — the testdata labels are non-null; a production run would
+    filter or coalesce labels first.
 
     100 TB shape: clustering bounds candidates to same-label pairs; within
     a cluster the same block-grid as dd_embcos keeps per-task memory to
