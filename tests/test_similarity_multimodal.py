@@ -205,3 +205,57 @@ def test_pq_recall_and_compression(spark, emb, queries_pdf):
         sub = sub.sort_values("rank")
         assert list(sub["rank"]) == list(range(1, len(sub) + 1))
         assert (np.diff(sub["cos_sim"].to_numpy()) <= 1e-12).all()
+
+
+def test_semdedup_drops_planted_within_cluster_dups(spark, tmp_path):
+    """dd_semdedup on a planted corpus: jittered copies inside a cluster
+    (cos >= 0.9 >> tau) must be dropped; an identical copy placed in a
+    DIFFERENT cluster must survive (clustering bounds the candidates);
+    orthogonal-ish base vectors (random normals, cos ~ 0.12 expected)
+    must all survive."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orc_spark.plans.dedup_q import dd_semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64)).astype(np.float32)  # cluster 0
+    dups = base[:10] + rng.normal(scale=0.05, size=(10, 64)).astype(
+        np.float32
+    )  # near-copies of vecs 0..9, same cluster
+    cross = base[10:15]  # exact copies, but planted in cluster 1
+    vecs = np.vstack([base, dups.astype(np.float32), cross])
+    labels = [0] * 50 + [1] * 5
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(55), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+
+    rows = {r.label: r for r in dd_semdedup(spark, str(tmp_path)).collect()}
+
+    # brute-force replay of the dominated-by-earlier rule per cluster
+    # (round-6 cosines, same as both engines)
+    norm = vecs.astype(np.float64)
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    sims = np.round(norm @ norm.T, 6)
+    dropped_by_label: dict[int, set[int]] = {0: set(), 1: set()}
+    for v in range(55):
+        for u in range(v):
+            if labels[u] == labels[v] and sims[u, v] >= 0.3:
+                dropped_by_label[labels[v]].add(v)
+                break
+    # every planted jittered copy (ids 40..49) is dominated by its original
+    assert set(range(40, 50)) <= dropped_by_label[0]
+    # cross-cluster exact copies are NOT dominated by their cluster-0
+    # originals (clustering bounds the candidates)
+    for lab, total in ((0, 50), (1, 5)):
+        assert rows[lab]["n_vecs"] == total
+        assert rows[lab]["n_dropped"] == len(dropped_by_label[lab])
+        assert rows[lab]["n_kept"] == total - len(dropped_by_label[lab])
