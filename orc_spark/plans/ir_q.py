@@ -534,8 +534,11 @@ ZIPF_SC2 = 1_000_000  # scale for log-product sums (headroom at 1e8 vocab)
 
 # The log-log OLS slope from the six integer sums, as ONE shared expression
 # string — both engines parse the identical tree over identical BIGINTs, so
-# the double is identical. x = ln(rank), y = ln(cf).
+# the double is identical. x = ln(rank), y = ln(cf). A single-term
+# vocabulary has x ≡ 0, making the OLS denominator exactly 0 (ANSI mode
+# would throw): guarded to NULL identically on both engines.
 _ZIPF_SLOPE_EXPR = (
+    f"CASE WHEN n_terms <= 1 THEN NULL ELSE "
     f"(CAST(n_terms AS DOUBLE)"
     f" * (CAST(sxy_fp AS DOUBLE) / CAST({ZIPF_SC2} AS DOUBLE))"
     f" - (CAST(sx_fp AS DOUBLE) / CAST({ZIPF_SC1} AS DOUBLE))"
@@ -544,6 +547,7 @@ _ZIPF_SLOPE_EXPR = (
     f" * (CAST(sxx_fp AS DOUBLE) / CAST({ZIPF_SC2} AS DOUBLE))"
     f" - (CAST(sx_fp AS DOUBLE) / CAST({ZIPF_SC1} AS DOUBLE))"
     f" * (CAST(sx_fp AS DOUBLE) / CAST({ZIPF_SC1} AS DOUBLE)))"
+    f" END"
 )
 
 _ZIPF_TERM_EXPRS = {

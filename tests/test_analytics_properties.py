@@ -791,3 +791,67 @@ def test_ev_feature_snapshot_matches_bruteforce(spark, user_times):
         )
         assert g["label_cents"] == int(round(r["value"] * 100))
     assert len(got) == n_labels
+
+
+def test_tx_zipf_recovers_planted_zipf_slope(spark):
+    """A corpus whose term frequencies are planted as floor(2000/rank)
+    must fit a log-log slope near -1 with exact integer head shares."""
+    from orc_spark.plans.ir_q import tx_zipf
+
+    # letter-only names: the tokenizer is '[a-z]+', so digits would
+    # collapse every term into one (how this test found the single-term
+    # division-by-zero guard)
+    letters = "abcdefghij"
+    terms = [
+        f"t{letters[k // 10]}{letters[k % 10]}" for k in range(100)
+    ]
+    counts = {t: 2000 // k for k, t in enumerate(terms, start=1)}
+    text = " ".join(t for t in terms for _ in range(counts[t]))
+    d = tempfile.mkdtemp(prefix="orc_props_zipf_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [len(text)],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    row = tx_zipf(spark, d).collect()[0]
+    total = sum(counts.values())
+    head10 = sum(2000 // k for k in range(1, 11))
+    assert row["n_terms"] == 100
+    assert row["total_tokens"] == total
+    assert abs(row["top1_share"] - round(2000 / total, 6)) < 1e-9
+    assert abs(row["head10_share"] - round(head10 / total, 6)) < 1e-9
+    # floor() distorts the pure 1/k law slightly; the OLS slope stays
+    # within a few percent of -1
+    assert -1.06 < row["zipf_slope"] < -0.94, row["zipf_slope"]
+
+
+def test_tx_zipf_single_term_vocab_is_null_slope(spark):
+    """A one-term vocabulary has x = ln(1) = 0 everywhere — the OLS
+    denominator is exactly 0; the slope must be NULL, not an ANSI
+    division-by-zero crash."""
+    from orc_spark.plans.ir_q import tx_zipf
+
+    d = tempfile.mkdtemp(prefix="orc_props_zipf1_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["aaa aaa aaa"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [11],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    row = tx_zipf(spark, d).collect()[0]
+    assert row["n_terms"] == 1
+    assert row["total_tokens"] == 3
+    assert row["zipf_slope"] is None
