@@ -26,12 +26,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Bounded driver-finish handoff (same policy as gr_kcore): once the
-# symmetric-closure edge list fits this many rows (~64 MB of bigint pairs),
-# ONE collect + exact union-find replaces the iterative rounds — tiny
-# graphs stop paying the per-round job-scheduling floor, driver memory
-# stays hard-bounded, and above the cap the distributed pointer-jumping
-# loop runs unchanged (the 100 TB path).
-CC_LOCAL_FINISH_ROWS = 4_000_000
+# symmetric-closure edge list fits this many rows, ONE collect + exact
+# union-find replaces the iterative rounds — tiny graphs stop paying the
+# per-round job-scheduling floor, and above the cap the distributed
+# pointer-jumping loop runs unchanged (the 100 TB path). The cap bounds
+# PYTHON-OBJECT driver memory, not just raw bytes: 1M edges ≈ 1M Row
+# objects + a ≤2M-entry parent dict ≈ low hundreds of MB worst case
+# (16 bytes of payload per edge, ~100× object overhead).
+CC_LOCAL_FINISH_ROWS = 1_000_000
 
 
 def _step(sym: DataFrame, labels: DataFrame) -> DataFrame:

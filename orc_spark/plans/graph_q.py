@@ -243,10 +243,11 @@ KCORE_K = 4
 KCORE_ORACLE_ROUNDS = 10
 KCORE_MAX_ROUNDS = 16
 # Bounded driver-finish handoff: once the monotonically-shrinking edge
-# remnant fits this many (bigint, bigint) pairs (~64 MB), one collect
-# finishes the peel exactly on the driver — distributed rounds keep running
-# above it, so driver memory stays hard-bounded at any input scale.
-KCORE_LOCAL_FINISH_EDGES = 4_000_000
+# remnant fits this many (bigint, bigint) pairs, one collect finishes the
+# peel exactly on the driver — distributed rounds keep running above it.
+# Budgeted for PYTHON-OBJECT memory (tuple set + degree dicts ≈ ~100
+# bytes/edge → low hundreds of MB at the cap), not raw bytes.
+KCORE_LOCAL_FINISH_EDGES = 1_000_000
 
 
 def _mutual_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
@@ -568,12 +569,16 @@ BFS_INF = 999  # "unreached" sentinel, strictly larger than any real hop
 BFS_SOURCE_MOD = 20  # sources = graph nodes with node % MOD == 0
 
 # Bounded driver-finish cap shared by gr_bfs/gr_linkpred/gr_label_prop
-# (same policy as gr_kcore/the CC operator): the mutual-kNN graph is
-# degree-bounded (≤ TRI_K per node), so under this many edges the whole
-# graph is a few hundred MB of bigint pairs — ONE collect + exact local
-# compute replaces the per-round distributed jobs; above it the
-# distributed path runs unchanged (the 100 TB shape).
-GRAPH_LOCAL_FINISH_EDGES = 4_000_000
+# (same policy as gr_kcore/the CC operator): under this many edges ONE
+# collect + exact local compute replaces the per-round distributed jobs;
+# above it the distributed path runs unchanged (the 100 TB shape). The
+# cap budgets PYTHON-OBJECT memory and single-threaded time, not raw
+# bytes: the worst consumer is local_linkpred, whose wedge dict holds up
+# to C(TRI_K,2) ≈ 28 entries per node — at 1M edges (≤2M nodes,
+# degree-capped) that is low-GB worst case and sub-minute CPU; 4M edges
+# would be several GB and minutes, exactly the regime the distributed
+# path handles better.
+GRAPH_LOCAL_FINISH_EDGES = 1_000_000
 
 
 def _adj(edges: list[tuple[int, int]]) -> dict[int, list[int]]:

@@ -193,3 +193,29 @@ def test_local_linkpred_known_topology():
     }
     got = {(u, v): (cn, du, dv, j, aa) for u, v, cn, du, dv, j, aa in rows}
     assert got == want
+
+
+def test_cc_distributed_path_equals_union_find(spark, monkeypatch):
+    """Force the cap off so the distributed pointer-jumping rounds (the
+    path that runs at real scale) stay exercised — the local union-find
+    finish otherwise takes every test and gate graph."""
+    import orc_spark.operators.graph as g
+
+    monkeypatch.setattr(g, "CC_LOCAL_FINISH_ROWS", -1)
+    rng = random.Random(11)
+    nodes = list(range(60))
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+    ]
+    got = _run(spark, nodes, edges)
+    assert got == _union_find(nodes, edges)
+
+
+def test_cc_distributed_path_known_topology(spark, monkeypatch):
+    import orc_spark.operators.graph as g
+
+    monkeypatch.setattr(g, "CC_LOCAL_FINISH_ROWS", -1)
+    nodes = [1, 2, 3, 4, 10, 11, 12, 13, 20]
+    edges = [(2, 1), (2, 3), (3, 4), (10, 11), (13, 10)]
+    got = _run(spark, nodes, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 12, 13: 10, 20: 20}
