@@ -954,39 +954,44 @@ def ts_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
     (proven by r11's battery); every other float is a single expression on
     identical inputs; the outlier count is an integer aggregate.
 
-    Scale: two groupBy passes over the stream (median, then MAD of
-    deviations) + one flag-count — all partial+final hash aggs on the user
-    key, no window over the full stream."""
-    ev = load_table(spark, sf, "events").select("user_id", "value")
-    med = ev.groupBy("user_id").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    )
-    dev = ev.join(med, "user_id").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = dev.groupBy("user_id").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad"),
-        F.min("med").alias("med"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    flagged = dev.join(mad.select("user_id", "mad"), "user_id").withColumn(
-        "is_out",
-        (F.col("adev") > F.col("mad") * MAD_THRESH_MULT).cast("int"),
-    )
-    counts = flagged.groupBy("user_id").agg(
-        F.sum("is_out").cast("bigint").alias("n_outliers")
+    Scale: ONE user-hash exchange serves everything — the median, the MAD
+    of deviations and the flag counts are chained window aggregates over
+    the same user partition plus one final groupBy that reuses the
+    partitioning (the original groupBy-join-groupBy shape recomputed the
+    events scan and the median aggregation once per consumer; CLAUDE.md's
+    multi-consumer-recompute note, caught in review). Per-user state is
+    the series (bounded by the documented run envelope)."""
+    w = Window.partitionBy("user_id")
+    scored = (
+        load_table(spark, sf, "events")
+        .select("user_id", "value")
+        .withColumn("med", F.expr("percentile(value, 0.5)").over(w))
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        .withColumn("mad", F.expr("percentile(adev, 0.5)").over(w))
     )
     return (
-        mad.join(counts, "user_id")
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.round(F.min("mad") * MAD_THRESH_MULT, 6).alias("threshold"),
+            F.sum(
+                (F.col("adev") > F.col("mad") * MAD_THRESH_MULT).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
         .select(
             "user_id",
             "n",
-            F.round("med", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
-            F.round(F.col("mad") * MAD_THRESH_MULT, 6).alias("threshold"),
+            "med",
+            "mad",
+            "threshold",
             "n_outliers",
             F.round(
-                F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
+                F.col("n_outliers").cast("double") / F.col("n").cast("double"),
+                6,
             ).alias("outlier_rate"),
         )
         .orderBy("user_id")

@@ -593,6 +593,20 @@ def test_tx_hashclf_broadcast_model(spark, sf_small):
     assert ex <= 3, plan
 
 
+def test_ts_outlier_mad_single_scan(spark, sf_small):
+    """ts_outlier_mad: median, MAD and flag counts chain over ONE events
+    scan and one user-hash exchange (the groupBy-join shape scanned and
+    re-aggregated per consumer)."""
+    from pyspark.sql import functions as F2
+
+    from orc_spark.plans.timeseries_q import ts_outlier_mad
+
+    df = ts_outlier_mad(spark, sf_small)
+    scans, ex, plan = _plan_stats(df.select(F2.count(F2.lit(1))))
+    assert scans == 1, plan
+    assert ex <= 2, plan
+
+
 def test_ev_feature_snapshot_single_exchange(spark, sf_small):
     """ev_feature_snapshot: all trailing-window features share ONE
     user-hash exchange + sort; the label filter adds no second pass
