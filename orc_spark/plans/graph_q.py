@@ -125,6 +125,38 @@ FROM {prev}
 
 TRI_K = 8  # neighbors kept per node before the mutuality filter
 
+# The mutual-kNN edge construction, as a SQL CTE prefix — the ONE
+# definition every graph oracle (triangles, k-core, BFS, link
+# prediction, label propagation) builds on, so they provably run on
+# the same graph.
+_MUTUAL_EDGES_CTE = f"""
+co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+),
+und AS (
+  SELECT u, v, w FROM co UNION ALL SELECT v AS u, u AS v, w FROM co
+),
+ranked AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+           row_number() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rn
+    FROM und
+  ) WHERE rn <= {TRI_K}
+),
+edges AS MATERIALIZED (
+  SELECT r1.u AS ea, r1.v AS eb
+  FROM ranked r1 JOIN ranked r2 ON r1.u = r2.v AND r1.v = r2.u
+  WHERE r1.u < r1.v
+),
+sym AS MATERIALIZED (
+  SELECT ea AS src, eb AS dst FROM edges
+  UNION ALL SELECT eb AS src, ea AS dst FROM edges
+)"""
+
+
 
 def gr_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Triangle participation counts over the supplier co-occurrence graph
@@ -183,27 +215,7 @@ def gr_triangles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 GR_TRIANGLES_SQL = f"""
-WITH co AS (
-  SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS w
-  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_suppkey < b.l_suppkey
-  GROUP BY a.l_suppkey, b.l_suppkey
-),
-und AS (
-  SELECT u, v, w FROM co UNION ALL SELECT v AS u, u AS v, w FROM co
-),
-ranked AS (
-  SELECT u, v FROM (
-    SELECT u, v,
-           row_number() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rn
-    FROM und
-  ) WHERE rn <= {TRI_K}
-),
-edges AS (
-  SELECT r1.u AS ea, r1.v AS eb
-  FROM ranked r1 JOIN ranked r2 ON r1.u = r2.v AND r1.v = r2.u
-  WHERE r1.u < r1.v
-),
+WITH {_MUTUAL_EDGES_CTE},
 tris AS (
   SELECT e1.ea AS n1, e1.eb AS n2, e2.eb AS n3
   FROM edges e1
@@ -429,27 +441,8 @@ e{i} AS MATERIALIZED (
     chain = ",".join(rounds)
     r = KCORE_ORACLE_ROUNDS
     return f"""
-WITH co AS (
-  SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS w
-  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_suppkey < b.l_suppkey
-  GROUP BY a.l_suppkey, b.l_suppkey
-),
-und AS (
-  SELECT u, v, w FROM co UNION ALL SELECT v AS u, u AS v, w FROM co
-),
-ranked AS (
-  SELECT u, v FROM (
-    SELECT u, v,
-           row_number() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rn
-    FROM und
-  ) WHERE rn <= {TRI_K}
-),
-e0 AS MATERIALIZED (
-  SELECT r1.u AS ea, r1.v AS eb
-  FROM ranked r1 JOIN ranked r2 ON r1.u = r2.v AND r1.v = r2.u
-  WHERE r1.u < r1.v
-),
+WITH {_MUTUAL_EDGES_CTE},
+e0 AS MATERIALIZED (SELECT ea, eb FROM edges),
 {chain}
 SELECT node AS s_suppkey, core_degree,
        (SELECT count(*) FROM n{r - 1}) = (SELECT count(*) FROM n{r})
@@ -687,35 +680,6 @@ def local_linkpred(
     rows.sort(key=lambda r: (-r[2], -r[6], r[0], r[1]))
     return rows[:top]
 
-# The mutual-kNN edge construction, as a SQL CTE prefix shared by the graph
-# oracles that run on the same graph (gr_triangles/gr_kcore inline the same
-# text; kept verbatim so the three oracles stay literally identical).
-_MUTUAL_EDGES_CTE = f"""
-co AS (
-  SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS w
-  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  WHERE a.l_suppkey < b.l_suppkey
-  GROUP BY a.l_suppkey, b.l_suppkey
-),
-und AS (
-  SELECT u, v, w FROM co UNION ALL SELECT v AS u, u AS v, w FROM co
-),
-ranked AS (
-  SELECT u, v FROM (
-    SELECT u, v,
-           row_number() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rn
-    FROM und
-  ) WHERE rn <= {TRI_K}
-),
-edges AS MATERIALIZED (
-  SELECT r1.u AS ea, r1.v AS eb
-  FROM ranked r1 JOIN ranked r2 ON r1.u = r2.v AND r1.v = r2.u
-  WHERE r1.u < r1.v
-),
-sym AS MATERIALIZED (
-  SELECT ea AS src, eb AS dst FROM edges
-  UNION ALL SELECT eb AS src, ea AS dst FROM edges
-)"""
 
 
 def gr_bfs(spark: SparkSession, sf: str) -> DataFrame:
