@@ -625,6 +625,57 @@ ANN_K = 5
 EMBCOS_N_BLOCKS = 8
 
 
+def _block_grid_tagged(emb: DataFrame, nb: int, keys: list[str]) -> DataFrame:
+    """Tag each vector (must carry a `blk` column = vec_id % nb) with every
+    (block_a, block_b) cell it participates in — the shared machinery of
+    dd_embcos and dd_semdedup. `keys` are extra grouping columns carried
+    through (dd_semdedup's cluster label)."""
+    spark = emb.sparkSession
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(nb) for b in range(a, nb)], "ba int, bb int"
+    )
+    off_diag = grid.where(F.col("ba") != F.col("bb"))
+    a_side = emb.join(F.broadcast(grid), emb.blk == grid.ba).select(
+        *keys, "ba", "bb", F.lit("a").alias("side"), "vec_id", "embedding"
+    )
+    b_side = emb.join(F.broadcast(off_diag), emb.blk == off_diag.bb).select(
+        *keys, "ba", "bb", F.lit("b").alias("side"), "vec_id", "embedding"
+    )
+    return a_side.unionByName(b_side)
+
+
+def _cell_cos_pairs(pdf, tau: float):
+    """One grid cell's qualifying cosine pairs: (va, vb, sims) arrays with
+    sims rounded to 6, pairs canonical (va < vb), self-pairs excluded.
+    Returns None for an empty side."""
+    import numpy as np
+
+    a = pdf[pdf["side"] == "a"]
+    diagonal = bool(pdf["ba"].iloc[0] == pdf["bb"].iloc[0])
+    b = a if diagonal else pdf[pdf["side"] == "b"]
+    if a.empty or b.empty:
+        return None
+    aid = a["vec_id"].to_numpy()
+    bid = b["vec_id"].to_numpy()
+    am = np.vstack(a["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+    bm = np.vstack(b["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+    am = am / np.linalg.norm(am, axis=1, keepdims=True)
+    bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+    sims = np.round(am @ bm.T, 6)
+    ri, ci = np.where(sims >= tau)
+    if diagonal:
+        # same block on both sides: keep each unordered pair once
+        keep = aid[ri] < bid[ci]
+        ri, ci = ri[keep], ci[keep]
+        va, vb = aid[ri], bid[ci]
+    else:
+        # disjoint blocks: every cross pair is valid exactly once;
+        # canonicalize ids to (min, max)
+        va = np.minimum(aid[ri], bid[ci])
+        vb = np.maximum(aid[ri], bid[ci])
+    return va, vb, sims[ri, ci]
+
+
 def dd_embcos(spark: SparkSession, sf: str) -> DataFrame:
     """All-pairs cosine near-dup as a DISTRIBUTED block-grid self-join: each
     vector lands in block `vec_id % NB`; the NB·(NB+1)/2 block pairs are a
@@ -639,27 +690,15 @@ def dd_embcos(spark: SparkSession, sf: str) -> DataFrame:
     dd_simhash_pairs) prune first and this kernel reranks candidates only.
     The oracle computes the identical rounded value through a join-sum;
     round(.,6) absorbs summation-order ulps."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    nb = EMBCOS_N_BLOCKS
     emb = (
         load_table(spark, sf, "embeddings")
         .select("vec_id", "embedding")
-        .withColumn("blk", (F.col("vec_id") % nb).cast("int"))
+        .withColumn("blk", (F.col("vec_id") % EMBCOS_N_BLOCKS).cast("int"))
     )
-    grid = spark.createDataFrame(
-        [(a, b) for a in range(nb) for b in range(a, nb)], "ba int, bb int"
-    )
-    off_diag = grid.where(F.col("ba") != F.col("bb"))
-    a_side = emb.join(F.broadcast(grid), emb.blk == grid.ba).select(
-        "ba", "bb", F.lit("a").alias("side"), "vec_id", "embedding"
-    )
-    b_side = emb.join(F.broadcast(off_diag), emb.blk == off_diag.bb).select(
-        "ba", "bb", F.lit("b").alias("side"), "vec_id", "embedding"
-    )
-    tagged = a_side.unionByName(b_side)
+    tagged = _block_grid_tagged(emb, EMBCOS_N_BLOCKS, [])
 
     schema = T.StructType(
         [
@@ -670,35 +709,15 @@ def dd_embcos(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
-            {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
-        )
-        a = pdf[pdf["side"] == "a"]
-        diagonal = bool(pdf["ba"].iloc[0] == pdf["bb"].iloc[0])
-        b = a if diagonal else pdf[pdf["side"] == "b"]
-        if a.empty or b.empty:
-            return empty
-        aid = a["vec_id"].to_numpy()
-        bid = b["vec_id"].to_numpy()
-        am = np.vstack(a["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
-        bm = np.vstack(b["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
-        am = am / np.linalg.norm(am, axis=1, keepdims=True)
-        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
-        sims = np.round(am @ bm.T, 6)
-        ri, ci = np.where(sims >= COS_THRESHOLD)
-        if diagonal:
-            # same block on both sides: keep each unordered pair once
-            keep = aid[ri] < bid[ci]
-            ri, ci = ri[keep], ci[keep]
-            va, vb = aid[ri], bid[ci]
-        else:
-            # disjoint blocks: every cross pair is valid exactly once;
-            # canonicalize ids to (min, max)
-            va = np.minimum(aid[ri], bid[ci])
-            vb = np.maximum(aid[ri], bid[ci])
-        return pd.DataFrame(
-            {"vec_a": va, "vec_b": vb, "cos_sim": sims[ri, ci]}
-        )
+        res = _cell_cos_pairs(pdf, COS_THRESHOLD)
+        if res is None:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_sim": []}
+            ).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        va, vb, sims = res
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": sims})
 
     return tagged.groupBy("ba", "bb").applyInPandas(cell, schema)
 
@@ -767,23 +786,12 @@ def dd_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 
     from orc_spark.functions.hashing import xor_digest
 
-    nb = SEM_N_BLOCKS
     emb = (
         load_table(spark, sf, "embeddings")
         .select("vec_id", "label", "embedding")
-        .withColumn("blk", (F.col("vec_id") % nb).cast("int"))
+        .withColumn("blk", (F.col("vec_id") % SEM_N_BLOCKS).cast("int"))
     )
-    grid = spark.createDataFrame(
-        [(a, b) for a in range(nb) for b in range(a, nb)], "ba int, bb int"
-    )
-    off_diag = grid.where(F.col("ba") != F.col("bb"))
-    a_side = emb.join(F.broadcast(grid), emb.blk == grid.ba).select(
-        "label", "ba", "bb", F.lit("a").alias("side"), "vec_id", "embedding"
-    )
-    b_side = emb.join(F.broadcast(off_diag), emb.blk == off_diag.bb).select(
-        "label", "ba", "bb", F.lit("b").alias("side"), "vec_id", "embedding"
-    )
-    tagged = a_side.unionByName(b_side)
+    tagged = _block_grid_tagged(emb, SEM_N_BLOCKS, ["label"])
 
     schema = T.StructType(
         [
@@ -799,31 +807,18 @@ def dd_semdedup(spark: SparkSession, sf: str) -> DataFrame:
                 "vec_drop": pd.Series([], dtype="int64"),
             }
         )
-        a = pdf[pdf["side"] == "a"]
-        diagonal = bool(pdf["ba"].iloc[0] == pdf["bb"].iloc[0])
-        b = a if diagonal else pdf[pdf["side"] == "b"]
-        if a.empty or b.empty:
+        res = _cell_cos_pairs(pdf, SEM_TAU)
+        if res is None:
             return empty
-        aid = a["vec_id"].to_numpy()
-        bid = b["vec_id"].to_numpy()
-        am = np.vstack(a["embedding"].map(np.asarray).to_numpy()).astype(
-            np.float64
-        )
-        bm = np.vstack(b["embedding"].map(np.asarray).to_numpy()).astype(
-            np.float64
-        )
-        am = am / np.linalg.norm(am, axis=1, keepdims=True)
-        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
-        sims = np.round(am @ bm.T, 6)
-        ri, ci = np.where(sims >= SEM_TAU)
-        va, vb = aid[ri], bid[ci]
-        keep = va != vb  # diagonal cells see self-pairs and both orders
-        drops = np.unique(np.maximum(va[keep], vb[keep]))
+        _va, vb, _sims = res  # pairs are canonical va < vb ⇒ vb drops
+        drops = np.unique(vb)
         if drops.size == 0:
             return empty
         return pd.DataFrame(
             {
-                "label": np.full(drops.size, int(pdf["label"].iloc[0]), dtype="int32"),
+                "label": np.full(
+                    drops.size, int(pdf["label"].iloc[0]), dtype="int32"
+                ),
                 "vec_drop": drops.astype("int64"),
             }
         )
