@@ -863,10 +863,17 @@ def cu_chunk(spark: SparkSession, sf: str) -> DataFrame:
 
     Pure narrow map (sequence → explode → substring), whole-stage codegen,
     no shuffle — the canonical linear pass at any corpus size. NULL texts
-    yield no chunks on either engine (explode/unnest of NULL)."""
+    are filtered explicitly on BOTH engines (the previous claim that they
+    fall out of explode/unnest was wrong — greatest(length(NULL), 1) = 1
+    on both engines, so a NULL doc emitted one phantom chunk row; review
+    finding)."""
     from orc_spark.functions.hashing import h60
 
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
     starts = F.sequence(
         F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
     )
@@ -890,7 +897,7 @@ WITH starts AS (
          unnest(range(1, greatest(length(text), 1) + 1, {CHUNK_STRIDE})) AS start,
          unnest(generate_series(0,
            (greatest(length(text), 1) - 1) // {CHUNK_STRIDE})) AS chunk_idx
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
        CAST(start AS INTEGER) AS start,

@@ -271,7 +271,11 @@ def dd_minhash_quality(spark: SparkSession, sf: str) -> DataFrame:
         (tot.cast("double") / n.cast("double")) / s, 6
     )
     g = per_pair.groupBy(
-        F.floor(F.col("est_jaccard") * 4.0).cast("bigint").alias("est_quartile")
+        # least(…, 3): est_jaccard exactly 1.0 (exact dups) folds into the
+        # top quartile instead of a singleton fifth bucket (review finding)
+        F.least(F.floor(F.col("est_jaccard") * 4.0), F.lit(3))
+        .cast("bigint")
+        .alias("est_quartile")
     ).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(fp(F.col("est_jaccard"))).alias("_se"),
@@ -319,7 +323,7 @@ errs AS (
          abs(est_jaccard - exact_jaccard) AS abs_err
   FROM per_pair
 )
-SELECT CAST(floor(est_jaccard * 4.0) AS BIGINT) AS est_quartile,
+SELECT CAST(least(floor(est_jaccard * 4.0), 3) AS BIGINT) AS est_quartile,
        CAST(count(*) AS BIGINT) AS n_pairs,
        round((CAST(sum(CAST(floor(est_jaccard * {s!r} + 0.5) AS BIGINT)) AS DOUBLE)
               / CAST(count(*) AS DOUBLE)) / {s!r}, 6) AS mean_est,
@@ -329,7 +333,7 @@ SELECT CAST(floor(est_jaccard * 4.0) AS BIGINT) AS est_quartile,
               / CAST(count(*) AS DOUBLE)) / {s!r}, 6) AS mean_abs_err,
        round(max(abs_err), 6) AS max_abs_err
 FROM errs
-GROUP BY CAST(floor(est_jaccard * 4.0) AS BIGINT)
+GROUP BY CAST(least(floor(est_jaccard * 4.0), 3) AS BIGINT)
 ORDER BY est_quartile
 """
 

@@ -720,14 +720,20 @@ def st_goertzel(spark: SparkSession, sf: str) -> DataFrame:
     recurrence harness in fixed-point (state in BIGINT 1e-4 units, trunc
     division, exact integer power at the end, one double cast + one exact
     division for output); the oracle steps the identical integer recurrence
-    in a recursive CTE — cross-engine EXACT, not merely close."""
+    in a recursive CTE — cross-engine EXACT, not merely close. NULL values
+    are filtered identically on both engines up front: the fixed-point
+    quantization int(floor(·)) would CRASH on NaN where the old f64 kernel
+    merely propagated it (review finding) — the recurrence is defined over
+    the non-null sample stream."""
     import pandas as pd
     from pyspark.sql import types as T
 
     from orc_spark.operators.recurrence import partitioned_group_scan
 
-    ev = load_table(spark, sf, "events").select(
-        "user_id", "event_id", "ts", "value"
+    ev = (
+        load_table(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .where(F.col("value").isNotNull())
     )
     sc = GOERTZEL_SCALE
     cfps = [GOERTZEL_CFP[k] for k in (4, 8, 16)]
@@ -800,7 +806,7 @@ WITH RECURSIVE base AS (
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn,
          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 rec (user_id, rn, n, s1_4, s2_4, s1_8, s2_8, s1_16, s2_16) AS (
   SELECT user_id, rn, n, {seeds}

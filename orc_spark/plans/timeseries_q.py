@@ -1142,10 +1142,18 @@ def ts_m4(spark: SparkSession, sf: str) -> DataFrame:
     Cross-engine exact with no tricks: bucket index is pure integer
     arithmetic (trunc div on epoch micros), and every output value is a
     RAW input double selected by min/max/arg-ordering — nothing is
-    accumulated, so no fixed-point needed. Plan: ONE shuffle (window by
-    user computes span + order rank; the groupBy on (user, bucket) reuses
-    the user-hash partitioning so needs no second exchange)."""
-    ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
+    accumulated, so no fixed-point needed. NULL values are filtered on
+    BOTH engines up front: Spark's min_by returns the NULL at the extreme
+    position while DuckDB's arg_min skips NULLs (verified divergence), so
+    NULL rows must never reach the arg-selection. Plan: ONE shuffle
+    (window by user computes span + order rank; the groupBy on (user,
+    bucket) reuses the user-hash partitioning so needs no second
+    exchange)."""
+    ev = (
+        load_table(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .where(F.col("value").isNotNull())
+    )
     w = Window.partitionBy("user_id")
     wo = w.orderBy("ts", "event_id")
     base = (
@@ -1178,7 +1186,7 @@ WITH base AS (
                             ORDER BY epoch_us(ts), event_id) AS rn,
          min(epoch_us(ts)) OVER (PARTITION BY user_id) AS tmin,
          max(epoch_us(ts)) OVER (PARTITION BY user_id) AS tmax
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT user_id,
        least((tsu - tmin) * {M4_BUCKETS} // (tmax - tmin + 1),

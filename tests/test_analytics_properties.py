@@ -508,11 +508,8 @@ def test_st_bursts_semantics(spark):
 def test_ts_m4_matches_bruteforce(spark, user_times):
     from orc_spark.plans.timeseries_q import M4_BUCKETS, ts_m4
 
-    rng_vals = {}
-
     def extra(ui, eid, t):
         v = float((eid * 37 % 11) - 5)  # deterministic, includes repeats
-        rng_vals[eid] = v
         return {"value": v}
 
     rows = _mk_rows(user_times, extra=extra)

@@ -98,9 +98,9 @@ def test_kcore_matches_bruteforce_and_converges_inside_envelope(spark, sf_small)
     edges = [(r.ea, r.eb) for r in _mutual_knn_edges(spark, sf_small).collect()]
     deg, keep = _py_kcore(edges, KCORE_K)
     want = {n: deg[n] for n in keep}
-    got = {r.s_suppkey: r.core_degree for r in gr_kcore(spark, sf_small).collect()}
-    assert got == want
-    assert all(r.converged for r in gr_kcore(spark, sf_small).collect())
+    rows = gr_kcore(spark, sf_small).collect()
+    assert {r.s_suppkey: r.core_degree for r in rows} == want
+    assert all(r.converged for r in rows)
 
 
 def test_kcore_envelope_guard_raises(spark, sf_small, monkeypatch):
