@@ -988,7 +988,13 @@ def ann_srp_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     # cached: the band self-join consumes this twice (same reason
     # _sig caches for the MinHash band join) — without it the kernel and
-    # the embeddings scan run once per join side
+    # the embeddings scan run once per join side.
+    # KNOWN LEAK (same as _sig): never unpersisted, so in no-cleanup
+    # sessions (the driver gate, where __spark_entry__ must not clean —
+    # see the pending-localCheckpoint invariant in CLAUDE.md) each
+    # invocation leaves one small cached relation (~|vecs|·N_BANDS rows of
+    # 3 ints) for the session lifetime. Accepted: bench.py's between-query
+    # cleanup reclaims it, and the table is a few MB at gate scale.
     bands = emb.mapInPandas(
         _sketch,
         T.StructType(

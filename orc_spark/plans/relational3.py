@@ -1128,14 +1128,17 @@ def sk_theta_ops(spark: SparkSession, sf: str) -> DataFrame:
     est = lambda c: F.round(  # noqa: E731
         c.cast("double") * (F.lit(TWO60) / F.col("theta_p").cast("double")), 3
     )
+    # ca/cb left-joined like ci/exact_inter: a sketch can retain ZERO hashes
+    # below theta_p under skewed hash distributions, and the audit row must
+    # then show a zero estimate rather than silently vanish from the output
     out = (
-        pr.join(ca, ["ta", "tb"])
-        .join(cb, ["ta", "tb"])
+        pr.join(ca, ["ta", "tb"], "left")
+        .join(cb, ["ta", "tb"], "left")
         .join(ci, ["ta", "tb"], "left")
         .join(ex_i, ["ta", "tb"], "left")
         .join(nd.select(F.col("event_type").alias("ta"), F.col("nd").alias("na")), "ta")
         .join(nd.select(F.col("event_type").alias("tb"), F.col("nd").alias("nb")), "tb")
-        .na.fill({"ci": 0, "exact_inter": 0})
+        .na.fill({"ca": 0, "cb": 0, "ci": 0, "exact_inter": 0})
     )
     return out.select(
         "ta",
@@ -1207,21 +1210,21 @@ nd AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS nd FROM pdu GROUP BY event_type
 )
 SELECT p.ta AS ta, p.tb AS tb, p.theta_p AS theta_p,
-       round(CAST(a.ca + b.cb - COALESCE(i.ci, 0) AS DOUBLE)
+       round(CAST(COALESCE(a.ca, 0) + COALESCE(b.cb, 0) - COALESCE(i.ci, 0) AS DOUBLE)
              * (CAST({two60!r} AS DOUBLE) / CAST(p.theta_p AS DOUBLE)), 3)
          AS est_union,
        round(CAST(COALESCE(i.ci, 0) AS DOUBLE)
              * (CAST({two60!r} AS DOUBLE) / CAST(p.theta_p AS DOUBLE)), 3)
          AS est_inter,
-       round(CAST(a.ca - COALESCE(i.ci, 0) AS DOUBLE)
+       round(CAST(COALESCE(a.ca, 0) - COALESCE(i.ci, 0) AS DOUBLE)
              * (CAST({two60!r} AS DOUBLE) / CAST(p.theta_p AS DOUBLE)), 3)
          AS est_diff_ab,
        na.nd + nb.nd - COALESCE(e.exact_inter, 0) AS exact_union,
        COALESCE(e.exact_inter, 0) AS exact_inter,
        na.nd - COALESCE(e.exact_inter, 0) AS exact_diff_ab
 FROM pr p
-JOIN ca a ON a.ta = p.ta AND a.tb = p.tb
-JOIN cb b ON b.ta = p.ta AND b.tb = p.tb
+LEFT JOIN ca a ON a.ta = p.ta AND a.tb = p.tb
+LEFT JOIN cb b ON b.ta = p.ta AND b.tb = p.tb
 LEFT JOIN ci i ON i.ta = p.ta AND i.tb = p.tb
 LEFT JOIN ex_i e ON e.ta = p.ta AND e.tb = p.tb
 JOIN nd na ON na.event_type = p.ta

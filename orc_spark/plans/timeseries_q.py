@@ -1086,10 +1086,21 @@ def ts_theilsen(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("n_pairs").alias("n_pairs"),
-            F.min("slope_med").alias("slope_med"),
-            F.expr("percentile(r, 0.5)").alias("intercept"),
+            F.min("slope_med").alias("slope_med_raw"),
+            F.expr("percentile(r, 0.5)").alias("intercept_raw"),
         )
-        .select("user_id", "n", "n_pairs", "slope_med", "intercept")
+        # round(…,6) ONLY at the output (repo convention for percentile-based
+        # floats, cf. ts_outlier_mad): the residuals above intentionally use
+        # the UNROUNDED median so the statistic itself is unchanged — the
+        # rounding is just an ulp cushion should the engines' quantile
+        # interpolation ever differ in the last bit
+        .select(
+            "user_id",
+            "n",
+            "n_pairs",
+            F.round("slope_med_raw", 6).alias("slope_med"),
+            F.round("intercept_raw", 6).alias("intercept"),
+        )
         .orderBy("user_id")
     )
 
@@ -1119,8 +1130,8 @@ resid AS (
 )
 SELECT user_id, CAST(count(*) AS BIGINT) AS n,
        min(n_pairs) AS n_pairs,
-       min(slope_med) AS slope_med,
-       quantile_cont(r, 0.5) AS intercept
+       round(min(slope_med), 6) AS slope_med,
+       round(quantile_cont(r, 0.5), 6) AS intercept
 FROM resid GROUP BY user_id
 ORDER BY user_id
 """

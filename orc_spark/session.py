@@ -68,6 +68,11 @@ def get_spark(app_name: str = "orc_spark", cpus: int | None = None) -> SparkSess
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # Pin ANSI mode ON (the Spark 4 default) rather than inheriting it:
+        # several oracles assume ANSI semantics — size(NULL)=NULL
+        # (tx_gopher_quality), strict division — and Spark 3.x (ANSI off,
+        # size(NULL)=-1) would silently diverge from the DuckDB oracles.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
