@@ -647,9 +647,12 @@ def test_ts_theilsen_matches_bruteforce(spark, user_times):
         resid = [v - slope * (t / TS_DAY_US) for t, v in zip(ts, vs)]
         assert g["n"] == len(ts)
         assert g["n_pairs"] == len(slopes)
-        assert math.isclose(g["slope_med"], slope, rel_tol=1e-9, abs_tol=1e-9)
+        # The plan emits round(...,6) outputs (ulp cushion, see ts_theilsen):
+        # abs_tol must absorb the ≤5e-7 rounding error; rel_tol=1e-9 governs
+        # large magnitudes where round-to-6-decimals is a double no-op.
+        assert math.isclose(g["slope_med"], slope, rel_tol=1e-9, abs_tol=5.1e-7)
         assert math.isclose(
-            g["intercept"], float(np.median(resid)), rel_tol=1e-9, abs_tol=1e-9
+            g["intercept"], float(np.median(resid)), rel_tol=1e-9, abs_tol=5.1e-7
         )
 
 
