@@ -44,69 +44,42 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # r05 head, per VERDICT r04 items 1/3/4.
-    # (a) The one wrong answer, rewritten this round (fixed-point integer
-    #     recurrence on both engines) — must re-green first:
-    "st_goertzel",
-    # (b) The 21 queries that have NEVER had a driver row (added late in
-    #     r04, sorted past that round's 50-query budget; all hash-verified
-    #     locally at sf0.001+sf0.01 under the now-driver-strength strict
-    #     comparator) — first rows for every one:
-    "r16_big_orders", "r17_nation_volume", "r18_returned_items",
-    "r19_promo_share", "r20_bracket_revenue", "st_holt", "ev_rfm",
-    "dq_freshness", "ev_concurrency", "ts_seasonal", "mb_rules",
-    "ev_survival", "cdc_pit_lookup", "r21_null_semantics",
-    "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
-    "gr_kcore", "st_token_bucket", "st_bursts",
-    # (c) deferred-since-r02 heavy oracles (VERDICT r03 item 7 → r04 item
-    #     4): re-green now, ahead of everything fresher:
-    "dd_embcos", "dd_cluster",
-    # (d) the r02-only-green family, two rounds stale (mm_frame_sample,
-    #     ann_ivf and the rows-only ann_bruteforce_fast yield their slots
-    #     to this round's first-row additions: ann_ivf's machinery
-    #     re-verifies via ann_ivf_index's fresh r04 row, mm_frame_sample's
-    #     stub-codec domain via mm_image_features' fresh row, and a
-    #     rows-only check is the weakest marginal signal — all rotate to
-    #     r06):
-    "dd_keepbest", "tx_fingerprint", "tx_redact",
-    "dp_profile",
-    # (d') CHANGED-CODE re-verification (tier-1 per the ordering policy):
-    #     the SRP sketch moved to an Arrow kernel this round — its last
-    #     driver row (r03) predates the rewrite, so it outranks one more
-    #     stale refresh (sk_salted_agg → r06; its semantics are also
-    #     pinned by the skew-equivalence unit tests):
-    "ann_srp_pairs",
-    # (e) queries ADDED this round (r05) — first driver rows:
-    "tx_gopher_quality", "ts_m4", "sk_theta_ops", "ev_funnel_windowed",
-    "dd_minhash_quality", "ann_recall_eval",
-    "cu_anneal_mixture", "cu_corpus_report", "ev_bot_detect", "dq_referential",
-    "cu_chunk", "ts_outlier_mad", "gr_bfs", "gr_linkpred", "ts_theilsen",
-    "dd_semdedup", "io_compaction", "tx_zipf", "tx_hashclf",
-    "gr_label_prop", "ev_feature_snapshot",
+    # r07 head, per VERDICT r06 directives 2 & 5 (exactly 50 slots).
+    # (a) NEW query this round — substring-level exact dedup (Lee et al.
+    #     2022), first driver row:
+    "dd_substring",
+    # (b) CHANGED-CODE re-verification: both plans rewritten this round
+    #     for the carried perf directives (dq_referential single-pass
+    #     audit, cu_corpus_report localCheckpoint reuse) — must re-green
+    #     under the new shapes even though their r06 rows are fresh:
+    "dq_referential", "cu_corpus_report",
+    # (c) the 17 queries whose newest green driver row is r02 — FOUR
+    #     rounds stale; dedup family first (plans/dedup_q.py churned in
+    #     r03/r04/r05/r06 since their last row):
+    "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
+    "dd_simhash_pairs",
+    "ann_topk", "ann_ivf", "ann_bruteforce_fast", "approx_sketches",
+    "dp_sample", "dp_stratified", "mm_frame_sample", "r4b_cube",
+    "r5c_rank_battery", "rj_range_join", "sk_hll_merge", "sk_salted_agg",
+    # (d) oldest r03 block, filling the remaining 30 slots: as-of join,
+    #     the ts_* firmware pack (Q3–Q10 surface), the r8* window
+    #     replays, rollup/resample/e2e, heavy curation + text:
+    "aj_asof_join", "ts_medfilt", "ts_gradient", "ts_runstats",
+    "ts_groupmeans", "ts_welch", "ts_welch_p", "ts_deadband",
+    "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
+    "ts_resample", "ts_e2e_report", "r8_tumbling", "r8b_sliding",
+    "r8c_sessions", "tr_hier_rollup", "io_orc_roundtrip", "cu_pipeline",
+    "cu_budget", "mm_audio_windows", "tx_winnow", "sk_countmin",
+    "dd_ngram_jaccard", "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
+    "r3_shipping_priority", "r4_rollup",
 ]
 _DEFERRED_LAST = [
-    # twice-green battery overflow (the 50-slot budget cut) + the r03-green
-    # rotation remainder (next refresh after the head tier; order mirrors
-    # CORRECTNESS_r03 so r06's rotation can take a prefix)
-    "mm_frame_sample", "ann_ivf", "ann_bruteforce_fast",
-    "dp_stratified", "r4b_cube", "rj_range_join", "r5c_rank_battery",
-    "dd_minhash_sig", "dd_simhash", "dd_exact", "dd_simhash_pairs",
-    "dp_sample", "dd_minhash_pairs",
-    "approx_sketches", "sk_hll_merge", "ann_topk",
-    "ts_medfilt", "ts_gradient", "ts_runstats", "ts_groupmeans", "ts_welch",
-    "ts_deadband", "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
-    "r8_tumbling", "r8b_sliding", "r8c_sessions", "aj_asof_join",
-    "tr_hier_rollup", "ts_resample", "ts_e2e_report", "io_orc_roundtrip",
-    "sk_salted_agg", "cu_pipeline", "cu_budget",
-    "mm_audio_windows", "ts_welch_p", "tx_winnow", "sk_countmin",
-    "r7b_dates", "r7c_json_map", "r12_unpivot", "r_pivot",
-    "r9_scalar_subquery", "r11_stats_agg", "r10_outer_hist", "r5b_range_frame",
-    "tx_langid", "tx_quality", "tx_tokens", "dd_ngram_jaccard",
-    "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
-    "r3_shipping_priority", "r4_rollup", "r5_window_topk", "r6_setops",
-    "r7_scalar_battery",
-    # freshest greens (r04 rows in CORRECTNESS_r04.json): weakest marginal
-    # signal in r05 — rotate past the budget; they re-enter in r06+.
+    # Tier 2 proper: the 14 r03-stale queries that missed the head's
+    # budget fall through as unlisted tier-1 entries (they directly follow
+    # the head, absorbing any budget slack). Below, staleness-ordered:
+    # r04 greens first (three rounds old), this round's r06 greens last
+    # (freshest signal = weakest marginal value; order mirrors the source
+    # CORRECTNESS files so the r08 rotation can take prefixes).
     "st_pid_replay", "st_ahrs_replay", "st_imu_pipeline", "mm_image_features",
     "sk_bloom", "cu_decontaminate", "cu_pack",
     "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
@@ -120,6 +93,20 @@ _DEFERRED_LAST = [
     "ev_ab_test", "st_hysteresis", "ts_crossings",
     "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv", "ev_paths",
     "tx_ngram_lm", "dq_kanon", "ts_mannkendall",
+    # r06 greens (this round's gate set, minus the two changed-code plans
+    # promoted to the head):
+    "st_goertzel", "r16_big_orders", "r17_nation_volume",
+    "r18_returned_items", "r19_promo_share", "r20_bracket_revenue",
+    "st_holt", "ev_rfm", "dq_freshness", "ev_concurrency", "ts_seasonal",
+    "mb_rules", "ev_survival", "cdc_pit_lookup", "r21_null_semantics",
+    "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
+    "gr_kcore", "st_token_bucket", "st_bursts", "dd_embcos", "dd_cluster",
+    "dd_keepbest", "tx_fingerprint", "tx_redact", "dp_profile",
+    "ann_srp_pairs", "tx_gopher_quality", "ts_m4", "sk_theta_ops",
+    "ev_funnel_windowed", "dd_minhash_quality", "ann_recall_eval",
+    "cu_anneal_mixture", "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
+    "gr_bfs", "gr_linkpred", "ts_theilsen", "dd_semdedup", "io_compaction",
+    "tx_zipf", "tx_hashclf", "gr_label_prop", "ev_feature_snapshot",
 ]
 
 
