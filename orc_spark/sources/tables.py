@@ -29,7 +29,28 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
+# Plan-object memo for the immutable driver testdata only: a spark.read of a
+# parquet table costs ~0.1 s of driver time (file listing + footer schema),
+# and multi-table audits pay it a dozen times per plan build. DataFrames are
+# immutable lazy plans, so reuse is safe — but ONLY for paths whose contents
+# never change after creation (/root/testdata); test fixtures that write
+# fresh temp dirs always take the uncached path. Keyed on the live session
+# object so a stopped/restarted session cannot serve stale plans.
+_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    cacheable = os.path.abspath(sf_dir).startswith("/root/testdata")
+    key = (spark, os.path.abspath(sf_dir), name)
+    if cacheable and key in _MEMO:
+        return _MEMO[key]
+    df = _load_table_uncached(spark, sf_dir, name)
+    if cacheable:
+        _MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The contract every downstream plan relies on: events.ts is BIGINT
         # EPOCH MICROS after load_table. The driver has shipped this column as
