@@ -925,11 +925,17 @@ def cu_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: every component is a bounded aggregate (digest groupBy, banded
     LSH pairs, narrow column expressions); the report is a cross-join of
-    1-row frames."""
+    1-row frames. The Gopher verdict is a pure column expression
+    (text_q.gopher_signals), so its fail count rides the SAME documents
+    scan as the base stats — the report runs exactly two pipelines: one
+    documents scan-aggregate and the LSH pairs aggregate."""
     from orc_spark.plans.dedup_q import dd_minhash_pairs
-    from orc_spark.plans.text_q import tx_gopher_quality
+    from orc_spark.plans.text_q import gopher_signals
 
     docs = load_table(spark, sf, "documents")
+    # (keep = FALSE) null-propagates for NULL text, and sum() skips nulls —
+    # identical to tx_gopher_quality's where(keep == False) row count
+    gopher_fail = (gopher_signals()["keep"] == F.lit(False)).cast("int")
     base = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("text").isNull().cast("int")).cast("bigint").alias("n_null_text"),
@@ -937,18 +943,14 @@ def cu_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.size(F.split(F.trim("text"), r"\s+")))
         .cast("bigint")
         .alias("total_tokens"),
+        F.sum(gopher_fail).cast("bigint").alias("n_gopher_fail"),
     )
     near = (
         dd_minhash_pairs(spark, sf)
         .where(F.col("est_jaccard") >= REPORT_NEAR_DUP_EST)
         .agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
     )
-    gfail = (
-        tx_gopher_quality(spark, sf)
-        .where(F.col("keep") == False)  # noqa: E712 — excludes NULL-text rows on both engines
-        .agg(F.count(F.lit(1)).alias("n_gopher_fail"))
-    )
-    return base.crossJoin(near).crossJoin(gfail).select(
+    return base.crossJoin(near).select(
         "n_docs",
         "n_null_text",
         (F.col("n_docs") - F.col("n_null_text") - F.col("n_digests"))

@@ -501,34 +501,84 @@ def dq_referential(spark: SparkSession, sf: str) -> DataFrame:
     dq_expectations' spot checks — the audit a warehouse runs after every
     intake batch.
 
-    Scale: each edge is one anti-join of the child key against a
-    (broadcastable) parent key set, aggregated map-side to a single audit
-    row — the output is O(edges) regardless of data volume, and the child
-    scans prune to the key column only."""
-    rows = []
-    for name, child, ckey, parent, pkey in _FK_EDGES:
-        c = load_table(spark, sf, child).select(F.col(ckey).alias("k"))
-        p = load_table(spark, sf, parent).select(F.col(pkey).alias("k"))
-        orphans = c.join(p, "k", "left_anti")
-        audit = c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
-            orphans.agg(
-                F.count(F.lit(1)).alias("n_orphans"),
-                F.count_distinct("k").alias("n_orphan_keys"),
+    Scale: ONE scan per child table, probing every parent key set of that
+    table's FK edges with left joins inside the same map stage, then a
+    row-level ``stack`` to (edge, key, miss) feeding ONE grouped audit
+    aggregate for the whole graph — child data is never shuffled (the
+    only exchanges are the tiny post-probe aggregate pair and the 7-row
+    sort). Join strategy is left to Catalyst stats: dimension-sized
+    parent key sets broadcast; a fact-sized parent (orders under lineitem
+    at 100 TB) exceeds the broadcast threshold and falls back to a
+    shuffle join on exactly that edge, which is the correct plan there.
+    Parent keys are primary keys (uniqueness is audited separately by
+    dq_expectations), so the left joins cannot duplicate child rows and
+    null-hit == NOT EXISTS. n_orphan_keys stays a scale-safe exact
+    count_distinct (spills instead of collecting orphan sets). Output is
+    O(edges). Residual latency at sf0.1 is the AQE wave floor (broadcast
+    builds + two agg waves), not data movement."""
+    by_child: dict[str, list[tuple[int, str, str, str, str]]] = {}
+    for eid, (name, child, ckey, parent, pkey) in enumerate(_FK_EDGES):
+        by_child.setdefault(child, []).append((eid, name, ckey, parent, pkey))
+
+    tall = None
+    for child, edges in by_child.items():
+        df = load_table(spark, sf, child).select(
+            *sorted({e[2] for e in edges})
+        )
+        parts = []
+        for eid, name, ckey, parent, pkey in edges:
+            pk = load_table(spark, sf, parent).select(
+                F.col(pkey).alias(f"_pk{eid}"), F.lit(1).alias(f"_hit{eid}")
+            )
+            df = df.join(pk, F.col(ckey) == F.col(f"_pk{eid}"), "left").drop(
+                f"_pk{eid}"
+            )
+            parts.append(
+                f"{eid}, CAST({ckey} AS BIGINT), "
+                f"CAST((_hit{eid} IS NULL) AS INT)"
+            )
+        t = df.select(
+            F.expr(
+                f"stack({len(edges)}, {', '.join(parts)}) AS (eid, k, miss)"
             )
         )
-        rows.append(
-            audit.select(
-                F.lit(name).alias("fk_edge"),
-                "n_child",
-                "n_orphans",
-                "n_orphan_keys",
-                (F.col("n_orphans") == 0).alias("intact"),
-            )
+        tall = t if tall is None else tall.unionByName(t)
+    # completeness sentinels: one (eid, NULL, 0) row per edge unioned into
+    # the tall frame guarantees every edge groups to a row even when its
+    # child table is empty (the oracle's ungrouped aggregates always yield
+    # one row per edge); n_child subtracts the sentinel back out. This is a
+    # 7-row local scan in the same union wave — unlike a completeness join,
+    # it costs no extra AQE round.
+    sentinels = spark.range(len(_FK_EDGES)).select(
+        F.col("id").cast("int").alias("eid"),
+        F.lit(None).cast("bigint").alias("k"),
+        F.lit(0).alias("miss"),
+    )
+    agg = (
+        tall.unionByName(sentinels)
+        .groupBy("eid")
+        .agg(
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_child"),
+            F.sum("miss").alias("n_orphans"),
+            F.count_distinct(F.when(F.col("miss") == 1, F.col("k"))).alias(
+                "n_orphan_keys"
+            ),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("fk_edge")
+    )
+    name_map = F.create_map(
+        *[
+            x
+            for eid, (name, *_) in enumerate(_FK_EDGES)
+            for x in (F.lit(eid), F.lit(name))
+        ]
+    )
+    return agg.select(
+        name_map[F.col("eid")].alias("fk_edge"),
+        "n_child",
+        "n_orphans",
+        "n_orphan_keys",
+        (F.col("n_orphans") == 0).alias("intact"),
+    ).orderBy("fk_edge")
 
 
 def _referential_sql() -> str:

@@ -128,15 +128,42 @@ def tx_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     CodegenFallback — CLAUDE.md); stopword presence is a fixed 8-way
     padded-LIKE battery, not a token explode."""
     docs = load_table(spark, sf, "documents")
-    t = F.col("text")
+    s = gopher_signals()
+    return docs.select(
+        "doc_id",
+        s["n_words"].cast("bigint").alias("n_words"),
+        F.round(s["mwl"], 6).alias("mean_word_len"),
+        F.round(s["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(s["alpha_frac"], 6).alias("alpha_frac"),
+        s["n_stop"].cast("bigint").alias("n_stopwords"),
+        s["pass_words"].alias("pass_words"),
+        s["pass_mwl"].alias("pass_mwl"),
+        s["pass_symbol"].alias("pass_symbol"),
+        s["pass_alpha"].alias("pass_alpha"),
+        s["pass_stop"].alias("pass_stop"),
+        s["keep"].alias("keep"),
+    )
+
+
+def gopher_signals(text_col: str = "text") -> dict:
+    """The Gopher quality signal/verdict COLUMN EXPRESSIONS over a text
+    column, shared by tx_gopher_quality (per-doc battery) and
+    cu_corpus_report (folds the fail count into its single documents-scan
+    aggregate). Keeping one definition guarantees the report's
+    n_gopher_fail is byte-identical to the battery it summarizes."""
+    t = F.col(text_col)
     n_chars = F.length(t)
     toks = F.split(F.trim(t), r"\s+")
     n_words = F.size(toks)
-    n_space = F.size(F.expr(r"regexp_extract_all(text, ' ', 0)"))
+    n_space = F.size(F.expr(rf"regexp_extract_all({text_col}, ' ', 0)"))
     mwl = (n_chars - n_space).cast("double") / n_words.cast("double")
-    n_symbols = F.size(F.expr(r"regexp_extract_all(text, '#|\\.\\.\\.', 0)"))
+    n_symbols = F.size(
+        F.expr(rf"regexp_extract_all({text_col}, '#|\\.\\.\\.', 0)")
+    )
     symbol_ratio = n_symbols.cast("double") / n_words.cast("double")
-    n_alpha_words = F.size(F.expr(r"regexp_extract_all(text, '[^ ]*[a-z][^ ]*', 0)"))
+    n_alpha_words = F.size(
+        F.expr(rf"regexp_extract_all({text_col}, '[^ ]*[a-z][^ ]*', 0)")
+    )
     alpha_frac = n_alpha_words.cast("double") / n_words.cast("double")
     padded = F.concat(F.lit(" "), t, F.lit(" "))
     n_stop = sum(
@@ -147,22 +174,19 @@ def tx_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     pass_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
     pass_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
     pass_stop = n_stop >= GOPHER_MIN_STOPWORDS
-    return docs.select(
-        "doc_id",
-        n_words.cast("bigint").alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        F.round(alpha_frac, 6).alias("alpha_frac"),
-        n_stop.cast("bigint").alias("n_stopwords"),
-        pass_words.alias("pass_words"),
-        pass_mwl.alias("pass_mwl"),
-        pass_symbol.alias("pass_symbol"),
-        pass_alpha.alias("pass_alpha"),
-        pass_stop.alias("pass_stop"),
-        (pass_words & pass_mwl & pass_symbol & pass_alpha & pass_stop).alias(
-            "keep"
-        ),
-    )
+    return {
+        "n_words": n_words,
+        "mwl": mwl,
+        "symbol_ratio": symbol_ratio,
+        "alpha_frac": alpha_frac,
+        "n_stop": n_stop,
+        "pass_words": pass_words,
+        "pass_mwl": pass_mwl,
+        "pass_symbol": pass_symbol,
+        "pass_alpha": pass_alpha,
+        "pass_stop": pass_stop,
+        "keep": pass_words & pass_mwl & pass_symbol & pass_alpha & pass_stop,
+    }
 
 
 # CAST(bool AS INT), not CASE WHEN: NULL text must null-propagate exactly

@@ -635,3 +635,43 @@ def test_cu_chunk_no_shuffle(spark, sf_small):
     # must add none
     assert scans == 1, plan
     assert ex <= 1, plan
+
+
+def test_dq_referential_no_child_shuffle(spark, sf_small):
+    """dq_referential: every FK probe is a broadcast hash join inside the
+    child's scan stage and child data never shuffles — the only exchanges
+    are the tiny post-probe aggregate pair (distinct-agg) and the 7-row
+    presentation sort. Regression = a SortMergeJoin/ShuffledHashJoin on a
+    child table or >3 exchanges (the old shape was 2 aggregates + a
+    crossJoin per edge: ~21 AQE job rounds for a 7-row audit)."""
+    from orc_spark.plans.dq_q import dq_referential
+    from orc_spark.plans.explain import formatted_plan
+
+    df = dq_referential(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    scans, ex, _ = _plan_stats(df)
+    # 5 child scans + 7 parent broadcast-build scans
+    assert scans == 12, plan
+    assert ex <= 3, plan
+
+
+def test_cu_corpus_report_two_pipelines(spark, sf_small):
+    """cu_corpus_report: the Gopher fail count is a column expression
+    folded into the base documents aggregate, so the whole report is two
+    pipelines — one documents scan-aggregate + the (cached) LSH signature
+    scan. Regression = a third documents scan (the old shape ran
+    tx_gopher_quality as its own scan: 2.3 s vs 1.1 s oracle)."""
+    import re
+
+    from orc_spark.plans.curation_q import cu_corpus_report
+    from orc_spark.plans.explain import formatted_plan
+
+    df = cu_corpus_report(spark, sf_small)
+    plan = formatted_plan(df)
+    # unique parquet scan NODES (the cached signature build's scan renders
+    # under each InMemoryTableScan consumer but is one node / one execution)
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) <= 2, plan
