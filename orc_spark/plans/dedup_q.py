@@ -1397,6 +1397,131 @@ SELECT doc_a, doc_b,
 FROM scored
 """
 
+# --- substring-level exact dedup (Lee et al. 2022) ---------------------------
+
+# K-char gram fingerprints selected by winnowing: a shared fingerprint IS a
+# K-char verbatim cross-doc repeat (the fingerprint hashes the gram itself),
+# and any cross-doc repeat of length >= K + W - 1 chars is GUARANTEED to
+# share a selected fingerprint (Schleimer et al., MOSS bound) — the
+# substring-granular complement of whole-document dd_exact, after
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+# 2022), whose ExactSubstr pass removes >= 50-token verbatim repeats via a
+# suffix array. The winnowed-anchor formulation is the distributed
+# re-expression: no suffix array, no all-pairs — selected sites (~2/(W+1)
+# of positions) are the only rows that cross a corpus-wide shuffle.
+DD_SUB_K = 40  # exactness granularity (chars)
+DD_SUB_W = 8   # winnowing window → guarantee bound K + W - 1 = 47 chars
+
+
+def dd_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc substring-duplication audit: of each document's winnowed
+    K=40-char gram fingerprints, how many are shared verbatim with at
+    least one OTHER document (within-doc repeats collapse in the per-doc
+    distinct — cross-doc removal is what dedup acts on). Output per doc:
+    fingerprint count, shared count, shared fraction, and an
+    order-independent xor digest of the shared fingerprints.
+
+    Scale: linear — explode + constant-width window-min per doc (the
+    tx_winnow shape), then ONE corpus-wide count-over-fingerprint
+    partition and one per-doc rollup; shuffle volume is the winnow-selected
+    site stream, never positions x positions. W is the sampling knob: the
+    guarantee bound K + W - 1 grows as the site stream shrinks."""
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        # cores-not-bytes: keep post-explode parallelism (cu_decontaminate)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    t = F.col("text")
+    n_pos = F.greatest(F.length(t) - (DD_SUB_K - 1), F.lit(1))
+    grams = docs.select(
+        "doc_id",
+        n_pos.alias("n_pos"),
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+        t.alias("t"),
+    ).select(
+        "doc_id",
+        "n_pos",
+        "pos",
+        h60(F.expr(f"substring(t, pos, {DD_SUB_K})")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, DD_SUB_W - 1)
+    )
+    sites = (
+        grams.select("doc_id", "pos", "n_pos", F.min("h").over(w).alias("fp"))
+        .where(F.col("pos") <= F.col("n_pos") - (DD_SUB_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    shared = sites.withColumn(
+        "n_docs_fp", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    dup = F.col("n_docs_fp") >= 2
+    return (
+        shared.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(dup.cast("int")).cast("bigint").alias("n_shared_fp"),
+            F.coalesce(
+                F.bit_xor(F.when(dup, F.col("fp"))), F.lit(0)
+            ).cast("bigint").alias("shared_xor"),
+        )
+        .select(
+            "doc_id",
+            "n_fp",
+            "n_shared_fp",
+            F.round(
+                F.col("n_shared_fp").cast("double")
+                / F.col("n_fp").cast("double"),
+                6,
+            ).alias("shared_ratio"),
+            "shared_xor",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DD_SUBSTRING_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         greatest(length(text) - {DD_SUB_K - 1}, 1) AS n_pos,
+         pos,
+         {h60_sql(f'substr(text, pos, {DD_SUB_K})')} AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - {DD_SUB_K - 1}, 1) + 1))
+                 AS pos
+        FROM documents)
+),
+wins AS (
+  SELECT doc_id, pos, n_pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {DD_SUB_W - 1} FOLLOWING)
+           AS fp
+  FROM grams
+),
+sites AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n_pos - {DD_SUB_W - 1}
+),
+shared AS (
+  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_docs_fp
+  FROM sites
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(sum(CAST(n_docs_fp >= 2 AS INTEGER)) AS BIGINT) AS n_shared_fp,
+       round(CAST(sum(CAST(n_docs_fp >= 2 AS INTEGER)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS shared_ratio,
+       COALESCE(CAST(bit_xor(CASE WHEN n_docs_fp >= 2 THEN fp END) AS BIGINT),
+                0) AS shared_xor
+FROM shared
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("dd_exact", dd_exact, DD_EXACT_SQL, "exact dedup via content digest group-by"),
     Query("dd_minhash_sig", dd_minhash_sig, _minhash_sig_sql(), "MinHash signatures (16 perms, 5-shingles)"),
@@ -1411,4 +1536,5 @@ QUERIES = [
     Query("ann_srp_pairs", ann_srp_pairs, ANN_SRP_SQL, "SRP-LSH bucketed embedding near-dup (linear scale path), hash-checked"),
     Query("ann_recall_eval", ann_recall_eval, ANN_RECALL_SQL, "SRP-LSH recall vs exact cosine ground truth at the shared threshold"),
     Query("ann_topk", ann_topk, ANN_TOPK_SQL, "brute-force cosine top-k baseline"),
+    Query("dd_substring", dd_substring, DD_SUBSTRING_SQL, "substring-level exact dedup: winnowed 40-char gram anchors, cross-doc shared-span audit (Lee et al. 2022 ExactSubstr)"),
 ]

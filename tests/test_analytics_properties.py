@@ -855,3 +855,53 @@ def test_tx_zipf_single_term_vocab_is_null_slope(spark):
     assert row["n_terms"] == 1
     assert row["total_tokens"] == 3
     assert row["zipf_slope"] is None
+
+
+def test_dd_substring_flags_planted_repeat(spark):
+    """dd_substring planted-duplication semantics: two docs sharing a
+    verbatim 60-char span (>= the K + W - 1 = 47-char MOSS guarantee) must
+    both report shared fingerprints — and the SAME shared set (equal
+    shared_xor), since nothing else repeats; a unique doc reports zero;
+    a doc shorter than the guarantee bound has no fingerprints at all and
+    is absent from the audit."""
+    import random
+
+    from orc_spark.plans.dedup_q import DD_SUB_K, DD_SUB_W, dd_substring
+
+    rng = random.Random(421)
+
+    def rand_text(n):
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+
+    planted = "the exact same sixty characters appear verbatim in both docs!"
+    assert len(planted) >= DD_SUB_K + DD_SUB_W - 1
+    d = tempfile.mkdtemp(prefix="orc_props_sub_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                rand_text(150) + planted + rand_text(150),
+                rand_text(140) + planted + rand_text(160),
+                rand_text(300),
+                rand_text(20),  # below the guarantee bound: no fingerprints
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0] * 4,
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {r["doc_id"]: r for r in dd_substring(spark, d).collect()}
+
+    assert set(got) == {1, 2, 3}  # doc 4 too short to fingerprint
+    assert got[1]["n_shared_fp"] >= 1
+    assert got[2]["n_shared_fp"] >= 1
+    # only the planted span repeats, so both docs share the identical set
+    assert got[1]["n_shared_fp"] == got[2]["n_shared_fp"]
+    assert got[1]["shared_xor"] == got[2]["shared_xor"] != 0
+    assert got[3]["n_shared_fp"] == 0 and got[3]["shared_xor"] == 0
+    for doc in (1, 2, 3):
+        want = round(got[doc]["n_shared_fp"] / got[doc]["n_fp"], 6)
+        assert abs(got[doc]["shared_ratio"] - want) < 1e-12
