@@ -49,30 +49,102 @@ def _edges(spark: SparkSession, sf: str) -> DataFrame:
     return fwd.unionByName(rev)
 
 
+# PageRank's own local-finish budget: the handoff is an Arrow toPandas of
+# two int64 columns (16 B/edge, no Python row objects — unlike the generic
+# GRAPH_LOCAL_FINISH_EDGES collect budgeted at ~100 B/edge), so 4M edges
+# is a bounded ~64 MB driver transfer.
+PR_LOCAL_FINISH_EDGES = 4_000_000
+
+
+def local_pagerank(src, dst, iters: int, scale: int, base: int):
+    """Exact driver-side fixed-point PageRank finish on int64 numpy edge
+    arrays: the IDENTICAL integer recurrence as the distributed rounds
+    (floor-div contributions, 85/100 integer damping) — bit-identical by
+    construction, no float anywhere (contribution sums use sorted
+    add.reduceat, not float bincount, so exactness never depends on the
+    2^53 window). Pure function so known topologies unit-test the
+    semantics directly; the monkeypatch equality test pins it against the
+    distributed loop. int64 headroom: total rank mass stays
+    ~|nodes|*scale <= 8e15 under the 4M-edge cap, x85 inside 2^63.
+    Returns (nodes, ranks) int64 arrays."""
+    import numpy as np
+
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    # the undirected union lists every endpoint as a src, so nodes :=
+    # unique srcs covers every dst and outdeg >= 1 everywhere
+    nodes = np.unique(src)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    # segment layout for exact int64 contribution sums, computed once
+    order = np.argsort(di, kind="stable")
+    di_sorted = di[order]
+    starts = np.flatnonzero(
+        np.r_[True, di_sorted[1:] != di_sorted[:-1]]
+    )
+    seg_dst = di_sorted[starts]
+    r = np.full(len(nodes), scale, dtype=np.int64)
+    for _ in range(iters):
+        c = r[si] // outdeg[si]
+        s = np.zeros(len(nodes), dtype=np.int64)
+        s[seg_dst] = np.add.reduceat(c[order], starts)
+        r = base + 85 * s // 100
+    return nodes, r
+
+
 def gr_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    edges = _edges(spark, sf)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # every node has degree >= 1 by construction (nodes := edge endpoints)
-    nodes = deg.select(F.col("src").alias("node"))
-    ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
-    edged = edges.join(deg, "src")  # (src, dst, outdeg), co-partitioned by src
-    for _ in range(PR_ITERS):
-        contrib = (
-            ranks.join(edged, ranks.node == edged.src)
-            .select("dst", F.expr("r div outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+    """Fixed-point integer PageRank over the customer-supplier bipartite
+    graph, PR_ITERS damped iterations.
+
+    100 TB shape: above PR_LOCAL_FINISH_EDGES, each iteration is one
+    co-partitioned contribution join + one dst-sum groupBy + one node
+    left-join — the textbook distributed power-iteration step with
+    loop-invariant frames checkpointed once. Under the cap, ONE bounded
+    Arrow handoff + the identical integer recurrence in numpy on the
+    driver (tiny graphs stop paying the per-iteration AQE job floor;
+    tests assert local == distributed)."""
+    import pandas as pd
+
+    edges = _edges(spark, sf).localCheckpoint(eager=False)
+    if edges.count() <= PR_LOCAL_FINISH_EDGES:
+        epdf = edges.toPandas()
+        nodes_a, r_a = local_pagerank(
+            epdf["src"].to_numpy(),
+            epdf["dst"].to_numpy(),
+            PR_ITERS,
+            PR_SCALE,
+            PR_BASE,
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(PR_BASE)
-                    + F.expr("85 * coalesce(s, 0L) div 100")
-                ).cast("bigint").alias("r"),
+        ranks = spark.createDataFrame(
+            pd.DataFrame({"node": nodes_a, "r": r_a}),
+            "node bigint, r bigint",
+        )
+    else:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        # every node has degree >= 1 by construction (nodes := edge endpoints)
+        nodes = deg.select(F.col("src").alias("node")).localCheckpoint(
+            eager=False
+        )
+        ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
+        edged = edges.join(deg, "src").localCheckpoint(eager=False)
+        for _ in range(PR_ITERS):
+            contrib = (
+                ranks.join(edged, ranks.node == edged.src)
+                .select("dst", F.expr("r div outdeg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
             )
-        )
+            ranks = (
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(PR_BASE)
+                        + F.expr("85 * coalesce(s, 0L) div 100")
+                    ).cast("bigint").alias("r"),
+                )
+            )
     return ranks.select(
         "node",
         F.when(F.col("node") % 2 == 0, "cust").otherwise("supp").alias("entity"),

@@ -219,3 +219,39 @@ def test_cc_distributed_path_known_topology(spark, monkeypatch):
     edges = [(2, 1), (2, 3), (3, 4), (10, 11), (13, 10)]
     got = _run(spark, nodes, edges)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 12, 13: 10, 20: 20}
+
+
+def test_gr_pagerank_local_finish_equals_distributed(
+    spark, sf_small, monkeypatch
+):
+    """Driver-side numpy power iteration == distributed join rounds,
+    bit-identical fixed-point ranks for every node."""
+    import orc_spark.plans.graph_q as gq
+
+    local = sorted(tuple(r) for r in gq.gr_pagerank(spark, sf_small).collect())
+    monkeypatch.setattr(gq, "PR_LOCAL_FINISH_EDGES", -1)
+    dist = sorted(tuple(r) for r in gq.gr_pagerank(spark, sf_small).collect())
+    assert local == dist
+    assert local
+
+
+def test_local_pagerank_known_topology():
+    """Symmetric 2-node graph: ranks stay exactly at the fixed point
+    base + 85*scale//100 after one iteration and never move again; a
+    3-node star pushes mass to the hub (hub rank > leaf rank)."""
+    import numpy as np
+
+    from orc_spark.plans.graph_q import PR_BASE, PR_SCALE, local_pagerank
+
+    # 1 <-> 2: each node's contribution is its whole rank (outdeg 1)
+    nodes, r = local_pagerank([1, 2], [2, 1], 4, PR_SCALE, PR_BASE)
+    assert list(nodes) == [1, 2]
+    fp = PR_BASE + 85 * PR_SCALE // 100
+    # with scale chosen so 85*scale%100 == 0, the symmetric point is exact
+    assert list(r) == [fp, fp] == [PR_SCALE, PR_SCALE]
+
+    # star: hub 1 with leaves 2, 3 (undirected union both directions)
+    src = np.array([1, 1, 2, 3]); dst = np.array([2, 3, 1, 1])
+    nodes, r = local_pagerank(src, dst, 4, PR_SCALE, PR_BASE)
+    ranks = dict(zip(nodes, r))
+    assert ranks[1] > ranks[2] == ranks[3]

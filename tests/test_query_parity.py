@@ -33,7 +33,7 @@ def test_parity(name, spark, sf_small, con):
 # off, the DISTRIBUTED graph paths (pointer-jumping CC, unrolled BFS,
 # label-prop rounds, k-core peels) are held to the same driver-strength
 # oracle hash comparison end-to-end — not just to their local twins.
-_GRAPH_DISTRIBUTED = ["gr_kcore", "gr_bfs", "gr_linkpred", "gr_label_prop", "dd_cluster"]
+_GRAPH_DISTRIBUTED = ["gr_kcore", "gr_bfs", "gr_linkpred", "gr_label_prop", "gr_pagerank", "dd_cluster"]
 
 
 @pytest.mark.parametrize("name", _GRAPH_DISTRIBUTED)
@@ -43,6 +43,7 @@ def test_parity_distributed_graph(name, spark, sf_small, con, monkeypatch):
 
     monkeypatch.setattr(gq, "GRAPH_LOCAL_FINISH_EDGES", -1)
     monkeypatch.setattr(gq, "KCORE_LOCAL_FINISH_EDGES", -1)
+    monkeypatch.setattr(gq, "PR_LOCAL_FINISH_EDGES", -1)
     monkeypatch.setattr(g, "CC_LOCAL_FINISH_ROWS", -1)
     q = REG[name]
     sdf = q.spark_fn(spark, sf_small)
