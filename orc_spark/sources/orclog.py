@@ -138,13 +138,16 @@ def parse_orclog(
     is_interval = field0.startswith("Interval:")
     is_pause = field0.startswith("Log Paused")
 
+    # every per-line extraction happens HERE, before the window stage, so the
+    # cumulative-marker windows sort narrow numeric rows instead of dragging
+    # the raw line strings through the sort (the single-file window task is
+    # the parser's hot path)
+    parts = F.split(v, ",")
+    is_3field = (F.size(parts) == 3) & ~is_log & ~is_act & ~is_interval & ~is_pause
     df = lines.select(
         "file",
         "line_no",
-        "value",
         is_log.alias("is_log"),
-        is_act.alias("is_act"),
-        is_interval.alias("is_interval"),
         is_pause.alias("is_pause"),
         # "Log #: 2690" → 2690. try_cast everywhere: ANSI mode is on, and the
         # reference's float()/int() try/except tolerance is exactly try_cast.
@@ -161,6 +164,12 @@ def parse_orclog(
                 F.lit(1.0),
             ),
         ).alias("interval_val"),
+        is_3field.alias("is_3field"),
+        # F.get (not getItem): evaluated on every line now, including 1-field
+        # marker lines, and ANSI mode makes an out-of-bounds getItem THROW
+        F.trim(F.get(parts, 0)).try_cast("double").alias("accel_v"),
+        F.trim(F.get(parts, 1)).try_cast("double").alias("pitch_v"),
+        F.trim(F.get(parts, 2)).try_cast("double").alias("roll_v"),
     )
 
     wfile = Window.partitionBy("file").orderBy("line_no")
@@ -168,25 +177,36 @@ def parse_orclog(
 
     df = df.select(
         "*",
-        F.sum(F.col("is_log").cast("long")).over(wcum).alias("log_ord"),
+        F.sum(F.col("is_pause").cast("int")).over(wcum).alias("cum_pause"),
         F.last("log_id_val", ignorenulls=True).over(wcum).alias("log_id"),
         F.last("act_val", ignorenulls=True).over(wcum).alias("actuators_enabled"),
         F.coalesce(
             F.last("interval_val", ignorenulls=True).over(wcum), F.lit(1.0)
         ).alias("interval_s"),
     )
-    # run counter: pauses seen since the current "Log #" marker
-    wblock = Window.partitionBy("file", "log_ord").orderBy("line_no").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # run counter: pauses seen since the current "Log #" marker. Expressed
+    # with the SAME (file, line_no) window as the marker carries — pauses so
+    # far minus pauses as of the current marker — so the second Window stage
+    # reuses the first one's clustering instead of re-shuffling by
+    # (file, log_ord) (a "Log #" line is never itself a pause line, so the
+    # subtraction is exact at and after the marker; before the first marker
+    # the carry is 0 and run_idx counts pauses since file start, as before).
+    df = df.withColumn(
+        "run_idx",
+        F.col("cum_pause")
+        - F.coalesce(
+            F.last(
+                F.when(F.col("is_log"), F.col("cum_pause")), ignorenulls=True
+            ).over(wcum),
+            F.lit(0),
+        ),
     )
-    df = df.withColumn("run_idx", F.sum(F.col("is_pause").cast("int")).over(wblock))
 
     # --- data rows ----------------------------------------------------------
-    parts = F.split(v, ",")
-    is_3field = (F.size(parts) == 3) & ~is_log & ~is_act & ~is_interval & ~is_pause
-    accel = F.trim(parts.getItem(0)).try_cast("double")
-    pitch = F.trim(parts.getItem(1)).try_cast("double")
-    roll = F.trim(parts.getItem(2)).try_cast("double")
+    is_3field = F.col("is_3field")
+    accel = F.col("accel_v")
+    pitch = F.col("pitch_v")
+    roll = F.col("roll_v")
 
     data = (
         df.where(
