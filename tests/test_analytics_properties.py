@@ -905,3 +905,107 @@ def test_dd_substring_flags_planted_repeat(spark):
     for doc in (1, 2, 3):
         want = round(got[doc]["n_shared_fp"] / got[doc]["n_fp"], 6)
         assert abs(got[doc]["shared_ratio"] - want) < 1e-12
+
+
+def test_dq_referential_planted_orphans(spark):
+    """The orphan-counting branch is dead on the intact driver testdata, so
+    exercise it synthetically: planted missing parents must produce exact
+    n_orphans (row-level) and n_orphan_keys (distinct), an EMPTY child
+    table must still emit its edge row (sentinel path) with zero counts,
+    and intact edges stay intact."""
+    from orc_spark.plans.dq_q import dq_referential
+
+    d = tempfile.mkdtemp(prefix="orc_props_fk_")
+
+    def w(name, pdf):
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{name}.parquet")
+        )
+
+    w("region", pd.DataFrame({"r_regionkey": [0, 1]}))
+    # nation EMPTY: its child edge (nation.regionkey->region) must still
+    # appear via the sentinel path, and customer/supplier nationkeys become
+    # orphans
+    spark.createDataFrame(
+        [], "n_nationkey long, n_regionkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "nation.parquet")
+    )
+    w("customer", pd.DataFrame({"c_custkey": [1, 2], "c_nationkey": [7, 7]}))
+    w("supplier", pd.DataFrame({"s_suppkey": [10], "s_nationkey": [8]}))
+    w("part", pd.DataFrame({"p_partkey": [100]}))
+    w("orders", pd.DataFrame({"o_orderkey": [1000, 1001],
+                              "o_custkey": [1, 99]}))  # 99: planted orphan
+    # two rows pointing at the same missing order 9999 (n_orphans 2,
+    # n_orphan_keys 1), one missing part, suppliers intact
+    w("lineitem", pd.DataFrame({
+        "l_orderkey": [1000, 9999, 9999],
+        "l_partkey": [100, 100, 555],
+        "l_suppkey": [10, 10, 10],
+    }))
+
+    got = {r["fk_edge"]: r for r in dq_referential(spark, d).collect()}
+    assert len(got) == 7
+
+    def check(edge, n_child, n_orphans, n_orphan_keys):
+        g = got[edge]
+        assert (g["n_child"], g["n_orphans"], g["n_orphan_keys"]) == (
+            n_child, n_orphans, n_orphan_keys
+        ), (edge, tuple(g))
+        assert g["intact"] == (n_orphans == 0)
+
+    check("lineitem.orderkey->orders", 3, 2, 1)
+    check("lineitem.partkey->part", 3, 1, 1)
+    check("lineitem.suppkey->supplier", 3, 0, 0)
+    check("orders.custkey->customer", 2, 1, 1)
+    check("customer.nationkey->nation", 2, 2, 1)
+    check("supplier.nationkey->nation", 1, 1, 1)
+    check("nation.regionkey->region", 0, 0, 0)  # empty child, sentinel row
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    span_len=st.integers(47, 120),
+    seeds=st.tuples(st.integers(0, 2**30), st.integers(0, 2**30)),
+)
+def test_dd_substring_moss_guarantee(spark, span_len, seeds):
+    """MOSS guarantee property: ANY cross-doc verbatim repeat of length
+    >= K + W - 1 = 47 chars must surface as at least one shared
+    fingerprint in BOTH carrying docs, for arbitrary span lengths and
+    surrounding contexts."""
+    import random
+
+    from orc_spark.plans.dedup_q import dd_substring
+
+    rngs = [random.Random(s) for s in seeds]
+
+    def rand_text(rng, n):
+        return "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 .,") for _ in range(n)
+        )
+
+    span_rng = random.Random(span_len * 7919 + 13)
+    planted = rand_text(span_rng, span_len)
+    d = tempfile.mkdtemp(prefix="orc_props_moss_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                rand_text(rngs[0], 80) + planted + rand_text(rngs[0], 80),
+                rand_text(rngs[1], 120) + planted + rand_text(rngs[1], 40),
+            ],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [0, 0],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {r["doc_id"]: r for r in dd_substring(spark, d).collect()}
+    assert got[1]["n_shared_fp"] >= 1, dict(got[1].asDict())
+    assert got[2]["n_shared_fp"] >= 1, dict(got[2].asDict())
