@@ -1009,3 +1009,145 @@ def test_dd_substring_moss_guarantee(spark, span_len, seeds):
     got = {r["doc_id"]: r for r in dd_substring(spark, d).collect()}
     assert got[1]["n_shared_fp"] >= 1, dict(got[1].asDict())
     assert got[2]["n_shared_fp"] >= 1, dict(got[2].asDict())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    custs=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 1000),  # orderdate as day offset
+                st.floats(0.01, 99999.99, allow_nan=False, width=64),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_cdc_scd2_matches_bruteforce(spark, custs):
+    """SCD2 history vs a plain-Python oracle: version numbers, the
+    [valid_from, valid_to) interval chain, current flags, and the exact
+    integer-cents running spend (Spark round = HALF_UP on the binary
+    double, replicated via Decimal)."""
+    import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from orc_spark.plans.cdc_q import cdc_scd2
+
+    d = tempfile.mkdtemp(prefix="orc_props_scd2_")
+    rows = []
+    okey = 0
+    for ci, orders in enumerate(custs):
+        for day, price in orders:
+            okey += 1
+            rows.append(
+                {
+                    "o_orderkey": okey,
+                    "o_custkey": ci + 1,
+                    "o_orderdate": datetime.date(2020, 1, 1)
+                    + datetime.timedelta(days=day),
+                    "o_totalprice": price,
+                }
+            )
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "orders.parquet"))
+    got = {r["o_orderkey"]: r for r in cdc_scd2(spark, d).collect()}
+    assert len(got) == okey
+
+    def cents(p):
+        return int(
+            Decimal(p * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    def ms(date):
+        return (date - datetime.date(1970, 1, 1)).days * 86400000
+
+    okey2 = 0
+    by_cust = {}
+    for ci, orders in enumerate(custs):
+        for day, price in orders:
+            okey2 += 1
+            by_cust.setdefault(ci + 1, []).append(
+                (datetime.date(2020, 1, 1) + datetime.timedelta(days=day), okey2, price)
+            )
+    for ck, orders in by_cust.items():
+        orders.sort(key=lambda t: (t[0], t[1]))
+        cum = 0
+        for i, (date, okey3, price) in enumerate(orders):
+            cum += cents(price)
+            g = got[okey3]
+            assert g["o_custkey"] == ck
+            assert g["version"] == i + 1
+            assert g["valid_from_ms"] == ms(date)
+            want_to = ms(orders[i + 1][0]) if i + 1 < len(orders) else None
+            assert g["valid_to_ms"] == want_to
+            assert g["is_current"] == (1 if i == len(orders) - 1 else 0)
+            assert g["order_cents"] == cents(price)
+            assert g["cum_spend_cents"] == cum
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(
+        st.lists(st.integers(0, 10 * DAY_US), min_size=1, max_size=20, unique=True),
+        min_size=1,
+        max_size=3,
+    ),
+    type_bits=st.lists(st.integers(0, 2), min_size=1, max_size=60),
+)
+def test_ev_attribution_matches_bruteforce(spark, user_times, type_bits):
+    """Last-touch attribution vs plain Python: per purchase, the most
+    recent prior view/click of the same user (ties on event_id), credited
+    only within the 7-day window; exact integer-micro staleness."""
+    from orc_spark.plans.cdc_q import ATTR_WINDOW_US, ev_attribution
+
+    kinds = ["view", "click", "purchase"]
+
+    def extra(ui, eid, t):
+        return {"event_type": kinds[type_bits[eid % len(type_bits)]]}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = {r["event_id"]: r for r in ev_attribution(spark, sf).collect()}
+
+    # replay: same (user, ts sorted then event_id) order as _mk_rows built
+    eid = 0
+    events = []
+    for ui, times in enumerate(user_times):
+        for t in sorted(times):
+            events.append(
+                (eid, ui + 1, int(t), kinds[type_bits[eid % len(type_bits)]])
+            )
+            eid += 1
+    purchases = 0
+    for uid in {e[1] for e in events}:
+        stream = sorted(
+            [e for e in events if e[1] == uid], key=lambda e: (e[2], e[0])
+        )
+        last_touch = None
+        for e_id, _u, ts, kind in stream:
+            if kind != "purchase":
+                last_touch = (e_id, ts, kind)
+                continue
+            purchases += 1
+            g = got[e_id]
+            if last_touch is not None and ts - last_touch[1] <= ATTR_WINDOW_US:
+                assert g["touch_event_id"] == last_touch[0]
+                assert g["touch_type"] == last_touch[2]
+                want = round((ts - last_touch[1]) / 1000000.0, 6)
+                assert abs(g["touch_latency_s"] - want) < 5.1e-7
+            else:
+                assert g["touch_event_id"] is None
+                assert g["touch_type"] is None
+                assert g["touch_latency_s"] is None
+    assert len(got) == purchases
