@@ -106,9 +106,14 @@ def gr_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     tests assert local == distributed)."""
     import pandas as pd
 
-    edges = _edges(spark, sf).localCheckpoint(eager=False)
-    if edges.count() <= PR_LOCAL_FINISH_EDGES:
-        epdf = edges.toPandas()
+    # cap gate on a conservative METADATA-ONLY bound: |edges| = 2·|distinct
+    # (cust,supp)| <= 2·|lineitem|, and a parquet count() is a stats-only
+    # job — the local path then computes the edge build exactly once (the
+    # toPandas IS the materializing action; no checkpoint round-trip, no
+    # separate count job over the join)
+    li_rows = load_table(spark, sf, "lineitem").count()
+    if 2 * li_rows <= PR_LOCAL_FINISH_EDGES:
+        epdf = _edges(spark, sf).toPandas()
         nodes_a, r_a = local_pagerank(
             epdf["src"].to_numpy(),
             epdf["dst"].to_numpy(),
@@ -121,6 +126,7 @@ def gr_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             "node bigint, r bigint",
         )
     else:
+        edges = _edges(spark, sf).localCheckpoint(eager=False)
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         # every node has degree >= 1 by construction (nodes := edge endpoints)
         nodes = deg.select(F.col("src").alias("node")).localCheckpoint(
