@@ -1151,3 +1151,134 @@ def test_ev_attribution_matches_bruteforce(spark, user_times, type_bits):
                 assert g["touch_type"] is None
                 assert g["touch_latency_s"] is None
     assert len(got) == purchases
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    vals=st.lists(st.floats(0, 500, allow_nan=False, width=64), min_size=1, max_size=40),
+    purchase_mod=st.integers(2, 5),
+)
+def test_ev_sessionize_matches_bruteforce(spark, user_times, vals, purchase_mod):
+    """Gap sessionization vs plain Python: session boundaries on the exact
+    30-min integer-micro gap rule, per-session counts, floor-cents value
+    sums, and 6-dp durations."""
+    import math
+
+    from orc_spark.plans.cdc_q import SESSION_GAP_US, ev_sessionize
+
+    def extra(ui, eid, t):
+        return {
+            "event_type": "purchase" if eid % purchase_mod == 0 else "view",
+            "value": vals[eid % len(vals)],
+        }
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = {
+        (r["user_id"], r["session_idx"]): r
+        for r in ev_sessionize(spark, sf).collect()
+    }
+
+    eid = 0
+    events = []
+    for ui, times in enumerate(user_times):
+        for t in sorted(times):
+            events.append(
+                (
+                    ui + 1,
+                    int(t),
+                    eid,
+                    "purchase" if eid % purchase_mod == 0 else "view",
+                    vals[eid % len(vals)],
+                )
+            )
+            eid += 1
+    seen = set()
+    for uid in {e[0] for e in events}:
+        stream = sorted(
+            [e for e in events if e[0] == uid], key=lambda e: (e[1], e[2])
+        )
+        sessions = []
+        for e in stream:
+            if not sessions or e[1] - sessions[-1][-1][1] > SESSION_GAP_US:
+                sessions.append([e])
+            else:
+                sessions[-1].append(e)
+        for si, sess in enumerate(sessions, start=1):
+            g = got[(uid, si)]
+            seen.add((uid, si))
+            start, end = sess[0][1], sess[-1][1]
+            assert g["n_events"] == len(sess)
+            assert g["start_us"] == start and g["end_us"] == end
+            assert math.isclose(
+                g["duration_s"],
+                round((end - start) / 1000000.0, 6),
+                rel_tol=1e-9,
+                abs_tol=5.1e-7,
+            )
+            assert g["n_purchases"] == sum(1 for e in sess if e[3] == "purchase")
+            assert g["value_cents"] == sum(math.floor(e[4] * 100) for e in sess)
+    assert set(got) == seen
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    kind_bits=st.lists(st.integers(0, 2), min_size=1, max_size=50),
+)
+def test_aj_asof_join_matches_bruteforce(spark, user_times, kind_bits):
+    """As-of join vs plain Python replay: every click gets the latest
+    prior-or-same-ts view of the same user (event_id tie-break), exact
+    integer-millisecond gap via trunc division, clicks with no prior view
+    carry NULLs."""
+    from orc_spark.plans.relational2 import aj_asof_join
+
+    kinds = ["view", "click", "other"]
+
+    def extra(ui, eid, t):
+        return {"event_type": kinds[kind_bits[eid % len(kind_bits)]],
+                "value": float(eid) * 0.5}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = {r["click_id"]: r for r in aj_asof_join(spark, sf).collect()}
+
+    eid = 0
+    events = []
+    for ui, times in enumerate(user_times):
+        for t in sorted(times):
+            events.append(
+                (ui + 1, int(t), eid, kinds[kind_bits[eid % len(kind_bits)]],
+                 float(eid) * 0.5)
+            )
+            eid += 1
+    clicks = 0
+    for uid in {e[0] for e in events}:
+        stream = sorted(
+            [e for e in events if e[0] == uid and e[3] in ("view", "click")],
+            key=lambda e: (e[1], e[2]),
+        )
+        last_view = None
+        for _u, ts, e_id, kind, value in stream:
+            if kind == "view":
+                last_view = (e_id, ts, value)
+                continue
+            clicks += 1
+            g = got[e_id]
+            assert g["user_id"] == uid
+            if last_view is None:
+                assert g["last_view_id"] is None
+                assert g["last_view_value"] is None
+                assert g["gap_ms"] is None
+            else:
+                assert g["last_view_id"] == last_view[0]
+                assert g["last_view_value"] == last_view[2]
+                assert g["gap_ms"] == (ts - last_view[1]) // 1000
+    assert len(got) == clicks
