@@ -1282,3 +1282,38 @@ def test_aj_asof_join_matches_bruteforce(spark, user_times, kind_bits):
                 assert g["last_view_value"] == last_view[2]
                 assert g["gap_ms"] == (ts - last_view[1]) // 1000
     assert len(got) == clicks
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(
+        st.lists(st.integers(0, 30 * DAY_US), min_size=1, max_size=15, unique=True),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_ev_retention_matches_bruteforce(spark, user_times):
+    """Cohort retention matrix vs plain Python: per-user first-seen week
+    anchors, (cohort, age) cell membership deduped per user, exact counts
+    (float week division + trunc cast mirrored)."""
+    from orc_spark.plans.relational3 import _WEEK_US, ev_retention
+
+    sf = _write_events(spark, _mk_rows(user_times))
+    got = {
+        (r["cohort_week"], r["age_week"]): r["n_active_users"]
+        for r in ev_retention(spark, sf).collect()
+    }
+
+    cells = {}
+    for times in user_times:
+        t0 = min(times)
+        user_cells = {
+            (int(t0 / _WEEK_US), int((t - t0) / _WEEK_US)) for t in times
+        }
+        for c in user_cells:
+            cells[c] = cells.get(c, 0) + 1
+    assert got == cells
