@@ -1317,3 +1317,68 @@ def test_ev_retention_matches_bruteforce(spark, user_times):
         for c in user_cells:
             cells[c] = cells.get(c, 0) + 1
     assert got == cells
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=4),
+    kind_bits=st.lists(st.integers(0, 3), min_size=1, max_size=60),
+)
+def test_ev_funnel_matches_bruteforce(spark, user_times, kind_bits):
+    """Ordered funnel vs plain Python: first view, first click strictly
+    after it, first purchase strictly after that; stage counts and the
+    6-dp mean view-to-purchase latency."""
+    import math
+
+    from orc_spark.plans.relational3 import ev_funnel
+
+    kinds = ["view", "click", "purchase", "other"]
+
+    def extra(ui, eid, t):
+        return {"event_type": kinds[kind_bits[eid % len(kind_bits)]]}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    g = ev_funnel(spark, sf).collect()[0]
+
+    eid = 0
+    per_user = {}
+    for ui, times in enumerate(user_times):
+        for t in sorted(times):
+            per_user.setdefault(ui + 1, []).append(
+                (int(t), kinds[kind_bits[eid % len(kind_bits)]])
+            )
+            eid += 1
+    n1 = n2 = n3 = 0
+    lats = []
+    for stream in per_user.values():
+        views = [t for t, k in stream if k == "view"]
+        if not views:
+            continue
+        n1 += 1
+        t1 = min(views)
+        clicks = [t for t, k in stream if k == "click" and t > t1]
+        if not clicks:
+            continue
+        n2 += 1
+        t2 = min(clicks)
+        purchases = [t for t, k in stream if k == "purchase" and t > t2]
+        if not purchases:
+            continue
+        n3 += 1
+        lats.append((min(purchases) - t1) / 1000000.0)
+    assert g["n_viewed"] == n1
+    assert g["n_clicked_after"] == n2
+    assert g["n_purchased_after"] == n3
+    if lats:
+        assert math.isclose(
+            g["avg_view_to_purchase_s"],
+            round(sum(lats) / len(lats), 6),
+            rel_tol=1e-9,
+            abs_tol=5.1e-7,
+        )
+    else:
+        assert g["avg_view_to_purchase_s"] is None
