@@ -1382,3 +1382,87 @@ def test_ev_funnel_matches_bruteforce(spark, user_times, kind_bits):
         )
     else:
         assert g["avg_view_to_purchase_s"] is None
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=4))
+def test_ev_rolling_uniques_matches_bruteforce(spark, user_times):
+    """DAU + trailing-7-day rolling uniques vs plain Python set math;
+    output rows exist exactly for the active days."""
+    from orc_spark.plans.cdc_q import ROLL_DAYS, ev_rolling_uniques
+
+    sf = _write_events(spark, _mk_rows(user_times))
+    got = {r["day"]: r for r in ev_rolling_uniques(spark, sf).collect()}
+
+    active = {}  # day -> set of users
+    for ui, times in enumerate(user_times):
+        for t in times:
+            active.setdefault(int(t) // DAY_US, set()).add(ui + 1)
+    assert set(got) == set(active)
+    for day, users in active.items():
+        assert got[day]["dau"] == len(users)
+        window = set()
+        for d in range(day - ROLL_DAYS + 1, day + 1):
+            window |= active.get(d, set())
+        assert got[day]["rolling_users"] == len(window)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    vals=st.lists(st.floats(-50, 50, allow_nan=False, width=64), min_size=1, max_size=40),
+)
+def test_ev_anomaly_matches_bruteforce(spark, user_times, vals):
+    """Fixed-point rolling z-score vs plain Python: integer moments over
+    the trailing window, the identical float z expression, and the
+    degenerate zero-variance rows (NULL z, not-anomalous)."""
+    import math
+
+    from orc_spark.plans.cdc_q import (
+        ANOM_LOOKBACK,
+        ANOM_MIN_N,
+        ANOM_SCALE,
+        ANOM_Z,
+        ev_anomaly,
+    )
+
+    def extra(ui, eid, t):
+        return {"value": vals[eid % len(vals)]}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = {r["event_id"]: r for r in ev_anomaly(spark, sf).collect()}
+
+    eid = 0
+    expected_ids = set()
+    for ui, times in enumerate(user_times):
+        stream = []
+        for t in sorted(times):
+            fv = math.floor(vals[eid % len(vals)] * ANOM_SCALE)
+            win = stream[-ANOM_LOOKBACK:]
+            n = len(win)
+            if n >= ANOM_MIN_N:
+                expected_ids.add(eid)
+                s, ss = sum(win), sum(x * x for x in win)
+                g = got[eid]
+                assert g["win_n"] == n
+                var_num = n * ss - s * s
+                if var_num > 0:
+                    z = (n * fv - s) * math.sqrt((n - 1) / (n * var_num))
+                    assert math.isclose(
+                        g["z_score"], round(z, 6), rel_tol=1e-9, abs_tol=5.1e-7
+                    )
+                    assert g["is_anomaly"] == (1 if abs(z) > ANOM_Z else 0)
+                else:
+                    assert g["z_score"] is None
+                    assert g["is_anomaly"] == 0
+            stream.append(fv)
+            eid += 1
+    assert set(got) == expected_ids
