@@ -1466,3 +1466,38 @@ def test_ev_anomaly_matches_bruteforce(spark, user_times, vals):
             stream.append(fv)
             eid += 1
     assert set(got) == expected_ids
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False, width=64), min_size=1, max_size=40),
+)
+def test_st_ewma_matches_bruteforce(spark, user_times, vals):
+    """EWMA recurrence vs a plain-Python scalar replay in the identical
+    IEEE op order (alpha*v first, then +) — BIT-identical doubles, no
+    tolerance."""
+    from orc_spark.plans.stateful_q import EWMA_ALPHA, st_ewma
+
+    def extra(ui, eid, t):
+        return {"value": vals[eid % len(vals)]}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = {r["event_id"]: r["ewma"] for r in st_ewma(spark, sf).collect()}
+
+    eid = 0
+    expect = {}
+    for ui, times in enumerate(user_times):
+        s = None
+        for t in sorted(times):
+            v = vals[eid % len(vals)]
+            s = v if s is None else EWMA_ALPHA * v + (1.0 - EWMA_ALPHA) * s
+            expect[eid] = s
+            eid += 1
+    assert set(got) == set(expect)
+    for e_id, want in expect.items():
+        assert got[e_id] == want  # bit-identical, no isclose
