@@ -44,57 +44,41 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # r07 head, per VERDICT r06 directives 2 & 5 (exactly 50 slots).
-    # (a) NEW query this round — substring-level exact dedup (Lee et al.
-    #     2022), first driver row:
-    "dd_substring",
-    # (b) CHANGED-CODE re-verification: both plans rewritten this round
-    #     for the carried perf directives (dq_referential single-pass
-    #     audit, cu_corpus_report localCheckpoint reuse) — must re-green
-    #     under the new shapes even though their r06 rows are fresh:
-    "dq_referential", "cu_corpus_report",
-    # (c) the 17 queries whose newest green driver row is r02 — FOUR
-    #     rounds stale; dedup family first (plans/dedup_q.py churned in
-    #     r03/r04/r05/r06 since their last row):
-    "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
-    "dd_simhash_pairs",
-    "ann_topk", "ann_ivf", "ann_bruteforce_fast", "approx_sketches",
-    "dp_sample", "dp_stratified", "mm_frame_sample", "r4b_cube",
-    "r5c_rank_battery", "rj_range_join", "sk_hll_merge", "sk_salted_agg",
-    # (d) oldest r03 block, filling the remaining 30 slots: as-of join,
-    #     the ts_* firmware pack (Q3–Q10 surface), the r8* window
-    #     replays, rollup/resample/e2e, heavy curation + text:
-    "aj_asof_join", "ts_medfilt", "ts_gradient", "ts_runstats",
-    "ts_groupmeans", "ts_welch", "ts_welch_p", "ts_deadband",
-    "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
-    "ts_resample", "ts_e2e_report", "r8_tumbling", "r8b_sliding",
-    "r8c_sessions", "tr_hier_rollup", "io_orc_roundtrip", "cu_pipeline",
-    "cu_budget", "mm_audio_windows", "tx_winnow", "sk_countmin",
-    "dd_ngram_jaccard", "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
-    "r3_shipping_priority", "r4_rollup",
-]
-_DEFERRED_LAST = [
-    # Tier 2 proper: the 14 r03-stale queries that missed the head's
-    # budget fall through as unlisted tier-1 entries (they directly follow
-    # the head, absorbing any budget slack). Below, staleness-ordered:
-    # r04 greens first (three rounds old), this round's r06 greens last
-    # (freshest signal = weakest marginal value; order mirrors the source
-    # CORRECTNESS files so the r08 rotation can take prefixes).
-    "st_pid_replay", "st_ahrs_replay", "st_imu_pipeline", "mm_image_features",
-    "sk_bloom", "cu_decontaminate", "cu_pack",
+    # r08 head, per VERDICT r07 directive 1 (exactly 50 slots): evidence
+    # freshness rotation — after this round no query's newest green row
+    # may be older than r04.
+    # (a) the 14 queries whose newest green driver row is r03 — FIVE
+    #     rounds stale (window/setop/scalar batteries + the tx_* trio):
+    "r5_window_topk", "r5b_range_frame", "r6_setops", "r7_scalar_battery",
+    "r7b_dates", "r7c_json_map", "r9_scalar_subquery", "r10_outer_hist",
+    "r11_stats_agg", "r12_unpivot", "r_pivot",
+    "tx_langid", "tx_quality", "tx_tokens",
+    # (b) the 36 oldest r04-stale rows, stateful replay family first
+    #     (their recursive-CTE oracles are the most intricate in the
+    #     repo; this round also adds brute-force Python replays for
+    #     them — tests/test_analytics_properties.py):
+    "st_ahrs_replay", "st_pid_replay", "st_imu_pipeline", "st_ewma",
+    "st_kalman",
+    "mm_image_features", "sk_bloom", "cu_decontaminate", "cu_pack",
     "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
     "dq_expectations",
     "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
-    "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly", "ev_transitions",
+    "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
+    "ev_transitions",
     "gr_pagerank", "ann_pq", "sk_histq", "ts_lttb", "dd_containment",
     "io_zorder", "dq_drift", "r13_top_supplier", "r14_waiting_supplier",
-    "ev_sessionize", "cu_split", "st_ewma", "st_kalman", "ev_rolling_uniques",
-    "ts_autocorr", "r15_idle_customers", "dq_benford",
-    "ev_ab_test", "st_hysteresis", "ts_crossings",
-    "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv", "ev_paths",
-    "tx_ngram_lm", "dq_kanon", "ts_mannkendall",
-    # r06 greens (this round's gate set, minus the two changed-code plans
-    # promoted to the head):
+    "ev_sessionize", "cu_split", "ev_rolling_uniques", "ts_autocorr",
+]
+_DEFERRED_LAST = [
+    # Tier 2 proper, staleness-ordered: the 13 r04 greens that missed the
+    # head's budget directly follow it (absorbing any budget slack), then
+    # r06 greens, then the r07 head (freshest signal = weakest marginal
+    # value; order mirrors the source CORRECTNESS files so the r09
+    # rotation can take prefixes).
+    "r15_idle_customers", "dq_benford", "ev_ab_test", "st_hysteresis",
+    "ts_crossings", "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv",
+    "ev_paths", "tx_ngram_lm", "dq_kanon", "ts_mannkendall",
+    # r06 greens:
     "st_goertzel", "r16_big_orders", "r17_nation_volume",
     "r18_returned_items", "r19_promo_share", "r20_bracket_revenue",
     "st_holt", "ev_rfm", "dq_freshness", "ev_concurrency", "ts_seasonal",
@@ -107,6 +91,21 @@ _DEFERRED_LAST = [
     "cu_anneal_mixture", "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
     "gr_bfs", "gr_linkpred", "ts_theilsen", "dd_semdedup", "io_compaction",
     "tx_zipf", "tx_hashclf", "gr_label_prop", "ev_feature_snapshot",
+    # r07 head greens (freshest):
+    "dd_substring", "dq_referential", "cu_corpus_report",
+    "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
+    "dd_simhash_pairs",
+    "ann_topk", "ann_ivf", "ann_bruteforce_fast", "approx_sketches",
+    "dp_sample", "dp_stratified", "mm_frame_sample", "r4b_cube",
+    "r5c_rank_battery", "rj_range_join", "sk_hll_merge", "sk_salted_agg",
+    "aj_asof_join", "ts_medfilt", "ts_gradient", "ts_runstats",
+    "ts_groupmeans", "ts_welch", "ts_welch_p", "ts_deadband",
+    "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
+    "ts_resample", "ts_e2e_report", "r8_tumbling", "r8b_sliding",
+    "r8c_sessions", "tr_hier_rollup", "io_orc_roundtrip", "cu_pipeline",
+    "cu_budget", "mm_audio_windows", "tx_winnow", "sk_countmin",
+    "dd_ngram_jaccard", "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
+    "r3_shipping_priority", "r4_rollup",
 ]
 
 
