@@ -57,6 +57,27 @@ def main() -> None:
     reg = registry()
     names = HEADLINE or sorted(reg)
     timings: dict[str, float] = {}
+    # bounded idle-wait BEFORE any of bench's own work: the recorded
+    # artifact has twice been inflated by a loaded host (r06: oracle drift
+    # +13%, 2-5x per-query spikes adjudicated to load). This guards against
+    # EXTERNAL load only, so it must run before the warmup/overhead passes —
+    # running it after them (r07 placement) made bench wait out its own
+    # warmup load on a many-core host. Hard 120 s cap so a genuinely busy
+    # machine still produces an artifact.
+    try:
+        idle_thresh = max(2.0, 0.25 * os.cpu_count())
+        waited = 0.0
+        while os.getloadavg()[0] > idle_thresh and waited < 120:
+            time.sleep(5)
+            waited += 5
+        if waited:
+            print(
+                f"# waited {waited:.0f}s for load "
+                f"{os.getloadavg()[0]:.1f} <= {idle_thresh:.1f}",
+                file=sys.stderr,
+            )
+    except Exception:  # noqa: BLE001 — bench hygiene must never fail a run
+        pass
     _warm_jvm(spark)
     # fixed per-query cost floor on this rig: schedule+run one trivial job
     # (read a 5-row parquet, count; min of 3 so FS-client init isn't counted).
@@ -84,9 +105,18 @@ def main() -> None:
         # gr_triangles / cdc_q / sk_kmv / dd_cluster rounds) survive it and
         # accumulate across 130+ queries, and the resulting storage churn /
         # GC pauses showed up as 2-6x inflation on innocent later queries.
+        # EXEMPT the plan-memo's session-shared checkpoints (the graph edge
+        # list): dropping a materialized local checkpoint makes the memoized
+        # frame unrecoverable (truncated lineage) and would force every graph
+        # query to rebuild it — the pin is one small edge list, not churn.
         try:
+            from orc_spark.plan_memo import pinned_rdd_ids
+
+            pinned = pinned_rdd_ids(spark)
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             for rid in list(jmap.keySet().toArray()):
+                if int(rid) in pinned:
+                    continue
                 jmap.get(rid).unpersist(False)
         except Exception:  # noqa: BLE001 — bench hygiene must never fail a run
             pass
@@ -107,26 +137,6 @@ def main() -> None:
             f"# warmup pass (sf0.001): {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
-    # bounded idle-wait before the timed pass: the recorded artifact has
-    # twice been inflated by a loaded host (r06: oracle drift +13%, 2-5x
-    # per-query spikes adjudicated to load) — if another process is still
-    # winding down (e.g. the driver ran pytest just before bench), wait for
-    # the 1-minute load to decay instead of recording garbage. Hard 120 s
-    # cap so a genuinely busy machine still produces an artifact.
-    try:
-        idle_thresh = max(2.0, 0.25 * os.cpu_count())
-        waited = 0.0
-        while os.getloadavg()[0] > idle_thresh and waited < 120:
-            time.sleep(5)
-            waited += 5
-        if waited:
-            print(
-                f"# waited {waited:.0f}s for load "
-                f"{os.getloadavg()[0]:.1f} <= {idle_thresh:.1f}",
-                file=sys.stderr,
-            )
-    except Exception:  # noqa: BLE001 — bench hygiene must never fail a run
-        pass
     # min-of-REPS per query (disclosed): guards the recorded number against
     # transient machine-load spikes (observed 6x outliers when a prior
     # process's page-cache pressure lingered); caches are cleared between

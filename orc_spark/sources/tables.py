@@ -39,6 +39,24 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 _MEMO: dict = {}
 
 
+def _session_stopped(spark: SparkSession) -> bool:
+    """True once SparkContext.stop() ran (it nulls _jsc) — entries keyed on
+    a stopped session can never be served again and must not pin the
+    session object for the life of the process (multi-session pytest)."""
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:  # noqa: BLE001 — treat an unreadable session as dead
+        return True
+
+
+def evict_dead_sessions(memo: dict) -> None:
+    """Drop memo entries whose keying session has been stopped. Keys are
+    (session, ...) tuples; cheap (memo stays small: tables × sf dirs)."""
+    dead = [k for k in memo if _session_stopped(k[0])]
+    for k in dead:
+        del memo[k]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cacheable = os.path.abspath(sf_dir).startswith("/root/testdata")
     key = (spark, os.path.abspath(sf_dir), name)
@@ -46,6 +64,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _MEMO[key]
     df = _load_table_uncached(spark, sf_dir, name)
     if cacheable:
+        evict_dead_sessions(_MEMO)
         _MEMO[key] = df
     return df
 

@@ -255,3 +255,8 @@ def test_local_pagerank_known_topology():
     nodes, r = local_pagerank(src, dst, 4, PR_SCALE, PR_BASE)
     ranks = dict(zip(nodes, r))
     assert ranks[1] > ranks[2] == ranks[3]
+
+    # empty edge set: empty result, no IndexError from the segment layout
+    nodes, r = local_pagerank([], [], 4, PR_SCALE, PR_BASE)
+    assert len(nodes) == 0 and len(r) == 0
+    assert nodes.dtype == np.int64 and r.dtype == np.int64
