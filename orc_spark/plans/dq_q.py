@@ -514,8 +514,18 @@ def dq_referential(spark: SparkSession, sf: str) -> DataFrame:
     dq_expectations), so the left joins cannot duplicate child rows and
     null-hit == NOT EXISTS. n_orphan_keys stays a scale-safe exact
     count_distinct (spills instead of collecting orphan sets). Output is
-    O(edges). Residual latency at sf0.1 is the AQE wave floor (broadcast
-    builds + two agg waves), not data movement."""
+    O(edges).
+
+    Measured wave floor at sf0.1 (r08, statusTracker job decomposition):
+    8 job rounds = 6 broadcast key-set builds (7 edges; AQE already reuses
+    the nation build across its two children — alias names are ignored by
+    plan canonicalization) + 1 union probe/partial-agg wave + 1 final
+    agg+sort (the presentation sort is fused below; orderBy cost a 9th
+    round). The builds are irreducible without forcing worse plans: fusing
+    parent key sets into one broadcast union would push the fact-sized
+    orders edge over the threshold and demote ALL lineitem probes to
+    shuffle joins at scale. ~8 x the ~0.15 s local[32] AQE job floor is
+    the residual latency — amortizes at 100x data."""
     by_child: dict[str, list[tuple[int, str, str, str, str]]] = {}
     for eid, (name, child, ckey, parent, pkey) in enumerate(_FK_EDGES):
         by_child.setdefault(child, []).append((eid, name, ckey, parent, pkey))
@@ -572,13 +582,23 @@ def dq_referential(spark: SparkSession, sf: str) -> DataFrame:
             for x in (F.lit(eid), F.lit(name))
         ]
     )
-    return agg.select(
-        name_map[F.col("eid")].alias("fk_edge"),
-        "n_child",
-        "n_orphans",
-        "n_orphan_keys",
-        (F.col("n_orphans") == 0).alias("intact"),
-    ).orderBy("fk_edge")
+    # presentation sort WITHOUT a range exchange: the audit is <= |edges|
+    # rows, so coalesce(1) + sortWithinPartitions fuses the sort into the
+    # final aggregate's single AQE-coalesced partition — measured one whole
+    # job round saved vs orderBy (9 -> 8; orderBy adds a range-partition
+    # sampling round even for 7 rows). Same total order: one partition,
+    # globally sorted.
+    return (
+        agg.select(
+            name_map[F.col("eid")].alias("fk_edge"),
+            "n_child",
+            "n_orphans",
+            "n_orphan_keys",
+            (F.col("n_orphans") == 0).alias("intact"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("fk_edge")
+    )
 
 
 def _referential_sql() -> str:

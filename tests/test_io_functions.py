@@ -127,3 +127,88 @@ def test_gyro_offset_distributed(spark):
     )
     local = offset_scan(pdf[["gy_x", "gy_y", "gy_z"]].to_numpy(), rate)
     np.testing.assert_allclose(got["gy_x_corr"].to_numpy(), local[:, 0])
+
+
+def _orc_scan_output_rows(df) -> int:
+    """Execute df and return the total numOutputRows of its ORC scan nodes —
+    rows the reader EMITTED after stripe/stride skipping (skipped strides
+    never reach the metric)."""
+    df.collect()
+    total = 0
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "orc" not in node.nodeName().lower():
+            continue
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                total += kv._2().value()
+    return total
+
+
+def test_io_orc_skipping_skips_strides(spark, sf_mid):
+    """The registry's io_orc_skipping layout must actually SKIP: the probe's
+    ORC scan emits a small fraction of the table (sorted layout → disjoint
+    stride stats → pushed predicate excludes strides before decode), while
+    the identical probe of an UNSORTED ORC copy of the same data reads
+    ~everything — proving the stats+pushdown do the work, not the filter."""
+    import os
+    import tempfile
+
+    from orc_spark.plans.e2e_q import _orc_sorted_path, io_orc_skipping
+
+    total = load_table(spark, sf_mid, "lineitem").count()
+    path, mx = _orc_sorted_path(spark, sf_mid)
+    lo, hi = mx // 2, mx // 2 + mx // 64
+
+    # measure on the bare filtered scan (no aggregate): an AQE plan hides
+    # executed-stage metrics behind AdaptiveSparkPlanExec, but the scan
+    # and its skipping behavior are identical
+    sq = spark.read.orc(path).where(
+        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+    )
+    sorted_rows = _orc_scan_output_rows(sq)
+    assert 0 < sorted_rows <= 0.25 * total, (sorted_rows, total)
+
+    # control: unsorted layout, same data, same probe → no skipping possible
+    upath = os.path.join(tempfile.mkdtemp(prefix="orc_unsorted_"), "li")
+    (
+        load_table(spark, sf_mid, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("orc.stripe.size", 262144)
+        .orc(upath)
+    )
+    uq = spark.read.orc(upath).where(
+        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+    )
+    unsorted_rows = _orc_scan_output_rows(uq)
+    assert unsorted_rows >= 0.9 * total, (unsorted_rows, total)
+
+    # the pushed predicate must be visible on the REGISTRY query's ORC scan
+    probe = io_orc_skipping(spark, sf_mid)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "l_orderkey" in plan.split("PushedFilters", 1)[1][:200]
+
+    # and the layout rewrite must not change the answer
+    raw = (
+        load_table(spark, sf_mid, "lineitem")
+        .where((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            ).alias("price_cents"),
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("qty"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+        )
+    )
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(probe.collect()) == key(raw.collect())

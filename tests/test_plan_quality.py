@@ -640,10 +640,12 @@ def test_cu_chunk_no_shuffle(spark, sf_small):
 def test_dq_referential_no_child_shuffle(spark, sf_small):
     """dq_referential: every FK probe is a broadcast hash join inside the
     child's scan stage and child data never shuffles — the only exchanges
-    are the tiny post-probe aggregate pair (distinct-agg) and the 7-row
-    presentation sort. Regression = a SortMergeJoin/ShuffledHashJoin on a
-    child table or >3 exchanges (the old shape was 2 aggregates + a
-    crossJoin per edge: ~21 AQE job rounds for a 7-row audit)."""
+    are the tiny post-probe aggregate pair (distinct-agg). The 7-row
+    presentation sort must be FUSED (coalesce + sortWithinPartitions, no
+    range exchange — an orderBy costs a whole extra AQE job round).
+    Regression = a SortMergeJoin/ShuffledHashJoin on a child table, a
+    range-partition exchange, or >3 exchanges (the old shape was 2
+    aggregates + a crossJoin per edge: ~21 AQE job rounds)."""
     from orc_spark.plans.dq_q import dq_referential
     from orc_spark.plans.explain import formatted_plan
 
@@ -652,6 +654,7 @@ def test_dq_referential_no_child_shuffle(spark, sf_small):
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
     scans, ex, _ = _plan_stats(df)
     # 5 child scans + 7 parent broadcast-build scans
     assert scans == 12, plan
