@@ -213,6 +213,38 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors["orclog_e2e_real129k"] = f"{type(e).__name__}: {e}"[:300]
             print(f"# orclog_e2e_real129k: ERROR {errors['orclog_e2e_real129k']}", file=sys.stderr)
+    # second scale anchor: re-time a handful of scale-sensitive headline
+    # queries at sf0.01 so scale regressions show as SLOPE between two
+    # points instead of noise on one (banded pair join, blocked matmul,
+    # graph rounds, cluster CC, window-heavy e2e).
+    SCALE2 = [
+        "dd_cluster",
+        "ann_recall_eval",
+        "dd_embcos",
+        "gr_pagerank",
+        "ts_e2e_report",
+    ]
+    sf2_dir = "/root/testdata/sf0.01"
+    sf2_secs: dict[str, float] = {}
+    if os.path.isdir(sf2_dir) and os.path.abspath(sf2_dir) != os.path.abspath(
+        sf_dir
+    ):
+        for name in SCALE2:
+            if name not in reg:
+                continue
+            try:
+                best = None
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    reg[name].spark_fn(spark, sf2_dir).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                    spark.catalog.clearCache()
+                    _drop_persisted()
+                sf2_secs[name] = round(best, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"# sf2 {name} failed: {e}", file=sys.stderr)
+        print(f"# sf0.01 anchor: {sf2_secs}", file=sys.stderr)
     # DuckDB oracle timings at the same sf: makes BASELINE.md's "within 2x
     # of the single-node engine" gate evaluable per query (VERDICT r01 #6)
     oracle_secs: dict[str, float] = {}
@@ -258,6 +290,8 @@ def main() -> None:
         "fixed_overhead_sec": overhead,
         "errors": errors,
         "sf": float(sf) if sf else None,
+        "sf2": 0.01,
+        "sf2_secs": sf2_secs,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -277,9 +311,15 @@ def main() -> None:
         # top-8 slowest only — full map is in BENCH_DETAIL.json
         "queries": slowest,
         "sf": float(sf) if sf else None,
+        # second scale point (sf0.01) for the same headline shapes: the
+        # cross-sf SLOPE is the scale-regression signal
+        "sf2_queries": sf2_secs,
     }
     line = json.dumps(compact)
     if len(line) > 1900:  # hard guard: never outgrow the driver capture again
+        compact.pop("sf2_queries", None)
+        line = json.dumps(compact)
+    if len(line) > 1900:
         compact.pop("queries", None)
         line = json.dumps(compact)
     print(line)
