@@ -2021,3 +2021,138 @@ def test_st_ahrs_replay_200_sample_run_with_range_trip(spark):
         g = got[si]
         for k, v in want.items():
             assert g[k] == v, (si, k, g[k], v)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=3))
+def test_st_throttle_matches_bruteforce(spark, user_times):
+    """Greedy debounce vs a plain-Python replay: keep iff >= 2 min since
+    the last KEPT event — integer-exact."""
+    from orc_spark.plans.stateful_q import THROTTLE_US, st_throttle
+
+    sf = _write_events(spark, _mk_rows(user_times))
+    got = {r["event_id"]: r for r in st_throttle(spark, sf).collect()}
+
+    eid = 0
+    expect = {}
+    for ui, times in enumerate(user_times):
+        last = None
+        kept = 0
+        for t in sorted(times):
+            if last is None or t - last >= THROTTLE_US:
+                k = 1
+                kept += 1
+                last = t
+            else:
+                k = 0
+            expect[eid] = (k, kept)
+            eid += 1
+    assert set(got) == set(expect)
+    for e_id, (k, kept) in expect.items():
+        assert got[e_id]["kept"] == k and got[e_id]["n_kept"] == kept
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=3))
+def test_st_token_bucket_matches_bruteforce(spark, user_times):
+    """Token bucket vs a plain-Python replay: integer micro-tokens,
+    truncating refill division, 5-token cap — exact."""
+    from orc_spark.plans.stateful_q import (
+        TB_CAP,
+        TB_REFILL_DIV,
+        TB_SCALE,
+        st_token_bucket,
+    )
+
+    sf = _write_events(spark, _mk_rows(user_times))
+    got = {r["event_id"]: r for r in st_token_bucket(spark, sf).collect()}
+
+    eid = 0
+    expect = {}
+    for ui, times in enumerate(user_times):
+        tok = TB_CAP
+        prev = None
+        n = 0
+        for t in sorted(times):
+            if prev is not None:
+                tok = min(TB_CAP, tok + (t - prev) // TB_REFILL_DIV)
+            prev = t
+            if tok >= TB_SCALE:
+                a = 1
+                tok -= TB_SCALE
+                n += 1
+            else:
+                a = 0
+            expect[eid] = (a, tok, n)
+            eid += 1
+    assert set(got) == set(expect)
+    for e_id, (a, tok, n) in expect.items():
+        g = got[e_id]
+        assert g["admitted"] == a and g["tokens_after"] == tok and g["n_admitted"] == n
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=3))
+def test_st_bursts_matches_bruteforce(spark, user_times):
+    """Kleinberg 2-state burst Viterbi vs a plain-Python replay: forward
+    min-plus costs bit-identical f64, backtrack labels integer-exact;
+    single-event runs emit nothing."""
+    import math
+
+    from orc_spark.plans.stateful_q import BURST_INF, BURST_S, st_bursts
+
+    sf = _write_events(spark, _mk_rows(user_times))
+    got = {r["event_id"]: r for r in st_bursts(spark, sf).collect()}
+
+    eid = 0
+    expect = {}
+    for ui, times in enumerate(user_times):
+        ts_sorted = sorted(times)
+        eids = list(range(eid, eid + len(ts_sorted)))
+        eid += len(ts_sorted)
+        n = len(ts_sorted)
+        span = ts_sorted[-1] - ts_sorted[0]
+        if n < 2 or span <= 0:
+            continue
+        a0 = float(n - 1) / float(span)
+        a1 = BURST_S * a0
+        l0 = -math.log(a0)
+        l1 = -math.log(a1)
+        gam = math.log(float(n))
+        m = n - 1
+        c0s, c1s, p0s, p1s = [], [], [], []
+        c0, c1 = 0.0, BURST_INF
+        for i in range(m):
+            x = float(ts_sorted[i + 1] - ts_sorted[i])
+            cost0 = l0 + a0 * x
+            cost1 = l1 + a1 * x
+            p0s.append(0 if c0 <= c1 else 1)
+            m0 = c0 if c0 <= c1 else c1
+            up = c0 + gam
+            p1s.append(0 if up < c1 else 1)
+            m1 = up if up < c1 else c1
+            c0, c1 = m0 + cost0, m1 + cost1
+            c0s.append(c0)
+            c1s.append(c1)
+        s = [0] * m
+        s[m - 1] = 1 if c1 < c0 else 0
+        for i in range(m - 1, 0, -1):
+            s[i - 1] = p1s[i] if s[i] == 1 else p0s[i]
+        for i in range(m):
+            expect[eids[i + 1]] = (c0s[i], c1s[i], s[i])
+    assert set(got) == set(expect)
+    for e_id, (c0, c1, lab) in expect.items():
+        g = got[e_id]
+        assert g["c0"] == c0 and g["c1"] == c1 and g["in_burst"] == lab
