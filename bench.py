@@ -213,6 +213,35 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors["orclog_e2e_real129k"] = f"{type(e).__name__}: {e}"[:300]
             print(f"# orclog_e2e_real129k: ERROR {errors['orclog_e2e_real129k']}", file=sys.stderr)
+    # OUTLIER RE-TIME pass: this host shows multi-minute external
+    # contention windows that min-of-REPS cannot ride out (r08: dd_cluster
+    # recorded 21.5 s in-bench vs 2.7 s isolated minutes later). Queries
+    # whose best time is far above the fleet median get ONE more
+    # min-updating rep each — a genuinely slow query keeps its number, a
+    # contention victim gets a second chance. Bounded: only the outliers,
+    # one rep each.
+    try:
+        if timings:
+            med = sorted(timings.values())[len(timings) // 2]
+            thresh = max(2.0, 5.0 * med)
+            outliers = [n for n, t in timings.items() if t > thresh]
+            for name in outliers:
+                try:
+                    t0 = time.perf_counter()
+                    reg[name].spark_fn(spark, sf_dir).count()
+                    dt = time.perf_counter() - t0
+                    if dt < timings[name]:
+                        print(
+                            f"# retime {name}: {timings[name]:.3f}s -> {dt:.3f}s",
+                            file=sys.stderr,
+                        )
+                        timings[name] = round(dt, 3)
+                except Exception:  # noqa: BLE001 — keep the recorded number
+                    pass
+                spark.catalog.clearCache()
+                _drop_persisted()
+    except Exception:  # noqa: BLE001 — bench hygiene must never fail a run
+        pass
     # second scale anchor: re-time a handful of scale-sensitive headline
     # queries at sf0.01 so scale regressions show as SLOPE between two
     # points instead of noise on one (banded pair join, blocked matmul,

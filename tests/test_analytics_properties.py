@@ -2156,3 +2156,74 @@ def test_st_bursts_matches_bruteforce(spark, user_times):
     for e_id, (c0, c1, lab) in expect.items():
         g = got[e_id]
         assert g["c0"] == c0 and g["c1"] == c1 and g["in_burst"] == lab
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    vals=st.lists(
+        st.floats(-1e4, 1e4, allow_nan=False, width=64), min_size=1, max_size=40
+    ),
+)
+def test_ts_lttb_matches_bruteforce(spark, user_times, vals):
+    """LTTB downsample vs a plain-Python integer replay (Steinarsson 2013,
+    fixed-point y, integer triangle areas, first-max tie → smallest
+    position) — exact selection, including the n<=6 passthrough."""
+    import math
+
+    from orc_spark.operators.downsample import LTTB_T, LTTB_YSCALE
+    from orc_spark.plans.timeseries_q import ts_lttb
+
+    def extra(ui, eid, t):
+        return {"value": vals[eid % len(vals)]}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = {
+        (r["user_id"], r["sel_idx"]): (r["event_id"], r["x_s"], r["y_fp"])
+        for r in ts_lttb(spark, sf).collect()
+    }
+
+    eid = 0
+    expect = {}
+    for ui, times in enumerate(user_times):
+        ts_sorted = sorted(times)
+        ids = list(range(eid, eid + len(ts_sorted)))
+        eid += len(ts_sorted)
+        x = [(t - ts_sorted[0]) // 1_000_000 for t in ts_sorted]
+        y = [
+            int(math.floor(vals[e % len(vals)] * LTTB_YSCALE)) for e in ids
+        ]
+        n = len(ts_sorted)
+        if n <= LTTB_T:
+            for i in range(n):
+                expect[(ui + 1, i)] = (ids[i], x[i], y[i])
+            continue
+        m = n - 2
+        sel = [0]
+        a = 0
+        for kk in range(4):
+            cand = [j + 1 for j in range(m) if (4 * j) // m == kk]
+            if kk < 3:
+                nxt = [j + 1 for j in range(m) if (4 * j) // m == kk + 1]
+                cnt = len(nxt)
+                sx, sy = sum(x[j] for j in nxt), sum(y[j] for j in nxt)
+            else:
+                cnt, sx, sy = 1, x[n - 1], y[n - 1]
+            best, best_area = None, -1
+            for c in cand:
+                area2 = abs(
+                    (x[a] * cnt - sx) * (y[c] - y[a])
+                    - (x[a] - x[c]) * (y[a] * cnt - sy)
+                )
+                if area2 > best_area:  # strict: first max wins ties
+                    best, best_area = c, area2
+            a = best
+            sel.append(a)
+        sel.append(n - 1)
+        for i, p in enumerate(sel):
+            expect[(ui + 1, i)] = (ids[p], x[p], y[p])
+    assert got == expect
