@@ -56,7 +56,20 @@ def brute_force_topk(
 
     ``round_to`` rounds similarities before ranking (with per-partition
     headroom so rounded ties survive the cut) — the cross-engine-stable
-    ordering a SQL oracle can reproduce; None keeps full-precision order."""
+    ordering a SQL oracle can reproduce; None keeps full-precision order.
+
+    An empty query set (empty/degenerate corpus) short-circuits to an
+    empty result — np.vstack of zero arrays would otherwise crash on the
+    driver before any Spark job."""
+    if len(queries_pdf) == 0:
+        w0 = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            corpus.sparkSession.createDataFrame([], TOPK_SCHEMA)
+            .withColumn("rank", F.row_number().over(w0))
+            .where(F.col("rank") <= k)
+        )
     qids = queries_pdf[id_col].to_numpy()
     qm = _to_matrix(queries_pdf, vec_col)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)

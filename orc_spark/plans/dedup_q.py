@@ -1140,6 +1140,8 @@ def _query_matrix(spark: SparkSession, sf: str):
         .select("vec_id", "embedding")
         .toPandas()
     )
+    if pdf.empty:  # degenerate corpus: no query set (vstack would crash)
+        return np.array([], dtype=np.int64), np.zeros((0, 0))
     ids = pdf["vec_id"].to_numpy()
     m = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -1170,7 +1172,7 @@ def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     def block(it):
         qi, qm = bc.value
         for pdf in it:
-            if pdf.empty:
+            if pdf.empty or qm.shape[0] == 0:
                 continue
             rid = pdf["vec_id"].to_numpy()
             rm = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)

@@ -204,13 +204,11 @@ def io_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     tag = os.path.basename(sf.rstrip("/"))
     path = f"/tmp/orc_spark_io/events_{tag}_{os.getpid()}.orc"
-    (
-        ev.select("event_id", "user_id", "event_type", "value", "ts")
-        .write.mode("overwrite")
-        .partitionBy("event_type")
-        .orc(path)
-    )
-    back = spark.read.orc(path)
+    out = ev.select("event_id", "user_id", "event_type", "value", "ts")
+    out.write.mode("overwrite").partitionBy("event_type").orc(path)
+    # explicit schema: an empty write leaves no partition dirs and schema
+    # inference would throw instead of returning the empty round-trip
+    back = spark.read.schema(out.schema).orc(path)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
@@ -251,7 +249,8 @@ def _orc_sorted_path(spark: SparkSession, sf: str) -> tuple[str, int]:
         li = load_table(spark, sf, "lineitem").select(
             "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
         )
-        mx = int(li.agg(F.max("l_orderkey").alias("m")).collect()[0].m)
+        m = li.agg(F.max("l_orderkey").alias("m")).collect()[0].m
+        mx = int(m) if m is not None else 0  # empty table: anchor at 0
         import hashlib
 
         # full-path hash (not basename) + pid, same staleness rules as the
@@ -284,7 +283,12 @@ def io_orc_skipping(spark: SparkSession, sf: str) -> DataFrame:
     directory pruning (io_partition_prune), ORC stride skipping (here)."""
     path, mx = _orc_sorted_path(spark, sf)
     lo, hi = mx // 2, mx // 2 + mx // 64
-    t = spark.read.orc(path)
+    # explicit schema: an empty layout write leaves no data files, and
+    # schema inference would then throw instead of returning 0 rows
+    oschema = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    ).schema
+    t = spark.read.schema(oschema).orc(path)
     return (
         t.where((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi))
         .groupBy("l_returnflag")
@@ -331,6 +335,10 @@ def _zorder_path(spark: SparkSession, sf: str) -> tuple[str, int, int]:
         mx = li.agg(
             F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
         ).collect()[0]
+        if mx.mp is None or mx.ms is None:
+            # empty table: anchor at 0 so the layout write and the probe's
+            # literal bounds stay well-defined (int(None) crashed here)
+            mx = type(mx)(mp=0, ms=0)
         import hashlib
 
         # full-path hash (not basename): two sf dirs sharing a basename in
@@ -361,7 +369,13 @@ def io_zorder(spark: SparkSession, sf: str) -> DataFrame:
     path, mp, ms = _zorder_path(spark, sf)
     lo1, hi1 = mp // 4, mp // 4 + mp // 8
     lo2, hi2 = ms // 4, ms // 4 + ms // 8
-    z = spark.read.parquet(path)
+    # explicit schema: an empty layout write leaves no data files, and
+    # schema inference would then throw instead of returning 0 rows
+    zschema = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_returnflag",
+    ).schema
+    z = spark.read.schema(zschema).parquet(path)
     return (
         z.where(
             (F.col("l_partkey") >= lo1) & (F.col("l_partkey") <= hi1)
@@ -409,9 +423,8 @@ def _partitioned_events_path(spark: SparkSession, sf: str) -> tuple[str, int]:
     hit = _PARTN_CACHE.get(sf)
     if hit is None:
         ev = load_table(spark, sf, "events")
-        d0 = int(
-            ev.agg(F.expr("min(ts div 86400000000)").alias("d0")).collect()[0].d0
-        )
+        d0_v = ev.agg(F.expr("min(ts div 86400000000)").alias("d0")).collect()[0].d0
+        d0 = int(d0_v) if d0_v is not None else 0  # empty table: anchor at 0
         import hashlib
 
         tag = hashlib.md5(sf.encode()).hexdigest()[:8]
@@ -437,7 +450,15 @@ def io_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
     io_zorder (footer-stat skipping) and ann_ivf_index (partition-pruned
     index probes)."""
     path, d0 = _partitioned_events_path(spark, sf)
-    ev = spark.read.parquet(path)
+    # explicit schema (incl. the partition columns): an empty layout write
+    # leaves no partition dirs, and schema inference would then throw; the
+    # probe's `day` is cast to bigint at the end either way
+    pschema = (
+        load_table(spark, sf, "events")
+        .withColumn("day", F.expr("ts div 86400000000"))
+        .schema
+    )
+    ev = spark.read.schema(pschema).parquet(path)
     return (
         ev.where(
             (F.col("event_type") == "purchase")

@@ -241,6 +241,8 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     queries = (
         emb.where(F.col("vec_id") < ANN_N_Q).select("vec_id", "embedding").toPandas()
     )
+    if queries.empty:  # degenerate corpus: no query set → empty recall gate
+        return spark.createDataFrame([], "query_id bigint, recall_ok boolean")
     k = 5
     ivf = ivf_topk(spark, emb, queries, k=k, n_centroids=16, nprobe=12).select(
         "query_id", "neighbor_id"
@@ -312,6 +314,8 @@ def ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
     queries = (
         emb.where(F.col("vec_id") < ANN_N_Q).select("vec_id", "embedding").toPandas()
     )
+    if queries.empty:  # degenerate corpus: skip the index build entirely
+        return spark.createDataFrame([], "query_id bigint, recall_ok boolean")
     idx_path = _ivf_index_path(spark, sf)
     k = 5
     ivf = ivf_query_index(spark, idx_path, queries, k=k, nprobe=12).select(
@@ -359,6 +363,8 @@ def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     queries = (
         emb.where(F.col("vec_id") < ANN_N_Q).select("vec_id", "embedding").toPandas()
     )
+    if queries.empty:  # degenerate corpus: no query set → empty recall gate
+        return spark.createDataFrame([], "query_id bigint, recall_ok boolean")
     k = 5
     pq = pq_topk(spark, emb, queries, k=k, m=8, ksub=64, r_cand=192).select(
         "query_id", "neighbor_id"

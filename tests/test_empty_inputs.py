@@ -1,0 +1,40 @@
+"""Degenerate-input robustness: EVERY registry query must run (to 0+ rows)
+against a dataset where all ten tables exist but are EMPTY.
+
+Motive (r08): the ADVICE reviewer found gr_pagerank crashed on an empty
+edge set; a sweep then found the same class in 8 more queries — driver-side
+int(None) on max/min anchors (io_zorder, io_orc_skipping,
+io_partition_prune), np.vstack of an empty query set (the ANN family), and
+ORC/parquet schema inference throwing on file-less empty layout writes
+(io_orc_roundtrip). At 100 TB, empty inputs are routine (a filtered intake
+batch, a new tenant, a partition with no data yet): a pipeline must emit
+empty results, not stack traces.
+"""
+
+import os
+
+import pytest
+
+from orc_spark.plans import registry
+from orc_spark.sources.tables import TABLES
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, sf_small, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(sf_small, f"{t}.parquet"))
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+def test_every_query_survives_empty_tables(spark, empty_sf):
+    fails = {}
+    for name, q in registry().items():
+        try:
+            q.spark_fn(spark, empty_sf).count()
+        except Exception as e:  # noqa: BLE001 — collect all, report once
+            fails[name] = f"{type(e).__name__}: {str(e)[:120]}"
+    assert not fails, fails
