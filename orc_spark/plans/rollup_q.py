@@ -84,10 +84,18 @@ def ts_resample(spark: SparkSession, sf: str) -> DataFrame:
         (F.ceil(F.min("t_s") / step) * step).cast("bigint").alias("t0"),
         (F.floor(F.max("t_s") / step) * step).cast("bigint").alias("t1"),
     )
-    grid = span.select(
-        "user_id",
-        F.explode(F.sequence("t0", "t1", F.lit(step))).alias("t_s"),
-    ).withColumn("is_grid", F.lit(1))
+    # a user whose whole span fits strictly inside one grid interval has
+    # t0 > t1 (no grid point in range). Spark's sequence() THROWS on
+    # backwards bounds where DuckDB's range() returns empty — filter those
+    # users out first (they contribute no grid rows, same as the oracle)
+    grid = (
+        span.where(F.col("t0") <= F.col("t1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("t0", "t1", F.lit(step))).alias("t_s"),
+        )
+        .withColumn("is_grid", F.lit(1))
+    )
     samples = ev.select("user_id", "t_s", "value", "event_id").withColumn(
         "is_grid", F.lit(0)
     )

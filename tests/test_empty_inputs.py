@@ -38,3 +38,28 @@ def test_every_query_survives_empty_tables(spark, empty_sf):
         except Exception as e:  # noqa: BLE001 — collect all, report once
             fails[name] = f"{type(e).__name__}: {str(e)[:120]}"
     assert not fails, fails
+
+
+@pytest.fixture(scope="module")
+def onerow_sf(spark, sf_small, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("onerow_sf"))
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(sf_small, f"{t}.parquet"))
+        df.limit(1).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+def test_every_query_survives_single_row_tables(spark, onerow_sf):
+    """Singleton inputs hit a different degenerate class than empty ones:
+    one-point windows, n-1 denominators, spans shorter than a grid step
+    (ts_resample's backwards sequence() crashed here — a user active for
+    less than one grid interval would hit it on real data too)."""
+    fails = {}
+    for name, q in registry().items():
+        try:
+            q.spark_fn(spark, onerow_sf).count()
+        except Exception as e:  # noqa: BLE001 — collect all, report once
+            fails[name] = f"{type(e).__name__}: {str(e)[:120]}"
+    assert not fails, fails
