@@ -50,6 +50,13 @@ LTTB_SCHEMA = T.StructType(
 )
 
 
+# int64 headroom: area terms are (x·cnt − Σx)·(Δy) with x in seconds and
+# y = value·1e4 — safe through |value| ≲ 1e8 on month-long spans. Inputs are
+# null-filtered by the caller (ts_lttb): a NULL would hit an undefined
+# NaN→int64 cast here. Rescale Y at ingest for wilder domains (the
+# ts_autocorr convention).
+
+
 def _lttb_kernel(g: pd.DataFrame) -> pd.DataFrame:
     g = g.sort_values(["ts", "event_id"], kind="mergesort")
     uid = int(g["user_id"].iloc[0])

@@ -430,8 +430,14 @@ def ts_lttb(spark: SparkSession, sf: str) -> DataFrame:
     chosen points hash-check against the oracle's unrolled 4-bucket SQL)."""
     from orc_spark.operators.downsample import lttb_downsample
 
-    ev = load_table(spark, sf, "events").select(
-        "user_id", "event_id", "ts", "value"
+    ev = (
+        load_table(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "value")
+        # NULL values would hit an undefined NaN->int64 cast in the
+        # fixed-point quantization (same hazard st_goertzel fixed); the
+        # recurrence is defined over the non-null sample stream on both
+        # engines
+        .where(F.col("value").isNotNull())
     )
     return lttb_downsample(ev)
 
@@ -478,7 +484,7 @@ WITH pts AS (
                             ORDER BY epoch_us(ts), event_id) AS rn,
          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
          min(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 base AS (
   SELECT user_id, event_id, rn, n, (tsu - t0) // 1000000 AS x, y FROM pts
