@@ -165,11 +165,18 @@ def test_io_orc_skipping_skips_strides(spark, sf_mid):
 
     # measure on the bare filtered scan (no aggregate): an AQE plan hides
     # executed-stage metrics behind AdaptiveSparkPlanExec, but the scan
-    # and its skipping behavior are identical
-    sq = spark.read.orc(path).where(
-        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
-    )
-    sorted_rows = _orc_scan_output_rows(sq)
+    # and its skipping behavior are identical. Min-of-2 fresh probes: a
+    # task retry on a contended host double-counts numOutputRows (one
+    # flaky suite failure observed), and a retry can only INFLATE the
+    # metric, so the min is the true decode count.
+    def _sorted_probe():
+        return _orc_scan_output_rows(
+            spark.read.orc(path).where(
+                (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+            )
+        )
+
+    sorted_rows = min(_sorted_probe(), _sorted_probe())
     assert 0 < sorted_rows <= 0.25 * total, (sorted_rows, total)
 
     # control: unsorted layout, same data, same probe → no skipping possible
