@@ -2227,3 +2227,82 @@ def test_ts_lttb_matches_bruteforce(spark, user_times, vals):
         for i, p in enumerate(sel):
             expect[(ui + 1, i)] = (ids[p], x[p], y[p])
     assert got == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=4))
+def test_sk_countmin_matches_bruteforce(spark, user_times):
+    """Count-min sketch vs a plain-Python dict rebuild over h60_py
+    (bit-identical to the engines' h60/h60_sql): cell counts, min-probe
+    estimates, never-under flag — exact."""
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.relational3 import (
+        CMS_DEPTH,
+        CMS_QUERY_USERS,
+        CMS_WIDTH,
+        sk_countmin,
+    )
+
+    sf = _write_events(spark, _mk_rows(user_times))
+    got = {r["user_id"]: r for r in sk_countmin(spark, sf).collect()}
+
+    uids = [ui + 1 for ui, times in enumerate(user_times) for _ in times]
+    cells = {}
+    for uid in uids:
+        for j in range(CMS_DEPTH):
+            col = h60_py(f"cms{j}:{uid}") % CMS_WIDTH
+            cells[(j, col)] = cells.get((j, col), 0) + 1
+    assert set(got) == set(CMS_QUERY_USERS)
+    for u in CMS_QUERY_USERS:
+        est = min(
+            cells.get((j, h60_py(f"cms{j}:{u}") % CMS_WIDTH), 0)
+            for j in range(CMS_DEPTH)
+        )
+        true_n = uids.count(u)
+        g = got[u]
+        assert g["true_n"] == true_n and g["cms_est"] == est
+        assert g["never_under"] == (est >= true_n)
+        assert est >= true_n  # the CMS guarantee itself
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=4))
+def test_sk_bloom_matches_bruteforce(spark, user_times):
+    """Bloom filter vs a plain-Python set rebuild over h60_py: set bits,
+    membership verdicts, no-false-negative flag — exact."""
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.relational3 import (
+        BLOOM_BITS,
+        BLOOM_K,
+        BLOOM_PROBES,
+        sk_bloom,
+    )
+
+    sf = _write_events(spark, _mk_rows(user_times))
+    got = {r["probe_id"]: r for r in sk_bloom(spark, sf).collect()}
+
+    users = {ui + 1 for ui, times in enumerate(user_times)}
+    bits = {
+        (j, h60_py(f"bloom{j}:{uid}") % BLOOM_BITS)
+        for uid in users
+        for j in range(BLOOM_K)
+    }
+    assert set(got) == set(BLOOM_PROBES)
+    for p in BLOOM_PROBES:
+        member = all(
+            (j, h60_py(f"bloom{j}:{p}") % BLOOM_BITS) in bits
+            for j in range(BLOOM_K)
+        )
+        in_set = p in users
+        g = got[p]
+        assert g["in_set"] == in_set and g["bloom_member"] == member
+        assert g["no_false_negative"] == (member or not in_set)
+        assert not in_set or member  # no false negatives, ever
