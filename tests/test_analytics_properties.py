@@ -2306,3 +2306,80 @@ def test_sk_bloom_matches_bruteforce(spark, user_times):
         assert g["in_set"] == in_set and g["bloom_member"] == member
         assert g["no_false_negative"] == (member or not in_set)
         assert not in_set or member  # no false negatives, ever
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(
+        st.lists(st.integers(0, 3 * DAY_US), min_size=1, max_size=3, unique=True),
+        min_size=35,
+        max_size=45,
+    )
+)
+def test_sk_kmv_matches_bruteforce(spark, user_times):
+    """KMV sketch vs a plain-Python replay over h60_py: per-type k-th mins,
+    xor digests, estimates (exact fallback under K, the (K-1)·2^60/h_K
+    formula at/over K — Spark round() is HALF-UP, not banker's), and the
+    merged-vs-direct ALL row with its merge_ok proof — exact. 35-45 users
+    so the ALL row (and often a per-type row) crosses K=32."""
+    import math
+    from functools import reduce
+
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.relational3 import KMV_K, sk_kmv
+
+    def extra(ui, eid, t):
+        return {"event_type": ["view", "click"][eid % 2]}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = {r["event_type"]: r for r in sk_kmv(spark, sf).collect()}
+
+    # rebuild (type -> distinct users) exactly as _mk_rows assigns types
+    eid = 0
+    by_type = {}
+    all_users = set()
+    for ui, times in enumerate(user_times):
+        for t in sorted(times):
+            by_type.setdefault(["view", "click"][eid % 2], set()).add(ui + 1)
+            all_users.add(ui + 1)
+            eid += 1
+
+    def sketch(users):
+        hs = sorted({h60_py(f"kmv:{u}") for u in users})
+        kept = hs[:KMV_K]
+        return kept, max(kept), reduce(lambda a, b: a ^ b, kept)
+
+    def est_formula(kth):
+        v = float(KMV_K - 1) * (float(1 << 60) / float(kth))
+        return int(math.floor(v + 0.5))  # Spark round(x, 0) is HALF-UP
+
+    assert set(got) == set(by_type) | {"ALL"}
+    kept_union = set()
+    for et, users in by_type.items():
+        kept, kth, dig = sketch(users)
+        kept_union |= set(kept)
+        g = got[et]
+        assert g["kth_min"] == kth and g["kmv_digest"] == dig
+        assert g["exact_distinct"] == len(users)
+        want_est = (
+            len(users) if len(kept) < KMV_K else est_formula(kth)
+        )
+        assert g["est_distinct"] == want_est
+        assert g["merge_ok"] is True
+
+    # ALL row: direct sketch from the full stream; merged must equal it
+    d_kept, d_kth, d_dig = sketch(all_users)
+    m_kept = sorted(kept_union)[:KMV_K]
+    g = got["ALL"]
+    assert g["kth_min"] == d_kth and g["kmv_digest"] == d_dig
+    assert g["exact_distinct"] == len(all_users)
+    assert g["est_distinct"] == est_formula(d_kth)
+    assert g["merge_ok"] == (
+        max(m_kept) == d_kth
+        and reduce(lambda a, b: a ^ b, m_kept) == d_dig
+    )
+    assert g["merge_ok"] is True  # KMV union-merge is exact
