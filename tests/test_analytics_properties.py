@@ -2383,3 +2383,77 @@ def test_sk_kmv_matches_bruteforce(spark, user_times):
         and reduce(lambda a, b: a ^ b, m_kept) == d_dig
     )
     assert g["merge_ok"] is True  # KMV union-merge is exact
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(
+        st.lists(st.integers(0, 3 * DAY_US), min_size=1, max_size=3, unique=True),
+        min_size=70,
+        max_size=85,
+    )
+)
+def test_sk_theta_ops_matches_bruteforce(spark, user_times):
+    """Theta-sketch set algebra vs a plain-Python replay over h60_py:
+    per-type thetas (2^60 unsaturated, k-th min at K=64), fixed-theta
+    pairwise union/intersection/difference estimates with Spark's
+    BigDecimal HALF_UP round(x,3), and the exact counts — exact. 70-85
+    users across 3 types so sketches saturate in some examples."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.relational3 import THETA_K, sk_theta_ops
+
+    TYPES = ["view", "click", "purchase"]
+
+    def extra(ui, eid, t):
+        return {"event_type": TYPES[eid % 3]}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = {(r["ta"], r["tb"]): r for r in sk_theta_ops(spark, sf).collect()}
+
+    eid = 0
+    users_of = {}
+    for ui, times in enumerate(user_times):
+        for t in sorted(times):
+            users_of.setdefault(TYPES[eid % 3], set()).add(ui + 1)
+            eid += 1
+
+    TWO60 = float(1 << 60)
+
+    def spark_round3(v):
+        # Spark round(double, 3) = BigDecimal.valueOf(v).setScale(3, HALF_UP):
+        # shortest-repr decimal, half-up — repr() is the Python equivalent
+        return float(Decimal(repr(v)).quantize(Decimal("0.001"), ROUND_HALF_UP))
+
+    kept_of, theta_of = {}, {}
+    for et, users in users_of.items():
+        hs = sorted({h60_py(f"kmv:{u}") for u in users})
+        kept = hs[:THETA_K]
+        kept_of[et] = set(kept)
+        theta_of[et] = (1 << 60) if len(kept) < THETA_K else max(kept)
+
+    expect_keys = {
+        (a, b) for a in users_of for b in users_of if a < b
+    }
+    assert set(got) == expect_keys
+    for ta, tb in expect_keys:
+        tp = min(theta_of[ta], theta_of[tb])
+        ca = sum(1 for h in kept_of[ta] if h < tp)
+        cb = sum(1 for h in kept_of[tb] if h < tp)
+        ci = sum(1 for h in kept_of[ta] & kept_of[tb] if h < tp)
+        ei = len(users_of[ta] & users_of[tb])
+        na, nb = len(users_of[ta]), len(users_of[tb])
+        g = got[(ta, tb)]
+        assert g["theta_p"] == tp
+        scale = TWO60 / float(tp)
+        assert g["est_union"] == spark_round3(float(ca + cb - ci) * scale)
+        assert g["est_inter"] == spark_round3(float(ci) * scale)
+        assert g["est_diff_ab"] == spark_round3(float(ca - ci) * scale)
+        assert g["exact_union"] == na + nb - ei
+        assert g["exact_inter"] == ei
+        assert g["exact_diff_ab"] == na - ei
