@@ -2457,3 +2457,77 @@ def test_sk_theta_ops_matches_bruteforce(spark, user_times):
         assert g["exact_union"] == na + nb - ei
         assert g["exact_inter"] == ei
         assert g["exact_diff_ab"] == na - ei
+
+
+def _write_documents(spark, docs):
+    """Write (lang, text) tuples as a documents.parquet the loaders accept
+    (doc_id = position, source/n_chars filled deterministically)."""
+    d = tempfile.mkdtemp(prefix="orc_docs_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [t for _, t in docs],
+            "lang": [l for l, _ in docs],
+            "source": ["synthetic"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.text(alphabet=" \tabcXYZ123", min_size=0, max_size=40),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_cu_split_matches_bruteforce(spark, docs):
+    """Hash-bucket train/val/test assignment vs a plain-Python replay over
+    h60_py: split membership, token counts (regex \\s+ over trimmed text,
+    empty string -> 1), min/max ids and the xor membership digest — exact.
+    The property a training pipeline needs: no doc ever migrates splits."""
+    import re
+    from functools import reduce
+
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.curation_q import (
+        SPLIT_TEST_PCT,
+        SPLIT_VAL_PCT,
+        cu_split,
+    )
+
+    sf = _write_documents(spark, docs)
+    got = {(r["lang"], r["split"]): r for r in cu_split(spark, sf).collect()}
+
+    groups = {}
+    for doc_id, (lang, text) in enumerate(docs):
+        b = h60_py(str(doc_id)) % 100
+        split = (
+            "test"
+            if b < SPLIT_TEST_PCT
+            else ("val" if b < SPLIT_TEST_PCT + SPLIT_VAL_PCT else "train")
+        )
+        # Spark/DuckDB trim() strips ONLY the space character (not \t)
+        n_tok = len(re.split(r"\s+", text.strip(" ")))
+        groups.setdefault((lang, split), []).append((doc_id, n_tok))
+    assert set(got) == set(groups)
+    for key, members in groups.items():
+        g = got[key]
+        assert g["n_docs"] == len(members)
+        assert g["n_tokens"] == sum(n for _, n in members)
+        assert g["min_doc"] == min(i for i, _ in members)
+        assert g["max_doc"] == max(i for i, _ in members)
+        dig = reduce(lambda a, b: a ^ b, (h60_py(str(i)) for i, _ in members))
+        assert g["members_digest"] == dig
