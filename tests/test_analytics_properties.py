@@ -2531,3 +2531,58 @@ def test_cu_split_matches_bruteforce(spark, docs):
         assert g["max_doc"] == max(i for i, _ in members)
         dig = reduce(lambda a, b: a ^ b, (h60_py(str(i)) for i, _ in members))
         assert g["members_digest"] == dig
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.text(alphabet=" abXY12", min_size=0, max_size=60),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_cu_pack_matches_bruteforce(spark, docs):
+    """Sequence packing vs a plain-Python replay: md5-rank concat order per
+    language, start-offset bin placement (trunc of double division), bin
+    audits and fill fractions (Spark HALF_UP round(x,6)) — exact."""
+    import hashlib
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from orc_spark.plans.curation_q import CU_SEQ_LEN, cu_pack
+
+    sf = _write_documents(spark, docs)
+    got = {(r["lang"], r["bin_id"]): r for r in cu_pack(spark, sf).collect()}
+
+    def spark_round6(v):
+        return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    by_lang = {}
+    for doc_id, (lang, text) in enumerate(docs):
+        n_tok = len(re.split(r"\s+", text.strip(" ")))  # space-only trim
+        by_lang.setdefault(lang, []).append((doc_id, n_tok))
+
+    expect = {}
+    for lang, members in by_lang.items():
+        members.sort(
+            key=lambda m: (hashlib.md5(str(m[0]).encode()).hexdigest(), m[0])
+        )
+        cum = 0
+        for doc_id, n_tok in members:
+            b = int(float(cum) / CU_SEQ_LEN)  # cast(double as bigint) = trunc
+            g = expect.setdefault((lang, b), [0, 0])
+            g[0] += 1
+            g[1] += n_tok
+            cum += n_tok
+    assert set(got) == set(expect)
+    for key, (n_docs, tokens) in expect.items():
+        g = got[key]
+        assert g["n_docs"] == n_docs and g["tokens"] == tokens
+        assert g["fill_frac"] == spark_round6(min(float(tokens) / CU_SEQ_LEN, 1.0))
