@@ -2586,3 +2586,92 @@ def test_cu_pack_matches_bruteforce(spark, docs):
         g = got[key]
         assert g["n_docs"] == n_docs and g["tokens"] == tokens
         assert g["fill_frac"] == spark_round6(min(float(tokens) / CU_SEQ_LEN, 1.0))
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(
+                st.sampled_from(
+                    ["the", "and", "of", "cat", "dog", "xylophone", "a", "run.", "go!"]
+                ),
+                min_size=1,
+                max_size=100,
+            ),
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_tx_quality_and_cu_budget_match_bruteforce(spark, docs):
+    """tx_quality's composite score replayed from raw Python string ops
+    (not the SQL algebra), then cu_budget's quality-ranked greedy fill on
+    top of it: per-language kept counts, token mass at the budget cut and
+    the min kept quality — exact, budget cut exercised (docs up to 100
+    tokens, 3000-token budget)."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from orc_spark.plans.curation_q import CU_TOKEN_BUDGET, cu_budget
+    from orc_spark.plans.text_q import STOPWORDS, tx_quality
+
+    docs = [(lang, " ".join(words)) for lang, words in docs]
+    sf = _write_documents(spark, docs)
+
+    def spark_round6(v):
+        return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    # independent quality replay from plain string ops
+    quality = {}
+    n_tok_of = {}
+    for doc_id, (lang, text) in enumerate(docs):
+        toks = re.split(r"\s+", text.strip(" "))
+        n_toks = float(len(toks))
+        n_chars = float(len(text))
+        n_stop = float(sum(1 for x in toks if x in STOPWORDS))
+        n_space = float(text.count(" "))
+        mtl = (n_chars - n_space) / n_toks
+        stop_ratio = n_stop / n_toks
+        score = (
+            min(n_toks / 100.0, 1.0) * 0.4
+            + min(stop_ratio * 5.0, 1.0) * 0.4
+            + (0.2 if 3.0 <= mtl <= 10.0 else 0.0)
+        )
+        quality[doc_id] = spark_round6(score)
+        n_tok_of[doc_id] = len(toks)
+
+    got_q = {r["doc_id"]: r["quality_score"] for r in tx_quality(spark, sf).collect()}
+    assert got_q == quality
+
+    # greedy budget fill on the replayed scores
+    by_lang = {}
+    for doc_id, (lang, _) in enumerate(docs):
+        by_lang.setdefault(lang, []).append(doc_id)
+    expect = {}
+    for lang, ids in by_lang.items():
+        ids.sort(key=lambda i: (-quality[i], i))
+        cum = 0
+        kept = []
+        for i in ids:
+            cum += n_tok_of[i]
+            if cum > CU_TOKEN_BUDGET:
+                break
+            kept.append((i, cum))
+        if kept:
+            expect[lang] = (
+                len(kept),
+                kept[-1][1],
+                spark_round6(min(quality[i] for i, _ in kept)),
+            )
+    got = {r["lang"]: r for r in cu_budget(spark, sf).collect()}
+    assert set(got) == set(expect)
+    for lang, (n_kept, tokens_kept, min_q) in expect.items():
+        g = got[lang]
+        assert g["n_kept"] == n_kept and g["tokens_kept"] == tokens_kept
+        assert g["min_quality_kept"] == min_q
