@@ -2675,3 +2675,111 @@ def test_tx_quality_and_cu_budget_match_bruteforce(spark, docs):
         g = got[lang]
         assert g["n_kept"] == n_kept and g["tokens_kept"] == tokens_kept
         assert g["min_quality_kept"] == min_q
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=4))
+def test_ev_transitions_matches_bruteforce(spark, user_times):
+    """First-order Markov transition matrix vs plain Python: pair counts
+    from each user's (ts, event_id)-ordered sequence, row-normalized
+    probabilities with Spark HALF_UP round(x,6) — exact."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from orc_spark.plans.cdc_q import ev_transitions
+
+    TYPES = ["view", "click", "purchase"]
+
+    def extra(ui, eid, t):
+        return {"event_type": TYPES[eid % 3]}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = {(r["from_type"], r["to_type"]): r for r in ev_transitions(spark, sf).collect()}
+
+    eid = 0
+    counts = {}
+    for ui, times in enumerate(user_times):
+        seq = []
+        for t in sorted(times):
+            seq.append(TYPES[eid % 3])
+            eid += 1
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    row_tot = {}
+    for (a, b), n in counts.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+    assert set(got) == set(counts)
+    for (a, b), n in counts.items():
+        g = got[(a, b)]
+        assert g["n"] == n
+        want = float(
+            Decimal(repr(float(n) / float(row_tot[a]))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        assert g["prob"] == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=4))
+def test_ev_paths_matches_bruteforce(spark, user_times):
+    """Top-20 session journeys vs plain Python: 30-min-gap sessionization,
+    '>'-joined type paths in (ts, event_id) order, conversion counts,
+    session shares (HALF_UP round 6), and the (n desc, path asc) top-20
+    cut — exact."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from orc_spark.plans.cdc_q import SESSION_GAP_US, ev_paths
+
+    TYPES = ["view", "click", "purchase"]
+
+    def extra(ui, eid, t):
+        return {"event_type": TYPES[eid % 3]}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = [tuple(r) for r in ev_paths(spark, sf).collect()]
+
+    eid = 0
+    by_path = {}
+    n_sessions = 0
+    for ui, times in enumerate(user_times):
+        evs = []
+        for t in sorted(times):
+            evs.append((t, TYPES[eid % 3]))
+            eid += 1
+        sessions, cur = [], [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if nxt[0] - prev[0] > SESSION_GAP_US:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        for s in sessions:
+            n_sessions += 1
+            path = ">".join(t for _, t in s)
+            conv = 1 if any(t == "purchase" for _, t in s) else 0
+            g = by_path.setdefault(path, [0, 0])
+            g[0] += 1
+            g[1] += conv
+    ranked = sorted(by_path.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    expect = [
+        (
+            path,
+            n,
+            conv,
+            float(
+                Decimal(repr(float(n) / float(n_sessions))).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            ),
+        )
+        for path, (n, conv) in ranked
+    ]
+    assert got == expect
