@@ -2783,3 +2783,71 @@ def test_ev_paths_matches_bruteforce(spark, user_times):
         for path, (n, conv) in ranked
     ]
     assert got == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=5),
+    vals=st.lists(
+        st.floats(-500, 600, allow_nan=False, width=64), min_size=1, max_size=40
+    ),
+)
+def test_ev_ab_test_matches_bruteforce(spark, user_times, vals):
+    """Two-proportion A/B readout vs plain Python: parity arms over viewed
+    users, qualified conversions (purchase AND value > 300), pooled z with
+    the zero-SE null branch, HALF_UP round(x,6) — exact; empty arms emit
+    no row, exactly like the cross join."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from orc_spark.plans.cdc_q import ev_ab_test
+
+    TYPES = ["view", "click", "purchase"]
+
+    def extra(ui, eid, t):
+        return {"event_type": TYPES[eid % 3], "value": vals[eid % len(vals)]}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    rows = ev_ab_test(spark, sf).collect()
+
+    def r6(v):
+        return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    eid = 0
+    users = {}
+    for ui, times in enumerate(user_times):
+        viewed = purchased = 0
+        for t in sorted(times):
+            et, v = TYPES[eid % 3], vals[eid % len(vals)]
+            if et == "view":
+                viewed = 1
+            if et == "purchase" and v > 300.0:
+                purchased = 1
+            eid += 1
+        if viewed:
+            users[ui + 1] = purchased
+    arm = {0: [0, 0], 1: [0, 0]}
+    for uid, p in users.items():
+        arm[uid % 2][0] += 1
+        arm[uid % 2][1] += p
+    (n_a, c_a), (n_b, c_b) = arm[0], arm[1]
+    if n_a == 0 or n_b == 0:
+        assert rows == []
+        return
+    assert len(rows) == 1
+    g = rows[0]
+    pa, pb = float(c_a) / n_a, float(c_b) / n_b
+    pp = float(c_a + c_b) / float(n_a + n_b)
+    se = math.sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))
+    assert (g["n_a"], g["c_a"], g["n_b"], g["c_b"]) == (n_a, c_a, n_b, c_b)
+    assert g["rate_a"] == r6(pa) and g["rate_b"] == r6(pb)
+    if se > 0:
+        z = (pa - pb) / se
+        assert g["z_stat"] == r6(z)
+        assert g["significant"] == (1 if abs(z) > 1.96 else 0)
+    else:
+        assert g["z_stat"] is None and g["significant"] == 0
