@@ -44,41 +44,20 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # r08 head, per VERDICT r07 directive 1 (exactly 50 slots): evidence
-    # freshness rotation — after this round no query's newest green row
-    # may be older than r04.
-    # (a) the 14 queries whose newest green driver row is r03 — FIVE
-    #     rounds stale (window/setop/scalar batteries + the tx_* trio):
-    "r5_window_topk", "r5b_range_frame", "r6_setops", "r7_scalar_battery",
-    "r7b_dates", "r7c_json_map", "r9_scalar_subquery", "r10_outer_hist",
-    "r11_stats_agg", "r12_unpivot", "r_pivot",
-    "tx_langid", "tx_quality", "tx_tokens",
-    # (b) the 36 oldest r04-stale rows, stateful replay family first
-    #     (their recursive-CTE oracles are the most intricate in the
-    #     repo; this round also adds brute-force Python replays for
-    #     them — tests/test_analytics_properties.py):
-    "st_ahrs_replay", "st_pid_replay", "st_imu_pipeline", "st_ewma",
-    "st_kalman",
-    "mm_image_features", "sk_bloom", "cu_decontaminate", "cu_pack",
-    "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
-    "dq_expectations",
-    "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
-    "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
-    "ev_transitions",
-    "gr_pagerank", "ann_pq", "sk_histq", "ts_lttb", "dd_containment",
-    "io_zorder", "dq_drift", "r13_top_supplier", "r14_waiting_supplier",
-    "ev_sessionize", "cu_split", "ev_rolling_uniques", "ts_autocorr",
-]
-_DEFERRED_LAST = [
-    # Tier 2 proper, staleness-ordered: the 13 r04 greens that missed the
-    # head's budget directly follow it (absorbing any budget slack), then
-    # r06 greens, then the r07 head (freshest signal = weakest marginal
-    # value; order mirrors the source CORRECTNESS files so the r09
-    # rotation can take prefixes).
+    # r09 head, per VERDICT r08 directive 1 (exactly 50 slots):
+    # (a) io_orc_skipping FIRST — the only registry query with no driver
+    #     row ever (new in r08, overflowed that round's budget at gate
+    #     position 51; judge hash-verified it at sf0.01 but the driver row
+    #     is the hard signal):
+    "io_orc_skipping",
+    # (b) the 13 queries whose newest green driver row is r04 — staleness
+    #     order carried from the r08 deferred list:
     "r15_idle_customers", "dq_benford", "ev_ab_test", "st_hysteresis",
     "ts_crossings", "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv",
     "ev_paths", "tx_ngram_lm", "dq_kanon", "ts_mannkendall",
-    # r06 greens:
+    # (c) the 36 oldest r06-stale rows (prefix of the r08 deferred list's
+    #     r06 section — after this round no query's newest green row may
+    #     be older than r06):
     "st_goertzel", "r16_big_orders", "r17_nation_volume",
     "r18_returned_items", "r19_promo_share", "r20_bracket_revenue",
     "st_holt", "ev_rfm", "dq_freshness", "ev_concurrency", "ts_seasonal",
@@ -88,10 +67,21 @@ _DEFERRED_LAST = [
     "dd_keepbest", "tx_fingerprint", "tx_redact", "dp_profile",
     "ann_srp_pairs", "tx_gopher_quality", "ts_m4", "sk_theta_ops",
     "ev_funnel_windowed", "dd_minhash_quality", "ann_recall_eval",
-    "cu_anneal_mixture", "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
+    "cu_anneal_mixture",
+]
+_DEFERRED_LAST = [
+    # Tier 2 proper, staleness-ordered (absorbing any budget slack first):
+    # ts_autocorr leads — its plan was REWRITTEN this round (per-lag
+    # groupBy union → single-pass stack unpivot) and a changed plan wants
+    # fresh driver evidence even though its r08 row is green and the
+    # values/hash are unchanged (parity re-verified at sf0.001/sf0.01).
+    "ts_autocorr",
+    # the 12 remaining r06 greens (tail of the r08 deferred r06 section):
+    "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
     "gr_bfs", "gr_linkpred", "ts_theilsen", "dd_semdedup", "io_compaction",
     "tx_zipf", "tx_hashclf", "gr_label_prop", "ev_feature_snapshot",
-    # r07 head greens (freshest):
+    # r07 head greens (these 50 are the natural r10 head after the 12
+    # above — the rotation stays a mechanical prefix-take):
     "dd_substring", "dq_referential", "cu_corpus_report",
     "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
     "dd_simhash_pairs",
@@ -106,6 +96,22 @@ _DEFERRED_LAST = [
     "cu_budget", "mm_audio_windows", "tx_winnow", "sk_countmin",
     "dd_ngram_jaccard", "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
     "r3_shipping_priority", "r4_rollup",
+    # r08 head greens (freshest signal = weakest marginal value):
+    "r5_window_topk", "r5b_range_frame", "r6_setops", "r7_scalar_battery",
+    "r7b_dates", "r7c_json_map", "r9_scalar_subquery", "r10_outer_hist",
+    "r11_stats_agg", "r12_unpivot", "r_pivot",
+    "tx_langid", "tx_quality", "tx_tokens",
+    "st_ahrs_replay", "st_pid_replay", "st_imu_pipeline", "st_ewma",
+    "st_kalman",
+    "mm_image_features", "sk_bloom", "cu_decontaminate", "cu_pack",
+    "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
+    "dq_expectations",
+    "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
+    "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
+    "ev_transitions",
+    "gr_pagerank", "ann_pq", "sk_histq", "ts_lttb", "dd_containment",
+    "io_zorder", "dq_drift", "r13_top_supplier", "r14_waiting_supplier",
+    "ev_sessionize", "cu_split", "ev_rolling_uniques",
 ]
 
 

@@ -530,7 +530,11 @@ def ts_autocorr(spark: SparkSession, sf: str) -> DataFrame:
     accumulate in fixed-point BIGINT (value × 1e4): Σx, Σy, Σxy, Σxx, Σyy
     over the lag-aligned pairs are exact integers, and Pearson r is one
     identical float expression — bit-identical cross-engine with no
-    ordering caveat. One window per lag + one combinable groupBy."""
+    ordering caveat. SINGLE-PASS: one scan, ONE window sort computing all
+    three lag columns, then `stack` unpivots them to (lag, y) rows so one
+    groupBy(user_id, lag) covers every lag — a union of per-lag groupBys
+    would re-execute the scan + window sort once per lag (per-branch
+    column pruning defeats ReuseExchange)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf, "events").select("user_id", "event_id", "ts", "value")
@@ -539,34 +543,31 @@ def ts_autocorr(spark: SparkSession, sf: str) -> DataFrame:
     base = ev.select("user_id", v.alias("x"), *[
         F.lag(v, k).over(w).alias(f"y{k}") for k in AC_LAGS
     ])
-    outs = []
-    for k in AC_LAGS:
-        y = F.col(f"y{k}")
-        pair = base.where(y.isNotNull()).groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum(y).alias("sy"),
-            F.sum(F.col("x") * y).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(y * y).alias("syy"),
-        )
-        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        den = F.sqrt(
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-        )
-        outs.append(
-            pair.select(
-                "user_id",
-                F.lit(k).alias("lag"),
-                F.col("n").cast("bigint").alias("n_pairs"),
-                F.round(num / den, 6).alias("autocorr"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    stack_args = ", ".join(f"{k}, y{k}" for k in AC_LAGS)
+    pairs = base.select(
+        "user_id", "x",
+        F.expr(f"stack({len(AC_LAGS)}, {stack_args}) AS (lag, y)"),
+    ).where(F.col("y").isNotNull())
+    y = F.col("y")
+    agg = pairs.groupBy("user_id", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(F.col("x") * y).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        "user_id",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / den, 6).alias("autocorr"),
+    )
 
 
 def _autocorr_sql() -> str:

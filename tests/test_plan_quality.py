@@ -280,7 +280,9 @@ def test_lttb_no_join_one_repartition(spark, sf_small):
     assert plan.count("+- Exchange") == 1, plan
 
 
-def test_autocorr_one_window_family(spark, sf_small):
+def test_autocorr_single_pass(spark, sf_small):
+    import re
+
     from orc_spark.plans.timeseries_q import ts_autocorr
 
     from orc_spark.plans.explain import formatted_plan
@@ -289,6 +291,13 @@ def test_autocorr_one_window_family(spark, sf_small):
     plan = formatted_plan(df)
     # lag windows all partition by user_id; no join anywhere in the plan
     assert "Join" not in plan, plan
+    # single-pass shape (r08 verdict item 2): ONE scan and ONE window sort
+    # computing all three lag columns, stack-unpivoted into one
+    # groupBy(user_id, lag) — a per-lag union would re-execute the scan +
+    # window sort once per lag
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
 
 
 def test_r15_broadcasts_both_subqueries(spark, sf_small):
