@@ -145,6 +145,27 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     errors: dict[str, str] = {}
 
+    # contention audit trail (VERDICT r08 directive 4): sample loadavg at a
+    # few known points during the run so future judges can label a recorded
+    # artifact "contended" without forensic reconstruction. External CPU
+    # steal on this host has twice inflated per-query numbers 2-6x; the
+    # loadavg BEFORE bench's own work started (and between phases, where
+    # bench itself is momentarily idle) is the external-load signal.
+    load_samples: list[dict] = []
+
+    def _sample_load(label: str) -> None:
+        try:
+            l1, l5, _ = os.getloadavg()
+            load_samples.append(
+                {"at": label, "t": round(time.perf_counter() - run_t0, 1),
+                 "load1": round(l1, 2), "load5": round(l5, 2)}
+            )
+        except Exception:  # noqa: BLE001 — bench hygiene must never fail a run
+            pass
+
+    run_t0 = time.perf_counter()
+    _sample_load("start")
+
     def _gc_nudge(qi: int) -> None:
         # nudge the driver JVM every 20 queries to collect unreferenced
         # RDD/broadcast handles so the ContextCleaner actually frees executor
@@ -213,6 +234,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors["orclog_e2e_real129k"] = f"{type(e).__name__}: {e}"[:300]
             print(f"# orclog_e2e_real129k: ERROR {errors['orclog_e2e_real129k']}", file=sys.stderr)
+    _sample_load("after_timed_loop")
     # OUTLIER RE-TIME pass: this host shows multi-minute external
     # contention windows that min-of-REPS cannot ride out (r08: dd_cluster
     # recorded 21.5 s in-bench vs 2.7 s isolated minutes later). Queries
@@ -226,9 +248,22 @@ def main() -> None:
             thresh = max(2.0, 5.0 * med)
             outliers = [n for n, t in timings.items() if t > thresh]
             for name in outliers:
+                # timings also holds the flagship e2e (not a registry entry) —
+                # re-time it through its own plan builder instead of relying
+                # on a swallowed reg[name] KeyError to skip it (ADVICE r08)
+                if name == "orclog_e2e_real129k":
+                    def _run():  # noqa: ANN202
+                        from orc_spark.plans.orclog_e2e import orclog_full_report
+
+                        orclog_full_report(spark, real_csv).count()
+                elif name in reg:
+                    def _run(q=reg[name]):  # noqa: ANN202
+                        q.spark_fn(spark, sf_dir).count()
+                else:
+                    continue
                 try:
                     t0 = time.perf_counter()
-                    reg[name].spark_fn(spark, sf_dir).count()
+                    _run()
                     dt = time.perf_counter() - t0
                     if dt < timings[name]:
                         print(
@@ -246,18 +281,27 @@ def main() -> None:
     # queries at sf0.01 so scale regressions show as SLOPE between two
     # points instead of noise on one (banded pair join, blocked matmul,
     # graph rounds, cluster CC, window-heavy e2e).
+    # (VERDICT r08 directive 5: st_pid_replay covers the Python-boundary
+    # recurrence family, tx_tfidf the text/IR single-scan family,
+    # ev_sessionize the shuffle-window events family — the slope now spans
+    # every execution style, not just dedup/graph.)
     SCALE2 = [
         "dd_cluster",
         "ann_recall_eval",
         "dd_embcos",
         "gr_pagerank",
         "ts_e2e_report",
+        "st_pid_replay",
+        "tx_tfidf",
+        "ev_sessionize",
     ]
     sf2_dir = "/root/testdata/sf0.01"
     sf2_secs: dict[str, float] = {}
+    sf2_ran = False
     if os.path.isdir(sf2_dir) and os.path.abspath(sf2_dir) != os.path.abspath(
         sf_dir
     ):
+        sf2_ran = True
         for name in SCALE2:
             if name not in reg:
                 continue
@@ -305,6 +349,7 @@ def main() -> None:
         )
     except Exception as e:  # noqa: BLE001
         print(f"# oracle timing skipped: {e}", file=sys.stderr)
+    _sample_load("end")
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # full detail goes to disk (the driver's stdout capture keeps only a
@@ -319,8 +364,14 @@ def main() -> None:
         "fixed_overhead_sec": overhead,
         "errors": errors,
         "sf": float(sf) if sf else None,
-        "sf2": 0.01,
+        # null when the anchor pass did not run (dir missing or == sf_dir) so
+        # artifact readers never see a scale claim with no samples behind it
+        "sf2": 0.01 if sf2_ran else None,
         "sf2_secs": sf2_secs,
+        # loadavg sampled at phase boundaries — the external-contention
+        # audit trail (see CLAUDE.md: judge by Spark:oracle RATIO, and use
+        # these samples to label a run contended)
+        "load_samples": load_samples,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
