@@ -2851,3 +2851,290 @@ def test_ev_ab_test_matches_bruteforce(spark, user_times, vals):
         assert g["significant"] == (1 if abs(z) > 1.96 else 0)
     else:
         assert g["z_stat"] is None and g["significant"] == 0
+
+
+# --- graph-family brute-force replays (VERDICT r08 directive 3) ---------------
+#
+# The last mirrored-oracle circularity: gr_pagerank / gr_kcore / gr_bfs /
+# gr_label_prop / gr_linkpred were checked only by (a) DuckDB CTEs that
+# mirror the engine's algebra and (b) local==distributed equality (both
+# paths share the repo's code). The replays below recompute EVERYTHING —
+# including the mutual-kNN edge construction from raw lineitem rows — in
+# plain Python dicts/sets, independent of orc_spark.plans.graph_q, and
+# assert exact equality with the registry queries on temp-dir fixtures.
+# (The only shared primitive is the 60-bit digest h60_py, itself pinned
+# bit-identical to h60/h60_sql by tests/test_hashing.py.)
+
+
+def _bf_mutual_edges(baskets):
+    """Brute-force mutual-top-K co-occurrence edges from raw baskets,
+    written from the SPEC (graph_q docstrings), not the code: pair weights
+    = co-occurring-order counts; each node ranks neighbors (w desc, id
+    asc) keeping TRI_K; an edge survives iff BOTH endpoints keep it."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from orc_spark.plans.graph_q import TRI_K
+
+    w = Counter()
+    for items in baskets:
+        for a, b in combinations(sorted(set(items)), 2):
+            w[(a, b)] += 1
+    nbrs = defaultdict(list)
+    for (a, b), c in w.items():
+        nbrs[a].append((c, b))
+        nbrs[b].append((c, a))
+    top = {
+        u: {v for c, v in sorted(lst, key=lambda cv: (-cv[0], cv[1]))[:TRI_K]}
+        for u, lst in nbrs.items()
+    }
+    return {
+        (a, b)
+        for (a, b) in w
+        if b in top.get(a, set()) and a in top.get(b, set())
+    }
+
+
+def _bf_adj(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+# wider id range than basket_strategy so BFS seed nodes (id % 20 == 0)
+# actually occur, and so some nodes exceed the top-K degree bound
+graph_baskets = st.lists(
+    st.lists(st.integers(1, 30), min_size=1, max_size=6, unique=True),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(baskets=graph_baskets)
+def test_gr_kcore_matches_bruteforce(spark, baskets):
+    from orc_spark.plans.graph_q import KCORE_K, gr_kcore
+
+    sf = _write_lineitem(spark, baskets)
+    got = sorted(tuple(r) for r in gr_kcore(spark, sf).collect())
+
+    adj = _bf_adj(_bf_mutual_edges(baskets))
+    while True:
+        drop = {n for n, s in adj.items() if len(s) < KCORE_K}
+        if not drop:
+            break
+        adj = {
+            n: s - drop for n, s in adj.items() if n not in drop
+        }
+        adj = {n: s for n, s in adj.items() if s}
+    want = sorted((n, len(s), True) for n, s in adj.items())
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(baskets=graph_baskets)
+def test_gr_bfs_matches_bruteforce(spark, baskets):
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.graph_q import BFS_HOPS, BFS_SOURCE_MOD, gr_bfs
+
+    sf = _write_lineitem(spark, baskets)
+    got = sorted(tuple(r) for r in gr_bfs(spark, sf).collect())
+
+    adj = _bf_adj(_bf_mutual_edges(baskets))
+    hop = {n: 0 for n in adj if n % BFS_SOURCE_MOD == 0}
+    frontier = set(hop)
+    for h in range(1, BFS_HOPS + 1):
+        nxt = {
+            v for u in frontier for v in adj[u] if v not in hop
+        }
+        for v in nxt:
+            hop[v] = h
+        frontier = nxt
+    groups = {}
+    for n in adj:
+        g = groups.setdefault(hop.get(n, -1), [0, 0])
+        g[0] += 1
+        g[1] ^= h60_py(str(n))
+    want = sorted((h, c, d) for h, (c, d) in groups.items())
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(baskets=graph_baskets)
+def test_gr_label_prop_matches_bruteforce(spark, baskets):
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.graph_q import LP_ROUNDS, gr_label_prop
+
+    sf = _write_lineitem(spark, baskets)
+    got = [tuple(r) for r in gr_label_prop(spark, sf).collect()]
+
+    adj = _bf_adj(_bf_mutual_edges(baskets))
+    lab = {n: n for n in adj}
+    for _ in range(LP_ROUNDS):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for v in nbrs:
+                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+            nxt[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lab = nxt
+    comm = {}
+    for n, c in lab.items():
+        g = comm.setdefault(c, [0, 0])
+        g[0] += 1
+        g[1] ^= h60_py(str(n))
+    want = sorted(
+        ((c, s, d) for c, (s, d) in comm.items()), key=lambda r: (-r[1], r[0])
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(baskets=graph_baskets)
+def test_gr_linkpred_matches_bruteforce(spark, baskets):
+    import math
+
+    from orc_spark.plans.graph_q import LP_AA_SCALE, LP_TOP, gr_linkpred
+
+    sf = _write_lineitem(spark, baskets)
+    got = [tuple(r) for r in gr_linkpred(spark, sf).collect()]
+
+    edges = _bf_mutual_edges(baskets)
+    adj = _bf_adj(edges)
+    cand = {}
+    for z, nbrs in adj.items():
+        if len(nbrs) < 2:
+            continue
+        term = math.floor(LP_AA_SCALE / math.log(float(len(nbrs))))
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                e = cand.setdefault((ns[i], ns[j]), [0, 0])
+                e[0] += 1
+                e[1] += term
+    rows = []
+    for (u, v), (cn, aa) in cand.items():
+        if (u, v) in edges:
+            continue
+        du, dv = len(adj[u]), len(adj[v])
+        rows.append((u, v, cn, du, dv, round(cn / (du + dv - cn), 6), aa))
+    rows.sort(key=lambda r: (-r[2], -r[6], r[0], r[1]))
+    assert got == rows[:LP_TOP]
+
+
+pr_orders = st.lists(
+    st.tuples(
+        st.integers(1, 6),
+        st.lists(st.integers(1, 10), min_size=1, max_size=4, unique=True),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(orders=pr_orders)
+def test_gr_pagerank_matches_bruteforce(spark, orders):
+    from orc_spark.plans.graph_q import (
+        PR_BASE,
+        PR_ITERS,
+        PR_SCALE,
+        gr_pagerank,
+    )
+
+    d = tempfile.mkdtemp(prefix="orc_props_pr_")
+    orows, lrows = [], []
+    for oi, (cust, supps) in enumerate(orders):
+        orows.append({"o_orderkey": oi + 1, "o_custkey": cust})
+        for ln, s in enumerate(supps):
+            lrows.append(
+                {"l_orderkey": oi + 1, "l_suppkey": s, "l_linenumber": ln + 1}
+            )
+    for name, rows in (("orders", orows), ("lineitem", lrows)):
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"{name}.parquet"))
+
+    got = sorted(tuple(r) for r in gr_pagerank(spark, d).collect())
+
+    # brute force: distinct bipartite pairs, both directions, integer
+    # power iteration in plain dicts (rank div outdeg, 85/100 damping)
+    cs = {(2 * c, 2 * s + 1) for c, supps in orders for s in supps}
+    directed = [(a, b) for a, b in cs] + [(b, a) for a, b in cs]
+    outdeg = {}
+    for a, _ in directed:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    r = {n: PR_SCALE for n in outdeg}
+    for _ in range(PR_ITERS):
+        s = {}
+        for a, b in directed:
+            s[b] = s.get(b, 0) + r[a] // outdeg[a]
+        r = {n: PR_BASE + 85 * s.get(n, 0) // 100 for n in outdeg}
+    want = sorted(
+        (n, "cust" if n % 2 == 0 else "supp", n // 2, rk)
+        for n, rk in r.items()
+    )
+    assert got == want
+
+
+def test_graph_family_hand_computed_fixture(spark):
+    """Hand-checkable hub+clique fixture exercising the top-K cut and the
+    mutuality drop (hypothesis baskets rarely push a node past TRI_K=8):
+
+    - 3 orders {1..6}          -> clique, every pair w=3
+    - (13-k) orders {50, k}    -> hub 50 with spoke weights w(50,k)=13-k
+      for k=1..12: hub keeps only its top-8 (k=1..8); spokes 9..12 keep
+      the hub but are NOT kept back -> dropped by mutuality, isolated
+    - 2 orders {20, 1}         -> BFS seed 20 (20 % BFS_SOURCE_MOD == 0)
+
+    Expected graph (verified by hand): 24 edges = 15 clique + 8 hub
+    spokes + (1,20); nodes 9..12 absent. k-core(4) = {1..6, 50} all at
+    core degree 6 (spokes 7, 8, 20 peel off, one effective round). BFS:
+    hop0={20}, hop1={1}, hop2={2..6,50}, hop3={7,8}, nothing unreached.
+    Label prop converges to ONE community of all 10 nodes."""
+    from orc_spark.plans.graph_q import gr_bfs, gr_kcore, gr_triangles
+
+    baskets = (
+        [[1, 2, 3, 4, 5, 6]] * 3
+        + [[50, k] for k in range(1, 13) for _ in range(13 - k)]
+        + [[20, 1]] * 2
+    )
+    edges = _bf_mutual_edges(baskets)
+    clique = {(a, b) for a in range(1, 7) for b in range(a + 1, 7)}
+    spokes = {(k, 50) for k in range(1, 9)}
+    assert edges == clique | spokes | {(1, 20)}
+
+    sf = _write_lineitem(spark, baskets)
+    core = sorted(tuple(r) for r in gr_kcore(spark, sf).collect())
+    assert core == [(n, 6, True) for n in [1, 2, 3, 4, 5, 6, 50]]
+
+    hops = {r["hop"]: r["n_nodes"] for r in gr_bfs(spark, sf).collect()}
+    assert hops == {0: 1, 1: 1, 2: 6, 3: 2}
+
+    tri = {r["s_suppkey"]: r["n_tri"] for r in gr_triangles(spark, sf).collect()}
+    # C(6,3)=20 clique triangles + 15 (i,j,50) triangles; each clique node
+    # is in C(5,2)=10 clique + 5 hub triangles, the hub in all 15 hub ones
+    assert tri == {1: 15, 2: 15, 3: 15, 4: 15, 5: 15, 6: 15, 50: 15,
+                   7: 0, 8: 0, 20: 0}
