@@ -57,6 +57,28 @@ def main() -> None:
     reg = registry()
     names = HEADLINE or sorted(reg)
     timings: dict[str, float] = {}
+
+    # contention audit trail (VERDICT r08 directive 4): sample loadavg at a
+    # few known points during the run so future judges can label a recorded
+    # artifact "contended" without forensic reconstruction. External CPU
+    # steal on this host has twice inflated per-query numbers 2-6x. The
+    # "start" sample lands right after the idle-wait and BEFORE any of
+    # bench's own work (warmup included) — it is the pure external-load
+    # signal; the later samples mix in bench's own decaying load and mainly
+    # catch contention that arrived mid-run.
+    load_samples: list[dict] = []
+    run_t0 = time.perf_counter()
+
+    def _sample_load(label: str) -> None:
+        try:
+            l1, l5, _ = os.getloadavg()
+            load_samples.append(
+                {"at": label, "t": round(time.perf_counter() - run_t0, 1),
+                 "load1": round(l1, 2), "load5": round(l5, 2)}
+            )
+        except Exception:  # noqa: BLE001 — bench hygiene must never fail a run
+            pass
+
     # bounded idle-wait BEFORE any of bench's own work: the recorded
     # artifact has twice been inflated by a loaded host (r06: oracle drift
     # +13%, 2-5x per-query spikes adjudicated to load). This guards against
@@ -78,6 +100,7 @@ def main() -> None:
             )
     except Exception:  # noqa: BLE001 — bench hygiene must never fail a run
         pass
+    _sample_load("start")
     _warm_jvm(spark)
     # fixed per-query cost floor on this rig: schedule+run one trivial job
     # (read a 5-row parquet, count; min of 3 so FS-client init isn't counted).
@@ -144,27 +167,7 @@ def main() -> None:
     # clamp to >=1: reps=0 would leave `best` None and crash the whole run
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     errors: dict[str, str] = {}
-
-    # contention audit trail (VERDICT r08 directive 4): sample loadavg at a
-    # few known points during the run so future judges can label a recorded
-    # artifact "contended" without forensic reconstruction. External CPU
-    # steal on this host has twice inflated per-query numbers 2-6x; the
-    # loadavg BEFORE bench's own work started (and between phases, where
-    # bench itself is momentarily idle) is the external-load signal.
-    load_samples: list[dict] = []
-
-    def _sample_load(label: str) -> None:
-        try:
-            l1, l5, _ = os.getloadavg()
-            load_samples.append(
-                {"at": label, "t": round(time.perf_counter() - run_t0, 1),
-                 "load1": round(l1, 2), "load5": round(l5, 2)}
-            )
-        except Exception:  # noqa: BLE001 — bench hygiene must never fail a run
-            pass
-
-    run_t0 = time.perf_counter()
-    _sample_load("start")
+    _sample_load("after_warmup")
 
     def _gc_nudge(qi: int) -> None:
         # nudge the driver JVM every 20 queries to collect unreferenced
