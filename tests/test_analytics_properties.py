@@ -3138,3 +3138,143 @@ def test_graph_family_hand_computed_fixture(spark):
     # is in C(5,2)=10 clique + 5 hub triangles, the hub in all 15 hub ones
     assert tri == {1: 15, 2: 15, 3: 15, 4: 15, 5: 15, 6: 15, 50: 15,
                    7: 0, 8: 0, 20: 0}
+
+
+# --- r09 head replays: dq_benford / dq_kanon / ts_crossings -------------------
+#
+# These three r04-stale gate-head queries had no independent check beyond
+# the structure-sharing SQL oracle; same pattern as above — raw synthetic
+# parquet, REAL registry query, plain-Python brute force.
+
+
+def _r6(v):
+    """round-half-up to 6 dp — Spark's round() semantics (Python round is
+    banker's)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    prices=st.lists(st.integers(1, 10**8), min_size=1, max_size=60)
+)
+def test_dq_benford_matches_bruteforce(spark, prices):
+    import math
+
+    from orc_spark.plans.dq_q import dq_benford
+
+    d = tempfile.mkdtemp(prefix="orc_props_bf_")
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": range(1, len(prices) + 1),
+            "l_extendedprice": [k / 100.0 for k in prices],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet")
+    )
+    got = [tuple(r) for r in dq_benford(spark, d).collect()]
+
+    obs = {}
+    for k in prices:
+        fd = int(str(math.floor(k / 100.0))[0])
+        if 1 <= fd <= 9:
+            obs[fd] = obs.get(fd, 0) + 1
+    n = sum(obs.values())
+    want = []
+    for dg in sorted(obs):
+        exp = math.log10((dg + 1) / dg) * n
+        want.append(
+            (dg, obs[dg], _r6(exp), _r6((obs[dg] - exp) ** 2 / exp))
+        )
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(0, 4),
+            st.sampled_from(["AUTOMOBILE", "BUILDING", "MACHINERY"]),
+            st.integers(-999999, 999999),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_dq_kanon_matches_bruteforce(spark, custs):
+    import math
+
+    from orc_spark.plans.dq_q import KANON_K, dq_kanon
+
+    d = tempfile.mkdtemp(prefix="orc_props_ka_")
+    pdf = pd.DataFrame(
+        {
+            "c_custkey": range(1, len(custs) + 1),
+            "c_nationkey": [c[0] for c in custs],
+            "c_mktsegment": [c[1] for c in custs],
+            "c_acctbal": [c[2] / 100.0 for c in custs],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "customer.parquet")
+    )
+    got = [tuple(r) for r in dq_kanon(spark, d).collect()]
+
+    classes = {}
+    for nk, seg, bal in custs:
+        key = (nk, seg, math.floor(bal / 100.0 / 1000.0))
+        classes[key] = classes.get(key, 0) + 1
+    want = sorted(
+        (
+            (nk, seg, bk, cn, cn < KANON_K)
+            for (nk, seg, bk), cn in classes.items()
+        ),
+        key=lambda r: (r[3], r[0], r[1], r[2]),
+    )[:50]
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=4))
+def test_ts_crossings_matches_bruteforce(spark, user_times):
+    import math
+
+    from orc_spark.plans.timeseries_q import ts_crossings
+
+    vals = {}
+
+    def extra(ui, eid, t):
+        v = float((eid * 131 % 997) - 498) / 13.0
+        vals[(ui + 1, t)] = v
+        return {"value": v}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = {r["user_id"]: tuple(r) for r in ts_crossings(spark, sf).collect()}
+
+    assert set(got) == set(range(1, len(user_times) + 1))
+    for ui, times in enumerate(user_times):
+        uid = ui + 1
+        series = [
+            math.floor(vals[(uid, t)] * 1000) for t in sorted(times)
+        ]
+        n, s = len(series), sum(series)
+        sgn = [1 if n * v - s >= 0 else -1 for v in series]
+        if n == 1:
+            assert got[uid] == (uid, 1, None, None)
+            continue
+        x = sum(1 for a, b in zip(sgn, sgn[1:]) if a != b)
+        assert got[uid] == (uid, n, x, _r6(x / (n - 1)))
