@@ -3278,3 +3278,196 @@ def test_ts_crossings_matches_bruteforce(spark, user_times):
             continue
         x = sum(1 for a, b in zip(sgn, sgn[1:]) if a != b)
         assert got[uid] == (uid, n, x, _r6(x / (n - 1)))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=4))
+def test_ev_ltv_matches_bruteforce(spark, user_times):
+    from orc_spark.plans.cdc_q import _LTV_WEEK_US, ev_ltv
+
+    TYPES = ["view", "purchase", "click"]
+    vals = {}
+
+    def extra(ui, eid, t):
+        et = TYPES[eid % 3]
+        v = float((eid * 53 % 160))  # integral → cents = v*100 exact
+        vals[eid] = (et, v)
+        return {"event_type": et, "value": v}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = [tuple(r) for r in ev_ltv(spark, sf).collect()]
+
+    eid = 0
+    cohort, weekly = {}, {}
+    for ui, times in enumerate(user_times):
+        uid = ui + 1
+        for t in sorted(times):
+            et, v = vals[eid]
+            wk = t // _LTV_WEEK_US
+            cohort[uid] = min(cohort.get(uid, wk), wk)
+            eid += 1
+    eid = 0
+    for ui, times in enumerate(user_times):
+        uid = ui + 1
+        for t in sorted(times):
+            et, v = vals[eid]
+            if et == "purchase":
+                key = (cohort[uid], t // _LTV_WEEK_US - cohort[uid])
+                weekly[key] = weekly.get(key, 0) + int(v * 100)
+            eid += 1
+    sizes = {}
+    for c in cohort.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    want, cum = [], {}
+    for c, age in sorted(weekly):
+        cum[c] = cum.get(c, 0) + weekly[(c, age)]
+        want.append(
+            (c, age, sizes[c], weekly[(c, age)], cum[c], cum[c] // sizes[c])
+        )
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["cat", "dog", "the", "sat", "runs", "Dog!"]),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_tx_ngram_lm_matches_bruteforce(spark, texts):
+    import math
+    import re
+
+    from orc_spark.plans.ir_q import tx_ngram_lm
+
+    d = tempfile.mkdtemp(prefix="orc_props_lm_")
+    pdf = pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = [tuple(r) for r in tx_ngram_lm(spark, d).collect()]
+
+    doc_bi = {}
+    for i, text in enumerate(texts):
+        toks = re.findall(r"[a-z]+", text.lower())
+        bi = {}
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+        if bi:
+            doc_bi[i + 1] = bi
+    corpus = {}
+    for bi in doc_bi.values():
+        for g, k in bi.items():
+            corpus[g] = corpus.get(g, 0) + k
+    want = []
+    for doc_id in sorted(doc_bi):
+        bi = doc_bi[doc_id]
+        n_bi = sum(bi.values())
+        sum_cxy = sum(k * corpus[g] for g, k in bi.items())
+        n_novel = sum(1 for g, k in bi.items() if corpus[g] == k)
+        want.append(
+            (doc_id, n_bi, sum_cxy, n_novel, _r6(math.log(sum_cxy / n_bi)))
+        )
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dd_containment_matches_bruteforce(spark, base):
+    """Full-pipeline replay of dd_containment INCLUDING candidate
+    generation: 5-char shingles → h60 → 16 affine perms → 4 band keys →
+    same-band pairs → distinct-trigram containment — all in plain Python
+    (h60_py is the shared, independently-pinned primitive). A copy of
+    doc 1 is planted so at least one (identical-signature) candidate pair
+    always exists and must classify as mutual with containment 1.0."""
+    from orc_spark.functions.hashing import MERSENNE_P, MINHASH_PERMS, h60_py
+    from orc_spark.plans.dedup_q import (
+        CONTAIN_MIN,
+        N_BANDS,
+        NGRAM_N,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+        dd_containment,
+    )
+
+    texts = base + [base[0]]  # planted exact duplicate of doc 1
+    d = tempfile.mkdtemp(prefix="orc_props_dc_")
+    pdf = pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = sorted(tuple(r) for r in dd_containment(spark, d).collect())
+
+    def shingles(t):
+        t = t.lower()
+        return {t[i : i + SHINGLE_K] for i in range(max(len(t) - SHINGLE_K + 1, 1))}
+
+    def sig(t):
+        hs = [h60_py(s) for s in shingles(t)]
+        return [
+            min((a * (h % MERSENNE_P) + b) % MERSENNE_P for h in hs)
+            for a, b in MINHASH_PERMS
+        ]
+
+    def grams(t):
+        t = t.lower()
+        return {t[i : i + NGRAM_N] for i in range(max(len(t) - NGRAM_N + 1, 1))}
+
+    sigs = {i + 1: sig(t) for i, t in enumerate(texts)}
+    bands = {}
+    for doc_id, s in sigs.items():
+        for band in range(N_BANDS):
+            key = (
+                band,
+                ",".join(
+                    str(v)
+                    for v in s[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+                ),
+            )
+            bands.setdefault(key, []).append(doc_id)
+    cand = set()
+    for ids in bands.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                if a != b:
+                    cand.add((min(a, b), max(a, b)))
+    gsets = {i + 1: grams(t) for i, t in enumerate(texts)}
+    want = []
+    for a, b in sorted(cand):
+        inter = len(gsets[a] & gsets[b])
+        c_ab, c_ba = inter / len(gsets[a]), inter / len(gsets[b])
+        if c_ab < CONTAIN_MIN and c_ba < CONTAIN_MIN:
+            continue
+        rel = (
+            "mutual"
+            if c_ab >= CONTAIN_MIN and c_ba >= CONTAIN_MIN
+            else ("a_in_b" if c_ab >= CONTAIN_MIN else "b_in_a")
+        )
+        want.append((a, b, _r6(c_ab), _r6(c_ba), rel))
+    assert got == want
+    # the planted duplicate is always a candidate and fully mutual
+    assert (1, len(texts), 1.0, 1.0, "mutual") in got
