@@ -3471,3 +3471,117 @@ def test_dd_containment_matches_bruteforce(spark, base):
     assert got == want
     # the planted duplicate is always a candidate and fully mutual
     assert (1, len(texts), 1.0, 1.0, "mutual") in got
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_tx_winnow_matches_bruteforce(spark, texts):
+    from functools import reduce
+
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.text_q import WINNOW_K, WINNOW_W, tx_winnow
+
+    d = tempfile.mkdtemp(prefix="orc_props_wn_")
+    pdf = pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = sorted(tuple(r) for r in tx_winnow(spark, d).collect())
+
+    want = []
+    for i, text in enumerate(texts):
+        t = text.lower()
+        n_pos = max(len(t) - WINNOW_K + 1, 1)
+        hs = [h60_py(t[p : p + WINNOW_K]) for p in range(n_pos)]
+        fps = {
+            min(hs[p : p + WINNOW_W]) for p in range(n_pos - WINNOW_W + 1)
+        }
+        if fps:  # docs shorter than one full window emit no fingerprints
+            want.append(
+                (i + 1, len(fps), reduce(lambda a, b: a ^ b, fps), min(fps))
+            )
+    assert got == sorted(want)
+
+
+def _ntile5(n, i):
+    """SQL ntile(5) for 0-based row i of n rows: the first n%5 tiles get
+    one extra row."""
+    q, r = divmod(n, 5)
+    if i < r * (q + 1):
+        return i // (q + 1) + 1
+    return r + (i - r * (q + 1)) // q + 1 if q else r
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=6))
+def test_ev_rfm_matches_bruteforce(spark, user_times):
+    from orc_spark.plans.cdc_q import _RFM_DAY_US, ev_rfm
+
+    TYPES = ["purchase", "view"]
+    vals = {}
+
+    def extra(ui, eid, t):
+        et = TYPES[eid % 2]
+        v = float(eid * 31 % 700)
+        vals[eid] = (et, v)
+        return {"event_type": et, "value": v}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = [tuple(r) for r in ev_rfm(spark, sf).collect()]
+
+    per_user = {}
+    eid = 0
+    for ui, times in enumerate(user_times):
+        uid = ui + 1
+        for t in sorted(times):
+            et, v = vals[eid]
+            if et == "purchase":
+                last, freq, cents = per_user.get(uid, (-1, 0, 0))
+                per_user[uid] = (max(last, t), freq + 1, cents + int(v * 100))
+            eid += 1
+    if not per_user:
+        assert got == []
+        return
+    end = max(last for last, _, _ in per_user.values())
+    rows = {
+        uid: ((end - last) // _RFM_DAY_US, freq, cents)
+        for uid, (last, freq, cents) in per_user.items()
+    }
+    n = len(rows)
+    scores = {uid: [0, 0, 0] for uid in rows}
+    for si, key in enumerate(
+        [
+            lambda u: (rows[u][0], u),           # recency asc
+            lambda u: (-rows[u][1], u),          # freq desc
+            lambda u: (-rows[u][2], u),          # cents desc
+        ]
+    ):
+        for i, uid in enumerate(sorted(rows, key=key)):
+            scores[uid][si] = _ntile5(n, i)
+    cells = {}
+    for uid, (rec, freq, cents) in rows.items():
+        key = tuple(scores[uid])
+        cnt, tot, samp = cells.get(key, (0, 0, None))
+        cells[key] = (
+            cnt + 1,
+            tot + cents,
+            uid if samp is None else min(samp, uid),
+        )
+    want = [
+        (r, f, m, c, t, s) for (r, f, m), (c, t, s) in sorted(cells.items())
+    ]
+    assert got == want
