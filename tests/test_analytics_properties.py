@@ -3585,3 +3585,196 @@ def test_ev_rfm_matches_bruteforce(spark, user_times):
         (r, f, m, c, t, s) for (r, f, m), (c, t, s) in sorted(cells.items())
     ]
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(1, 3),      # custkey
+            st.integers(0, 40),     # order day offset
+            st.integers(1, 10**6),  # price cents
+            st.lists(st.integers(-5, 45), min_size=1, max_size=2),  # ship days
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_cdc_pit_lookup_matches_bruteforce(spark, orders):
+    """AS-OF point-in-time join replay: SCD2 intervals, version ranks and
+    cumulative spend recomputed with plain Python sorting; every 97th-key
+    probe must land in exactly the interval containing its ship date (and
+    ships before a customer's first version must vanish — inner-join
+    semantics)."""
+    import datetime as dt
+
+    from orc_spark.plans.cdc_q import cdc_pit_lookup
+
+    base = dt.date(1995, 1, 1)
+    d = tempfile.mkdtemp(prefix="orc_props_pit_")
+    orows, lrows = [], []
+    for i, (ck, od, price_c, ships) in enumerate(orders):
+        okey = 97 * (i + 1) if i % 3 != 2 else 97 * (i + 1) + 1  # some non-probes
+        orows.append((okey, ck, base + dt.timedelta(days=od), price_c / 100.0))
+        for ln, sd in enumerate(ships):
+            lrows.append((okey, ln + 1, base + dt.timedelta(days=sd)))
+    spark.createDataFrame(
+        orows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        lrows, "l_orderkey long, l_linenumber long, l_shipdate date"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+
+    got = [tuple(r) for r in cdc_pit_lookup(spark, d).collect()]
+
+    def ms(date):
+        return int(
+            dt.datetime(
+                date.year, date.month, date.day, tzinfo=dt.timezone.utc
+            ).timestamp()
+            * 1000
+        )
+
+    hist = {}  # custkey -> [(valid_from, valid_to, version, cum_cents)]
+    by_ck = {}
+    for i, (ck, od, price_c, _ships) in enumerate(orders):
+        okey = 97 * (i + 1) if i % 3 != 2 else 97 * (i + 1) + 1
+        by_ck.setdefault(ck, []).append((base + dt.timedelta(days=od), okey, price_c))
+    for ck, lst in by_ck.items():
+        lst.sort()
+        cum = 0
+        vers = []
+        for v, (od, okey, price_c) in enumerate(lst):
+            cum += price_c
+            vers.append([ms(od), None, v + 1, cum])
+        for a, b in zip(vers, vers[1:]):
+            a[1] = b[0]
+        hist[ck] = vers
+    want = []
+    for i, (ck, od, price_c, ships) in enumerate(orders):
+        okey = 97 * (i + 1) if i % 3 != 2 else 97 * (i + 1) + 1
+        if okey % 97 != 0:
+            continue
+        for ln, sd in enumerate(ships):
+            ship = ms(base + dt.timedelta(days=sd))
+            for vf, vt, ver, cum in hist[ck]:
+                if vf <= ship and (vt is None or ship < vt):
+                    want.append((okey, ln + 1, ck, ship, ver, cum))
+    want.sort()
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=4))
+def test_ts_seasonal_matches_bruteforce(spark, user_times):
+    from orc_spark.plans.timeseries_q import ts_seasonal
+
+    TYPES = ["view", "click", "purchase"]
+    vals = {}
+
+    def extra(ui, eid, t):
+        et = TYPES[eid % 3]
+        v = float(eid * 7 % 41) / 2.0  # exact binary fraction: *1e4 exact
+        vals[eid] = (et, v)
+        return {"event_type": et, "value": v}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = [tuple(r) for r in ts_seasonal(spark, sf).collect()]
+
+    cells = {}
+    eid = 0
+    for times in user_times:
+        for t in sorted(times):
+            et, v = vals[eid]
+            key = (et, (t // 3600000000) % 24)
+            n, s = cells.get(key, (0, 0))
+            cells[key] = (n + 1, s + int(v * 10000))
+            eid += 1
+    totals = {}
+    for (et, _h), (n, s) in cells.items():
+        tn, ts_ = totals.get(et, (0, 0))
+        totals[et] = (tn + n, ts_ + s)
+    want = []
+    for (et, h) in sorted(cells):
+        n, s = cells[(et, h)]
+        tn, ts_ = totals[et]
+        dev = s * tn - ts_ * n
+        want.append((et, h, n, s, _r6(s / n / 10000.0), dev, dev > 0))
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=4))
+def test_dq_drift_matches_bruteforce(spark, user_times):
+    import math
+
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.dq_q import PSI_BINS, dq_drift
+
+    TYPES = ["view", "click"]
+    vals = {}
+
+    def extra(ui, eid, t):
+        et = TYPES[eid % 2]
+        # pin the global span so mx > mn always (bin math stays on the
+        # main path; degenerate spans are test_empty_inputs territory)
+        v = -10.0 if eid == 0 else (110.0 if eid == 1 else float(eid * 13 % 100))
+        vals[eid] = (et, v)
+        return {"event_type": et, "value": v}
+
+    # ensure >= 2 events so both span pins exist
+    user_times = [sorted(set(ts) | {0, 3 * DAY_US}) for ts in user_times]
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = {r["event_type"]: tuple(r) for r in dq_drift(spark, sf).collect()}
+
+    rows = []
+    eid = 0
+    for ui, times in enumerate(user_times):
+        for t in sorted(times):
+            et, v = vals[eid]
+            rows.append((et, t, v))
+            eid += 1
+    mn = min(v for _, _, v in rows)
+    mx = max(v for _, _, v in rows)
+    ts_mid = (min(t for _, t, _ in rows) + max(t for _, t, _ in rows)) // 2
+    binned = {}
+    for et, t, v in rows:
+        b = min(math.floor((v - mn) / (mx - mn) * PSI_BINS), PSI_BINS - 1)
+        cr, cc = binned.get((et, b), (0, 0))
+        if t <= ts_mid:
+            binned[(et, b)] = (cr + 1, cc)
+        else:
+            binned[(et, b)] = (cr, cc + 1)
+    want = {}
+    for et in {k[0] for k in binned}:
+        cells = sorted((b, cr, cc) for (e, b), (cr, cc) in binned.items() if e == et)
+        dr = sum(cr + 1 for _, cr, _ in cells)
+        dc = sum(cc + 1 for _, _, cc in cells)
+        psi = sum(
+            ((cr + 1) / dr - (cc + 1) / dc)
+            * math.log(((cr + 1) / dr) / ((cc + 1) / dc))
+            for _, cr, cc in cells
+        )
+        dig = 0
+        for b, cr, cc in cells:
+            dig ^= h60_py(f"{b}:{cr}:{cc}")
+        want[et] = (
+            et,
+            _r6(psi),
+            sum(cr for _, cr, _ in cells),
+            sum(cc for _, _, cc in cells),
+            dig,
+        )
+    assert got == want
