@@ -3778,3 +3778,157 @@ def test_dq_drift_matches_bruteforce(spark, user_times):
             dig,
         )
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=5))
+def test_ev_funnel_windowed_matches_bruteforce(spark, user_times):
+    from orc_spark.plans.relational3 import FUNNEL_WINDOW_US, ev_funnel_windowed
+
+    TYPES = ["view", "click", "purchase"]
+    vals = {}
+
+    def extra(ui, eid, t):
+        et = TYPES[eid % 3]
+        vals[eid] = et
+        return {"event_type": et}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = [tuple(r) for r in ev_funnel_windowed(spark, sf).collect()]
+    assert len(got) == 1
+
+    W = FUNNEL_WINDOW_US
+    eid = 0
+    by_user = {}
+    for ui, times in enumerate(user_times):
+        uid = ui + 1
+        for t in sorted(times):
+            by_user.setdefault(uid, []).append((t, vals[eid]))
+            eid += 1
+    n1 = n2 = n3 = 0
+    lat_sum = 0
+    for evs in by_user.values():
+        views = [t for t, e in evs if e == "view"]
+        if not views:
+            continue
+        n1 += 1
+        t1 = min(views)
+        clicks = [t for t, e in evs if e == "click" and t1 < t <= t1 + W]
+        if not clicks:
+            continue
+        n2 += 1
+        t2 = min(clicks)
+        purch = [t for t, e in evs if e == "purchase" and t2 < t <= t2 + W]
+        if not purch:
+            continue
+        n3 += 1
+        lat_sum += min(purch) - t1
+    want = (
+        n1,
+        n2,
+        n3,
+        _r6(n2 / n1) if n1 else None,
+        _r6(n3 / n1) if n1 else None,
+        _r6((lat_sum / n3) / 1000000.0) if n3 else None,
+    )
+    # every global eid cycle starts with a view for user 1, so n1 >= 1
+    assert got[0] == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_times=st.lists(times_strategy, min_size=1, max_size=4))
+def test_dq_freshness_matches_bruteforce(spark, user_times):
+    from orc_spark.plans.dq_q import _DAY_US, dq_freshness
+
+    TYPES = ["view", "click", "purchase"]
+    vals = {}
+
+    def extra(ui, eid, t):
+        et = TYPES[eid % 3]
+        vals[eid] = et
+        return {"event_type": et}
+
+    sf = _write_events(spark, _mk_rows(user_times, extra))
+    got = [tuple(r) for r in dq_freshness(spark, sf).collect()]
+
+    rows = []
+    eid = 0
+    for times in user_times:
+        for t in sorted(times):
+            rows.append((vals[eid], t))
+            eid += 1
+    end = max(t for _, t in rows)
+    start = min(t for _, t in rows)
+    span_days = (end - start) // _DAY_US + 1
+    want = []
+    for et in sorted({e for e, _ in rows}):
+        ts_ = [t for e, t in rows if e == et]
+        n_total = len(ts_)
+        last_age_s = (end - max(ts_)) // 1000000
+        recent = sum(1 for t in ts_ if t >= end - 7 * _DAY_US)
+        ratio = (recent * span_days * 100) // (7 * n_total)
+        want.append(
+            (
+                et,
+                n_total,
+                last_age_s,
+                recent,
+                span_days,
+                ratio,
+                last_age_s > 86400,
+                ratio < 50,
+            )
+        )
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["cat", "dog", "the", "sat", "runs"]),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_tx_hashclf_matches_bruteforce(spark, texts):
+    import math
+    import re
+
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.ir_q import CLF_BUCKETS, CLF_W_RANGE, tx_hashclf
+
+    d = tempfile.mkdtemp(prefix="orc_props_clf_")
+    pdf = pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = [tuple(r) for r in tx_hashclf(spark, d).collect()]
+
+    want = []
+    for i, text in enumerate(texts):
+        toks = re.findall(r"[a-z]+", text.lower())
+        if not toks:
+            continue
+        score = sum(
+            h60_py(f"w:{h60_py(tok) % CLF_BUCKETS}") % CLF_W_RANGE - 1000
+            for tok in toks
+        )
+        prob = _r6(1.0 / (1.0 + math.exp(-(score / (1000.0 * len(toks))))))
+        want.append((i + 1, len(toks), score, prob, 1 if score > 0 else 0))
+    assert got == want
