@@ -3932,3 +3932,174 @@ def test_tx_hashclf_matches_bruteforce(spark, texts):
         prob = _r6(1.0 / (1.0 + math.exp(-(score / (1000.0 * len(toks))))))
         want.append((i + 1, len(toks), score, prob, 1 if score > 0 else 0))
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    langs=st.lists(
+        st.sampled_from(["en", "de", "fr", "ja", "sw"]), min_size=1, max_size=40
+    )
+)
+def test_cu_anneal_mixture_matches_bruteforce(spark, langs):
+    import math
+
+    from orc_spark.plans.curation_q import ANNEAL_SCALE, cu_anneal_mixture
+
+    d = tempfile.mkdtemp(prefix="orc_props_am_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1, len(langs) + 1),
+            "text": ["w"] * len(langs),
+            "lang": langs,
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = [tuple(r) for r in cu_anneal_mixture(spark, d).collect()]
+
+    counts = {}
+    for lg in langs:
+        counts[lg] = counts.get(lg, 0) + 1
+    sq = {
+        lg: math.floor(math.sqrt(float(n)) * float(ANNEAL_SCALE) + 0.5)
+        for lg, n in counts.items()
+    }
+    n_tot, sq_tot = sum(counts.values()), sum(sq.values())
+    want = [
+        (
+            lg,
+            counts[lg],
+            _r6(counts[lg] / n_tot),
+            _r6(sq[lg] / sq_tot),
+            _r6((sq[lg] / sq_tot) / (counts[lg] / n_tot)),
+        )
+        for lg in sorted(counts)
+    ]
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=500),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_cu_chunk_matches_bruteforce(spark, texts):
+    import re
+
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.curation_q import CHUNK_LEN, CHUNK_STRIDE, cu_chunk
+
+    d = tempfile.mkdtemp(prefix="orc_props_ck_")
+    pdf = pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = [tuple(r) for r in cu_chunk(spark, d).collect()]
+
+    want = []
+    for i, text in enumerate(texts):
+        for idx, start in enumerate(
+            range(1, max(len(text), 1) + 1, CHUNK_STRIDE)
+        ):
+            chunk = text[start - 1 : start - 1 + CHUNK_LEN]
+            want.append(
+                (
+                    i + 1,
+                    idx,
+                    start,
+                    len(chunk),
+                    len(re.split(r"\s+", chunk.strip())),
+                    h60_py(chunk),
+                )
+            )
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dd_minhash_quality_matches_bruteforce(spark, base):
+    """Full replay of the estimator-QA pipeline: candidates + the 16-perm
+    estimate + exact shingle Jaccard + fixed-point quartile calibration —
+    all in plain Python (a planted duplicate of doc 1 guarantees at least
+    one candidate pair in the top quartile)."""
+    import math
+
+    from orc_spark.functions.hashing import MERSENNE_P, MINHASH_PERMS, h60_py
+    from orc_spark.plans.dedup_q import (
+        MHQ_ERR_SCALE,
+        N_BANDS,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+        dd_minhash_quality,
+    )
+
+    texts = base + [base[0]]
+    d = tempfile.mkdtemp(prefix="orc_props_mq_")
+    pdf = pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = [tuple(r) for r in dd_minhash_quality(spark, d).collect()]
+
+    def shingles(t):
+        t = t.lower()
+        return {t[i : i + SHINGLE_K] for i in range(max(len(t) - SHINGLE_K + 1, 1))}
+
+    def sig(t):
+        hs = [h60_py(s) for s in shingles(t)]
+        return [
+            min((a * (h % MERSENNE_P) + b) % MERSENNE_P for h in hs)
+            for a, b in MINHASH_PERMS
+        ]
+
+    sigs = {i + 1: sig(t) for i, t in enumerate(texts)}
+    shs = {i + 1: shingles(t) for i, t in enumerate(texts)}
+    bands = {}
+    for doc_id, s in sigs.items():
+        for band in range(N_BANDS):
+            key = (band, tuple(s[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]))
+            bands.setdefault(key, []).append(doc_id)
+    cand = set()
+    for ids in bands.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    S = float(MHQ_ERR_SCALE)
+    fp = lambda x: math.floor(x * S + 0.5)  # noqa: E731
+    cells = {}
+    for a, b in sorted(cand):
+        est = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) / len(sigs[a])
+        inter = len(shs[a] & shs[b])
+        exact = inter / (len(shs[a]) + len(shs[b]) - inter)
+        err = abs(est - exact)
+        q = min(math.floor(est * 4.0), 3)
+        n, se, sx, serr, mx = cells.get(q, (0, 0, 0, 0, 0.0))
+        cells[q] = (n + 1, se + fp(est), sx + fp(exact), serr + fp(err), max(mx, err))
+    want = [
+        (q, n, _r6(se / n / S), _r6(sx / n / S), _r6(serr / n / S), _r6(mx))
+        for q, (n, se, sx, serr, mx) in sorted(cells.items())
+    ]
+    assert got == want
+    assert any(q == 3 for q, *_ in got)  # the planted duplicate pair
