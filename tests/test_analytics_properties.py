@@ -4103,3 +4103,168 @@ def test_dd_minhash_quality_matches_bruteforce(spark, base):
     ]
     assert got == want
     assert any(q == 3 for q, *_ in got)  # the planted duplicate pair
+
+
+def _gopher_py(text):
+    """Plain-Python Gopher signals (spec re-derivation, independent of
+    orc_spark.plans.text_q.gopher_signals)."""
+    import re
+
+    from orc_spark.plans.text_q import (
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    n_words = len(re.split(r"\s+", text.strip()))
+    n_space = text.count(" ")
+    mwl = (len(text) - n_space) / n_words
+    symbol_ratio = len(re.findall(r"#|\.\.\.", text)) / n_words
+    alpha_frac = len(re.findall(r"[^ ]*[a-z][^ ]*", text)) / n_words
+    padded = f" {text} "
+    n_stop = sum(1 for w in GOPHER_STOPWORDS if f" {w} " in padded)
+    passes = (
+        GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS,
+        GOPHER_MIN_MWL <= mwl <= GOPHER_MAX_MWL,
+        symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        alpha_frac >= GOPHER_MIN_ALPHA_FRAC,
+        n_stop >= GOPHER_MIN_STOPWORDS,
+    )
+    return n_words, mwl, symbol_ratio, alpha_frac, n_stop, passes
+
+
+gopher_text = st.lists(
+    st.sampled_from(
+        ["the", "of", "cat", "dog#", "...", "a", "to", "interdisciplinary", "xx", "#"]
+    ),
+    min_size=1,
+    max_size=60,
+).map(" ".join)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(gopher_text, min_size=1, max_size=8))
+def test_tx_gopher_quality_matches_bruteforce(spark, texts):
+    from orc_spark.plans.text_q import tx_gopher_quality
+
+    d = tempfile.mkdtemp(prefix="orc_props_gq_")
+    pdf = pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = sorted(tuple(r) for r in tx_gopher_quality(spark, d).collect())
+
+    want = []
+    for i, text in enumerate(texts):
+        n_words, mwl, sym, alpha, n_stop, p = _gopher_py(text)
+        want.append(
+            (
+                i + 1,
+                n_words,
+                _r6(mwl),
+                _r6(sym),
+                _r6(alpha),
+                n_stop,
+                *p,
+                all(p),
+            )
+        )
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.one_of(st.none(), gopher_text),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_cu_corpus_report_matches_bruteforce(spark, base):
+    """Capstone replay: the one-row corpus health report recomputed from
+    raw texts — exact-dup accounting, the full MinHash LSH pipeline for
+    near-dup pairs, Gopher fail count, token totals — with a planted
+    duplicate of doc 1 (when non-null) guaranteeing both an exact dup and
+    a near-dup candidate."""
+    import re
+
+    from orc_spark.functions.hashing import MERSENNE_P, MINHASH_PERMS, h60_py
+    from orc_spark.plans.curation_q import REPORT_NEAR_DUP_EST, cu_corpus_report
+    from orc_spark.plans.dedup_q import (
+        N_BANDS,
+        N_PERM,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+    )
+
+    texts = base + [base[0]]
+    d = tempfile.mkdtemp(prefix="orc_props_cr_")
+    rows = [(i + 1, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = [tuple(r) for r in cu_corpus_report(spark, d).collect()]
+    assert len(got) == 1
+
+    nn = [t for t in texts if t is not None]
+    n_docs = len(texts)
+    n_null = len(texts) - len(nn)
+    n_digests = len(set(nn))
+    # Spark sum() over zero non-null rows is NULL, not 0 — mirror it
+    total_tokens = (
+        sum(len(re.split(r"\s+", t.strip())) for t in nn) if nn else None
+    )
+    n_gopher_fail = (
+        sum(1 for t in nn if not all(_gopher_py(t)[5])) if nn else None
+    )
+
+    def shingles(t):
+        t = t.lower()
+        return {t[i : i + SHINGLE_K] for i in range(max(len(t) - SHINGLE_K + 1, 1))}
+
+    def sig(t):
+        hs = [h60_py(s) for s in shingles(t)]
+        return [
+            min((a * (h % MERSENNE_P) + b) % MERSENNE_P for h in hs)
+            for a, b in MINHASH_PERMS
+        ]
+
+    sigs = {i + 1: sig(t) for i, t in enumerate(texts) if t is not None}
+    bands = {}
+    for doc_id, s in sigs.items():
+        for band in range(N_BANDS):
+            key = (band, tuple(s[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]))
+            bands.setdefault(key, []).append(doc_id)
+    cand = set()
+    for ids in bands.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    n_near = sum(
+        1
+        for a, b in cand
+        if sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) / N_PERM
+        >= REPORT_NEAR_DUP_EST
+    )
+    want = (
+        n_docs,
+        n_null,
+        n_docs - n_null - n_digests,
+        n_near,
+        n_gopher_fail,
+        total_tokens,
+    )
+    assert got[0] == want
