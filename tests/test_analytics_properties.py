@@ -4268,3 +4268,166 @@ def test_cu_corpus_report_matches_bruteforce(spark, base):
         total_tokens,
     )
     assert got[0] == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.lists(
+            st.sampled_from(["cat", "dog", "the", "sat", "runs", "x#y"]),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dd_simhash_and_pairs_match_bruteforce(spark, base):
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.dedup_q import SIMHASH_BITS, dd_simhash, dd_simhash_pairs
+
+    texts = base + [base[0]]  # planted duplicate → a guaranteed hamming-0 pair
+    d = tempfile.mkdtemp(prefix="orc_props_sh_")
+    pdf = pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got_sig = sorted(tuple(r) for r in dd_simhash(spark, d).collect())
+    got_pairs = sorted(tuple(r) for r in dd_simhash_pairs(spark, d).collect())
+
+    sigs = {}
+    for i, text in enumerate(texts):
+        toks = [t for t in text.lower().split() if t]  # \s+ split, drop ''
+        if not toks:
+            continue
+        sh = 0
+        for b in range(SIMHASH_BITS):
+            w = sum(1 if (h60_py(t) >> b) & 1 else -1 for t in toks)
+            if w > 0:
+                sh |= 1 << b
+        sigs[i + 1] = sh
+    assert got_sig == sorted(sigs.items())
+
+    bands = {}
+    for doc_id, sh in sigs.items():
+        for b in range(4):
+            bands.setdefault((b, (sh >> (15 * b)) & 0x7FFF), []).append(doc_id)
+    pairs = set()
+    for ids in bands.values():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b_ = min(ids[i], ids[j]), max(ids[i], ids[j])
+                hd = bin(sigs[a] ^ sigs[b_]).count("1")
+                if hd <= 3:
+                    pairs.add((a, b_, hd))
+    assert got_pairs == sorted(pairs)
+    if base[0].strip():
+        assert (1, len(texts), 0) in pairs  # the planted duplicate
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(1, 500),   # orderkey
+            st.integers(1, 7),     # linenumber
+            st.integers(1, 10**6), # price quarters
+            st.integers(1, 100),   # qty halves
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_dp_sample_matches_bruteforce(spark, items):
+    import hashlib
+
+    from orc_spark.plans.relational3 import SAMPLE_BUCKETS, dp_sample
+
+    d = tempfile.mkdtemp(prefix="orc_props_ds_")
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": [r[0] for r in items],
+            "l_linenumber": [r[1] for r in items],
+            "l_extendedprice": [r[2] / 4.0 for r in items],  # exact binary
+            "l_quantity": [r[3] / 2.0 for r in items],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet")
+    )
+    got = [tuple(r) for r in dp_sample(spark, d).collect()]
+
+    kept = [
+        r
+        for r in items
+        if int(hashlib.md5(f"{r[0]}-{r[1]}".encode()).hexdigest()[:15], 16)
+        % SAMPLE_BUCKETS
+        == 0
+    ]
+    want = (
+        len(kept),
+        sum(r[2] / 4.0 for r in kept) if kept else None,
+        (sum(r[3] / 2.0 for r in kept) / len(kept)) if kept else None,
+    )
+    assert got == [want]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "zh", "es", "it"]),  # it → DEFAULT_PCT
+            st.integers(0, 5000),                       # n_chars
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_dp_stratified_matches_bruteforce(spark, docs):
+    import hashlib
+
+    from orc_spark.plans.relational3 import (
+        DEFAULT_PCT,
+        SAMPLE_BUCKETS,
+        STRATA_PCT,
+        dp_stratified,
+    )
+
+    d = tempfile.mkdtemp(prefix="orc_props_dst_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1, len(docs) + 1),
+            "text": ["w"] * len(docs),
+            "lang": [r[0] for r in docs],
+            "n_chars": [r[1] for r in docs],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = sorted(tuple(r) for r in dp_stratified(spark, d).collect())
+
+    agg = {}
+    for i, (lang, n_chars) in enumerate(docs):
+        bucket = (
+            int(hashlib.md5(str(i + 1).encode()).hexdigest()[:15], 16)
+            % SAMPLE_BUCKETS
+        )
+        keep = bucket < STRATA_PCT.get(lang, DEFAULT_PCT)
+        tot, ns, sc = agg.get(lang, (0, 0, 0))
+        agg[lang] = (tot + 1, ns + keep, sc + (n_chars if keep else 0))
+    want = sorted((lg, t, ns, sc) for lg, (t, ns, sc) in agg.items())
+    assert got == want
