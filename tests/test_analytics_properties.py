@@ -4431,3 +4431,49 @@ def test_dp_stratified_matches_bruteforce(spark, docs):
         agg[lang] = (tot + 1, ns + keep, sc + (n_chars if keep else 0))
     want = sorted((lg, t, ns, sc) for lg, (t, ns, sc) in agg.items())
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(-8, 8).map(float), min_size=4, max_size=4
+        ).filter(lambda v: any(x != 0.0 for x in v)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_ann_topk_matches_bruteforce(spark, vecs):
+    """Exact cosine top-k replay: normalize + dot + round-6 + (cos desc,
+    neighbor asc) ranking recomputed per query with plain numpy on the raw
+    vectors — independent of the broadcast/matmul/partition-top-k plumbing
+    (including the +8 tie headroom at the per-partition cut)."""
+    import numpy as np
+
+    from orc_spark.plans.dedup_q import ANN_K, ANN_N_QUERIES, ann_topk
+
+    d = tempfile.mkdtemp(prefix="orc_props_ann_")
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(v) for v in vecs]}
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    got = sorted(tuple(r) for r in ann_topk(spark, d).collect())
+
+    m = np.asarray(vecs, dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    want = []
+    for q in range(min(ANN_N_QUERIES, len(vecs))):
+        sims = np.round(m[q] @ m.T, 6)
+        order = sorted(
+            (i for i in range(len(vecs)) if i != q),
+            key=lambda i: (-sims[i], i),
+        )
+        for rank, i in enumerate(order[:ANN_K], start=1):
+            want.append((q, i, float(sims[i]), rank))
+    assert got == sorted(want)
