@@ -165,9 +165,9 @@ def test_io_orc_skipping_skips_strides(spark, sf_mid):
 
     # measure on the bare filtered scan (no aggregate): an AQE plan hides
     # executed-stage metrics behind AdaptiveSparkPlanExec, but the scan
-    # and its skipping behavior are identical. Min-of-2 fresh probes: a
-    # task retry on a contended host double-counts numOutputRows (one
-    # flaky suite failure observed), and a retry can only INFLATE the
+    # and its skipping behavior are identical. Min-of-3 fresh probes: a
+    # task retry on a contended host double-counts numOutputRows (two
+    # flaky suite failures observed), and a retry can only INFLATE the
     # metric, so the min is the true decode count.
     def _sorted_probe():
         return _orc_scan_output_rows(
@@ -176,8 +176,12 @@ def test_io_orc_skipping_skips_strides(spark, sf_mid):
             )
         )
 
-    sorted_rows = min(_sorted_probe(), _sorted_probe())
-    assert 0 < sorted_rows <= 0.25 * total, (sorted_rows, total)
+    sorted_rows = min(_sorted_probe() for _ in range(3))
+    # bound = worst case TWO of the 8 range-sorted files decode (the probe
+    # window straddling a file boundary): 2/8 plus boundary slop. The r09
+    # flake was exactly this — 15666/60000 = 0.261 against a 0.25 bound.
+    # Still a 2.6x margin to the unsorted control's >= 0.9 floor below.
+    assert 0 < sorted_rows <= 0.34 * total, (sorted_rows, total)
 
     # control: unsorted layout, same data, same probe → no skipping possible
     upath = os.path.join(tempfile.mkdtemp(prefix="orc_unsorted_"), "li")
