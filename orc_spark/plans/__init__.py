@@ -44,44 +44,15 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # r09 head, per VERDICT r08 directive 1 (exactly 50 slots):
-    # (a) io_orc_skipping FIRST — the only registry query with no driver
-    #     row ever (new in r08, overflowed that round's budget at gate
-    #     position 51; judge hash-verified it at sf0.01 but the driver row
-    #     is the hard signal):
-    "io_orc_skipping",
-    # (b) the 13 queries whose newest green driver row is r04 — staleness
-    #     order carried from the r08 deferred list:
-    "r15_idle_customers", "dq_benford", "ev_ab_test", "st_hysteresis",
-    "ts_crossings", "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv",
-    "ev_paths", "tx_ngram_lm", "dq_kanon", "ts_mannkendall",
-    # (c) the 36 oldest r06-stale rows (prefix of the r08 deferred list's
-    #     r06 section — after this round no query's newest green row may
-    #     be older than r06):
-    "st_goertzel", "r16_big_orders", "r17_nation_volume",
-    "r18_returned_items", "r19_promo_share", "r20_bracket_revenue",
-    "st_holt", "ev_rfm", "dq_freshness", "ev_concurrency", "ts_seasonal",
-    "mb_rules", "ev_survival", "cdc_pit_lookup", "r21_null_semantics",
-    "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
-    "gr_kcore", "st_token_bucket", "st_bursts", "dd_embcos", "dd_cluster",
-    "dd_keepbest", "tx_fingerprint", "tx_redact", "dp_profile",
-    "ann_srp_pairs", "tx_gopher_quality", "ts_m4", "sk_theta_ops",
-    "ev_funnel_windowed", "dd_minhash_quality", "ann_recall_eval",
-    "cu_anneal_mixture",
-]
-_DEFERRED_LAST = [
-    # Tier 2 proper, staleness-ordered (absorbing any budget slack first):
-    # ts_autocorr leads — its plan was REWRITTEN this round (per-lag
-    # groupBy union → single-pass stack unpivot) and a changed plan wants
-    # fresh driver evidence even though its r08 row is green and the
-    # values/hash are unchanged (parity re-verified at sf0.001/sf0.01).
-    "ts_autocorr",
-    # the 12 remaining r06 greens (tail of the r08 deferred r06 section):
+    # r10 head, per VERDICT r09 directive 1 (exactly 50 slots — the
+    # mechanical prefix-take the r09 deferred-tail ordering was built for):
+    # (a) the 12 queries whose newest green driver row is r06 — after this
+    #     round no query's newest green row may be older than r07:
     "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
     "gr_bfs", "gr_linkpred", "ts_theilsen", "dd_semdedup", "io_compaction",
     "tx_zipf", "tx_hashclf", "gr_label_prop", "ev_feature_snapshot",
-    # r07 head greens (these 50 are the natural r10 head after the 12
-    # above — the rotation stays a mechanical prefix-take):
+    # (b) the 38 oldest r07-greens (prefix of the r09 deferred list's r07
+    #     section):
     "dd_substring", "dq_referential", "cu_corpus_report",
     "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
     "dd_simhash_pairs",
@@ -92,11 +63,20 @@ _DEFERRED_LAST = [
     "ts_groupmeans", "ts_welch", "ts_welch_p", "ts_deadband",
     "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
     "ts_resample", "ts_e2e_report", "r8_tumbling", "r8b_sliding",
-    "r8c_sessions", "tr_hier_rollup", "io_orc_roundtrip", "cu_pipeline",
+    "r8c_sessions", "tr_hier_rollup",
+]
+_DEFERRED_LAST = [
+    # Tier 2 proper, staleness-ordered so the r11 head is again a prefix:
+    # the 12 remaining r07 greens (tail of the r09 deferred r07 section):
+    "io_orc_roundtrip", "cu_pipeline",
     "cu_budget", "mm_audio_windows", "tx_winnow", "sk_countmin",
     "dd_ngram_jaccard", "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
     "r3_shipping_priority", "r4_rollup",
-    # r08 head greens (freshest signal = weakest marginal value):
+    # r08 greens. ts_autocorr leads the tier: its plan was rewritten in r09
+    # (per-lag groupBy union → single-pass stack unpivot) and a changed plan
+    # wants fresh driver evidence even though its r08 row is green and the
+    # values/hash are unchanged (parity re-verified at sf0.001/sf0.01/sf0.1).
+    "ts_autocorr",
     "r5_window_topk", "r5b_range_frame", "r6_setops", "r7_scalar_battery",
     "r7b_dates", "r7c_json_map", "r9_scalar_subquery", "r10_outer_hist",
     "r11_stats_agg", "r12_unpivot", "r_pivot",
@@ -112,6 +92,21 @@ _DEFERRED_LAST = [
     "gr_pagerank", "ann_pq", "sk_histq", "ts_lttb", "dd_containment",
     "io_zorder", "dq_drift", "r13_top_supplier", "r14_waiting_supplier",
     "ev_sessionize", "cu_split", "ev_rolling_uniques",
+    # r09 head greens (freshest signal = weakest marginal value):
+    "io_orc_skipping",
+    "r15_idle_customers", "dq_benford", "ev_ab_test", "st_hysteresis",
+    "ts_crossings", "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv",
+    "ev_paths", "tx_ngram_lm", "dq_kanon", "ts_mannkendall",
+    "st_goertzel", "r16_big_orders", "r17_nation_volume",
+    "r18_returned_items", "r19_promo_share", "r20_bracket_revenue",
+    "st_holt", "ev_rfm", "dq_freshness", "ev_concurrency", "ts_seasonal",
+    "mb_rules", "ev_survival", "cdc_pit_lookup", "r21_null_semantics",
+    "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
+    "gr_kcore", "st_token_bucket", "st_bursts", "dd_embcos", "dd_cluster",
+    "dd_keepbest", "tx_fingerprint", "tx_redact", "dp_profile",
+    "ann_srp_pairs", "tx_gopher_quality", "ts_m4", "sk_theta_ops",
+    "ev_funnel_windowed", "dd_minhash_quality", "ann_recall_eval",
+    "cu_anneal_mixture",
 ]
 
 
