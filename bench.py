@@ -353,6 +353,16 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"# oracle timing skipped: {e}", file=sys.stderr)
     _sample_load("end")
+    # self-labeling contention flag (VERDICT r09 directive 4): the "start"
+    # sample is taken after the idle-wait and before any bench work, so
+    # load1 > 1.0 there means EXTERNAL load survived the wait — the r09
+    # artifact of record started at load1 2.96 and its oracle side ran 31%
+    # slow. Ratio comparisons across rounds should only pair like-labeled
+    # runs. None (not false) when the sample itself failed.
+    start_load = next(
+        (s["load1"] for s in load_samples if s["at"] == "start"), None
+    )
+    contended = None if start_load is None else bool(start_load > 1.0)
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # full detail goes to disk (the driver's stdout capture keeps only a
@@ -375,6 +385,7 @@ def main() -> None:
         # audit trail (see CLAUDE.md: judge by Spark:oracle RATIO, and use
         # these samples to label a run contended)
         "load_samples": load_samples,
+        "contended": contended,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -394,6 +405,9 @@ def main() -> None:
         # top-8 slowest only — full map is in BENCH_DETAIL.json
         "queries": slowest,
         "sf": float(sf) if sf else None,
+        # start-sample external-load label; pair only like-labeled runs
+        # when comparing Spark:oracle ratios across rounds
+        "contended": contended,
         # second scale point (sf0.01) for the same headline shapes: the
         # cross-sf SLOPE is the scale-regression signal
         "sf2_queries": sf2_secs,

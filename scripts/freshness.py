@@ -1,7 +1,10 @@
 """Gate-evidence freshness report: for every registry query, the newest
-round whose CORRECTNESS_r*.json recorded a green (hash- or rows-match)
-driver row. This is the input to each round's rotation decision
-(COVERAGE.md §gate) — run it at round start to pick the next head.
+round whose CORRECTNESS_r*.json recorded a green driver row. Green means
+hash_match when a hash was recorded; rows_match is only a FALLBACK when
+hash_match is null (non-SQL-expressible ops) — a row with hash_match=False
+never counts green, even if row counts agreed. This is the input to each
+round's rotation decision (COVERAGE.md §gate) — run it at round start to
+pick the next head.
 
 Usage: python scripts/freshness.py [--stale-only]
 """
@@ -43,13 +46,15 @@ def main() -> None:
     for rnd in sorted(hist):
         print(f"  r{rnd:02d}: {hist[rnd]}")
     floor = min((r for r in hist if r > 0), default=0)
-    print(f"\nqueries at the floor (r{floor:02d}) or with no row, registry order:")
+    if stale_only:
+        print(f"\nqueries at the floor (r{floor:02d}) or with no row, registry order:")
+    else:
+        print("\nall queries, registry order:")
     for n in names:
         r = green.get(n, 0)
-        if r == 0 or r == floor or not stale_only:
-            if stale_only and r not in (0, floor):
-                continue
-            print(f"  {n}: {'NONE' if r == 0 else f'r{r:02d}'}")
+        if stale_only and r not in (0, floor):
+            continue
+        print(f"  {n}: {'NONE' if r == 0 else f'r{r:02d}'}")
 
 
 if __name__ == "__main__":

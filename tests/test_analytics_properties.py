@@ -3114,7 +3114,15 @@ def test_graph_family_hand_computed_fixture(spark):
     core degree 6 (spokes 7, 8, 20 peel off, one effective round). BFS:
     hop0={20}, hop1={1}, hop2={2..6,50}, hop3={7,8}, nothing unreached.
     Label prop converges to ONE community of all 10 nodes."""
-    from orc_spark.plans.graph_q import gr_bfs, gr_kcore, gr_triangles
+    import functools
+
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.graph_q import (
+        gr_bfs,
+        gr_kcore,
+        gr_label_prop,
+        gr_triangles,
+    )
 
     baskets = (
         [[1, 2, 3, 4, 5, 6]] * 3
@@ -3138,6 +3146,13 @@ def test_graph_family_hand_computed_fixture(spark):
     # is in C(5,2)=10 clique + 5 hub triangles, the hub in all 15 hub ones
     assert tri == {1: 15, 2: 15, 3: 15, 4: 15, 5: 15, 6: 15, 50: 15,
                    7: 0, 8: 0, 20: 0}
+
+    comms = [tuple(r) for r in gr_label_prop(spark, sf).collect()]
+    all10 = functools.reduce(
+        lambda a, b: a ^ b,
+        (h60_py(str(n)) for n in [1, 2, 3, 4, 5, 6, 7, 8, 20, 50]),
+    )
+    assert comms == [(1, 10, all10)]
 
 
 # --- r09 head replays: dq_benford / dq_kanon / ts_crossings -------------------
@@ -4477,3 +4492,115 @@ def test_ann_topk_matches_bruteforce(spark, vecs):
         for rank, i in enumerate(order[:ANN_K], start=1):
             want.append((q, i, float(sims[i]), rank))
     assert got == sorted(want)
+
+
+# --- r10: ts_autocorr replay (VERDICT r09 directive 5) ------------------------
+#
+# The one plan rewritten in r09 (per-lag groupBy union -> single-pass stack
+# unpivot) had no oracle-independent check: its evidence was the mirrored
+# fixed-point SQL + the driver hash. This is a plain-Python lag-aligned
+# Pearson on hypothesis fixtures, exercising ragged series (runs shorter
+# than the lag emit NO row) and the degenerate constant-series case.
+
+
+def _bf_autocorr(series_by_user, lags, scale):
+    """Plain-Python lag-k Pearson in the query's fixed-point arithmetic:
+    x = floor(value*scale) exact ints, ONE float expression at the end."""
+    import math
+
+    out = {}
+    for u, vals in series_by_user.items():
+        xs = [math.floor(v * scale) for v in vals]
+        for k in lags:
+            pairs = [(xs[i], xs[i - k]) for i in range(k, len(xs))]
+            if not pairs:
+                continue  # lag filter leaves no rows -> no output row
+            n = len(pairs)
+            sx = sum(p[0] for p in pairs)
+            sy = sum(p[1] for p in pairs)
+            sxy = sum(p[0] * p[1] for p in pairs)
+            sxx = sum(p[0] * p[0] for p in pairs)
+            syy = sum(p[1] * p[1] for p in pairs)
+            num = float(n * sxy - sx * sy)
+            den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+            # den == 0 (a constant side) forces num == 0 (Cauchy-Schwarz):
+            # 0.0/0.0 is NaN in Spark double math -> represent as None
+            out[(u, k)] = (n, None if den == 0.0 else _r6(num / den))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ts_autocorr_matches_bruteforce(spark, user_times, seed):
+    from orc_spark.plans.timeseries_q import AC_LAGS, AC_SCALE, ts_autocorr
+
+    rng = np.random.default_rng(seed)
+
+    def extra(ui, eid, t):
+        return {"value": float(rng.integers(-5000, 5000)) / 100.0}
+
+    rows = _mk_rows(user_times, extra)
+    series = {}
+    for r in rows:  # _mk_rows emits each user's rows already time-sorted
+        series.setdefault(r["user_id"], []).append(r["value"])
+    want = _bf_autocorr(series, AC_LAGS, AC_SCALE)
+
+    sf = _write_events(spark, rows)
+    got = {
+        (r["user_id"], r["lag"]): (r["n_pairs"], r["autocorr"])
+        for r in ts_autocorr(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for key, (n, r_exp) in want.items():
+        n_got, r_got = got[key]
+        assert n_got == n
+        if r_exp is None:
+            assert r_got is None or r_got != r_got  # NULL or NaN
+        else:
+            assert r_got == r_exp
+
+
+def test_ts_autocorr_degenerate_constant_series(spark):
+    """A constant-value user has zero variance at every lag: n_pairs still
+    counts the aligned pairs but the Pearson denominator is 0 -> NaN/NULL.
+    A varied user alongside it must be unaffected."""
+    from orc_spark.plans.timeseries_q import AC_LAGS, AC_SCALE, ts_autocorr
+
+    user_times = [
+        [i * 1000000 for i in range(8)],   # user 1: constant value
+        [i * 1000000 for i in range(10)],  # user 2: alternating value
+    ]
+    vals = {1: [7.25] * 8, 2: [(-1.5 if i % 2 else 3.75) for i in range(10)]}
+    counters = {}
+
+    def extra(ui, eid, t):
+        i = counters.get(ui, 0)
+        counters[ui] = i + 1
+        return {"value": vals[ui + 1][i]}
+
+    rows = _mk_rows(user_times, extra)
+    want = _bf_autocorr(vals, AC_LAGS, AC_SCALE)
+    sf = _write_events(spark, rows)
+    got = {
+        (r["user_id"], r["lag"]): (r["n_pairs"], r["autocorr"])
+        for r in ts_autocorr(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for key, (n, r_exp) in want.items():
+        n_got, r_got = got[key]
+        assert n_got == n
+        if r_exp is None:
+            assert r_got is None or r_got != r_got
+        else:
+            assert r_got == r_exp
+    # the alternating series is perfectly anti-correlated at lag 1,
+    # perfectly correlated at lag 2
+    assert got[(2, 1)][1] == -1.0
+    assert got[(2, 2)][1] == 1.0

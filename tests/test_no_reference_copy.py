@@ -9,8 +9,12 @@ dash/star runs) and windows that are mostly indentation (< 25 non-whitespace
 chars — e.g. a bare `except ValueError:` line, four tokens of standard
 Python). A genuinely copied code line is dense; it passes neither filter.
 
-Stride 7 on the reference side means an overlap is guaranteed to be caught
-once it spans >= 55 + 6 = 61 characters; the repo side scans every offset.
+Stride 7 on the reference side means a SIGNAL-DENSE overlap is guaranteed
+to be caught once it spans >= 55 + 6 = 61 characters; the repo side scans
+every offset. The guarantee does not extend to overlaps whose stride-aligned
+windows are themselves filtered out (separator-run or indentation-dominated
+regions) — those can slip through, which is acceptable because they carry no
+copyable logic.
 """
 
 import collections
