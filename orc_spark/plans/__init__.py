@@ -44,39 +44,18 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # r10 head, per VERDICT r09 directive 1 (exactly 50 slots — the
-    # mechanical prefix-take the r09 deferred-tail ordering was built for):
-    # (a) the 12 queries whose newest green driver row is r06 — after this
-    #     round no query's newest green row may be older than r07:
-    "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
-    "gr_bfs", "gr_linkpred", "ts_theilsen", "dd_semdedup", "io_compaction",
-    "tx_zipf", "tx_hashclf", "gr_label_prop", "ev_feature_snapshot",
-    # (b) the 38 oldest r07-greens (prefix of the r09 deferred list's r07
-    #     section):
-    "dd_substring", "dq_referential", "cu_corpus_report",
-    "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
-    "dd_simhash_pairs",
-    "ann_topk", "ann_ivf", "ann_bruteforce_fast", "approx_sketches",
-    "dp_sample", "dp_stratified", "mm_frame_sample", "r4b_cube",
-    "r5c_rank_battery", "rj_range_join", "sk_hll_merge", "sk_salted_agg",
-    "aj_asof_join", "ts_medfilt", "ts_gradient", "ts_runstats",
-    "ts_groupmeans", "ts_welch", "ts_welch_p", "ts_deadband",
-    "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
-    "ts_resample", "ts_e2e_report", "r8_tumbling", "r8b_sliding",
-    "r8c_sessions", "tr_hier_rollup",
-]
-_DEFERRED_LAST = [
-    # Tier 2 proper, staleness-ordered so the r11 head is again a prefix:
-    # the 12 remaining r07 greens (tail of the r09 deferred r07 section):
+    # r11 head, per VERDICT r10 directive 3 (exactly 50 slots):
+    # (a) ts_autocorr FIRST — changed code this round (ANSI divide-by-zero
+    #     fix on zero-variance series, timeseries_q.py) outranks staleness;
+    "ts_autocorr",
+    # (b) the 12 queries whose newest green driver row is r07 — after this
+    #     round no query's newest green row may be older than r08:
     "io_orc_roundtrip", "cu_pipeline",
     "cu_budget", "mm_audio_windows", "tx_winnow", "sk_countmin",
     "dd_ngram_jaccard", "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
     "r3_shipping_priority", "r4_rollup",
-    # r08 greens. ts_autocorr leads the tier: its plan was rewritten in r09
-    # (per-lag groupBy union → single-pass stack unpivot) and a changed plan
-    # wants fresh driver evidence even though its r08 row is green and the
-    # values/hash are unchanged (parity re-verified at sf0.001/sf0.01/sf0.1).
-    "ts_autocorr",
+    # (c) the 37 oldest r08-greens (prefix of the r10 deferred list's r08
+    #     section, ts_autocorr already promoted above):
     "r5_window_topk", "r5b_range_frame", "r6_setops", "r7_scalar_battery",
     "r7b_dates", "r7c_json_map", "r9_scalar_subquery", "r10_outer_hist",
     "r11_stats_agg", "r12_unpivot", "r_pivot",
@@ -89,6 +68,10 @@ _DEFERRED_LAST = [
     "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
     "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
     "ev_transitions",
+]
+_DEFERRED_LAST = [
+    # Tier 2 proper, staleness-ordered so the r12 head is again a prefix:
+    # the 12 remaining r08 greens:
     "gr_pagerank", "ann_pq", "sk_histq", "ts_lttb", "dd_containment",
     "io_zorder", "dq_drift", "r13_top_supplier", "r14_waiting_supplier",
     "ev_sessionize", "cu_split", "ev_rolling_uniques",
@@ -107,6 +90,21 @@ _DEFERRED_LAST = [
     "ann_srp_pairs", "tx_gopher_quality", "ts_m4", "sk_theta_ops",
     "ev_funnel_windowed", "dd_minhash_quality", "ann_recall_eval",
     "cu_anneal_mixture",
+    # r10 head greens (the freshest rows in the registry):
+    "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
+    "gr_bfs", "gr_linkpred", "ts_theilsen", "dd_semdedup", "io_compaction",
+    "tx_zipf", "tx_hashclf", "gr_label_prop", "ev_feature_snapshot",
+    "dd_substring", "dq_referential", "cu_corpus_report",
+    "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
+    "dd_simhash_pairs",
+    "ann_topk", "ann_ivf", "ann_bruteforce_fast", "approx_sketches",
+    "dp_sample", "dp_stratified", "mm_frame_sample", "r4b_cube",
+    "r5c_rank_battery", "rj_range_join", "sk_hll_merge", "sk_salted_agg",
+    "aj_asof_join", "ts_medfilt", "ts_gradient", "ts_runstats",
+    "ts_groupmeans", "ts_welch", "ts_welch_p", "ts_deadband",
+    "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
+    "ts_resample", "ts_e2e_report", "r8_tumbling", "r8b_sliding",
+    "r8c_sessions", "tr_hier_rollup",
 ]
 
 

@@ -1031,7 +1031,12 @@ def ann_srp_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
     na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("nrm_a"))
     nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nrm_b"))
-    cos = F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    # zero-norm guard (constant-value sweep, r11): a zero vector makes the
+    # cosine denominator exactly 0.0 and num/den THROWS under ANSI mode;
+    # NULL cos_sim fails the threshold filter, so the undefined pair drops.
+    cos = F.round(
+        F.col("dot") / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)), 6
+    )
     return (
         pair_dots.join(na, "vec_a")
         .join(nb, "vec_b")
@@ -1081,11 +1086,11 @@ pair_dots AS (
   JOIN flat fb ON fb.vec_id = c.vec_b AND fb.i = fa.i
   GROUP BY 1, 2
 )
-SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+SELECT vec_a, vec_b, round(dot / NULLIF(na.nrm * nb.nrm, 0), 6) AS cos_sim
 FROM pair_dots
 JOIN norms na ON na.vec_id = vec_a
 JOIN norms nb ON nb.vec_id = vec_b
-WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COS_THRESHOLD}
+WHERE round(dot / NULLIF(na.nrm * nb.nrm, 0), 6) >= {COS_THRESHOLD}
 """
 
 
@@ -1106,11 +1111,15 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     retr = ann_srp_pairs(spark, sf)
     tc = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     rc = retr.agg(F.count(F.lit(1)).alias("n_retrieved"))
+    # n_truth == 0 guard (constant-value sweep, r11): an all-degenerate
+    # corpus (e.g. zero embeddings) has no truth pairs and recall is
+    # undefined — NULL, not an ANSI DIVIDE_BY_ZERO.
     return tc.crossJoin(rc).select(
         "n_truth",
         "n_retrieved",
         F.round(
-            F.col("n_retrieved").cast("double") / F.col("n_truth").cast("double"),
+            F.col("n_retrieved").cast("double")
+            / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0)),
             6,
         ).alias("recall"),
     )
@@ -1122,7 +1131,8 @@ srp AS ({ANN_SRP_SQL}),
 tc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
 rc AS (SELECT CAST(count(*) AS BIGINT) AS n_retrieved FROM srp)
 SELECT tc.n_truth AS n_truth, rc.n_retrieved AS n_retrieved,
-       round(CAST(rc.n_retrieved AS DOUBLE) / CAST(tc.n_truth AS DOUBLE), 6)
+       round(CAST(rc.n_retrieved AS DOUBLE)
+             / NULLIF(CAST(tc.n_truth AS DOUBLE), 0), 6)
          AS recall
 FROM tc, rc
 """

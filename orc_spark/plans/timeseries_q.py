@@ -562,11 +562,15 @@ def ts_autocorr(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
+    # Zero-variance guard: a constant series (or n_pairs == 1, where
+    # n·Sxx − Sx² is identically 0) makes the Pearson denominator exactly
+    # 0.0 and num/den THROWS under ANSI mode. NULLIF on both engines →
+    # autocorr is NULL for undefined correlations (matches the replay).
     return agg.select(
         "user_id",
         F.col("lag").cast("int").alias("lag"),
         F.col("n").cast("bigint").alias("n_pairs"),
-        F.round(num / den, 6).alias("autocorr"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("autocorr"),
     )
 
 
@@ -577,8 +581,8 @@ def _autocorr_sql() -> str:
 SELECT user_id, {k} AS lag,
        CAST(count(*) AS BIGINT) AS n_pairs,
        round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
-             / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
-                    * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)), 6)
+             / NULLIF(sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+                    * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)), 0), 6)
          AS autocorr
 FROM (
   SELECT user_id,

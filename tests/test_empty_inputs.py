@@ -63,3 +63,62 @@ def test_every_query_survives_single_row_tables(spark, onerow_sf):
         except Exception as e:  # noqa: BLE001 — collect all, report once
             fails[name] = f"{type(e).__name__}: {str(e)[:120]}"
     assert not fails, fails
+
+
+@pytest.fixture(scope="module")
+def constant_sf(spark, sf_small, tmp_path_factory):
+    """All tables present with their REAL row counts, but every
+    floating-point measure column is a constant, every embedding is the
+    all-zeros vector, and every document is the same short text. This is
+    the fourth degenerate class (r10 VERDICT directive 2): zero-variance
+    input, which the r08 campaign (empty / single-row) missed — it is what
+    crashed ts_autocorr (Pearson denominator exactly 0 under ANSI mode).
+    Real pipelines hit it constantly: a stuck sensor, a default-filled
+    column, a batch of near-identical boilerplate docs, zero embeddings
+    from a failed encoder."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    d = str(tmp_path_factory.mktemp("constant_sf"))
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(sf_small, f"{t}.parquet"))
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.DoubleType):
+                df = df.withColumn(f.name, F.lit(1.25).cast("double"))
+            elif isinstance(f.dataType, T.FloatType):
+                df = df.withColumn(f.name, F.lit(1.25).cast("float"))
+            elif isinstance(f.dataType, T.ArrayType) and isinstance(
+                f.dataType.elementType, (T.FloatType, T.DoubleType)
+            ):
+                # zero vector: norms are 0, so cosine denominators are 0
+                df = df.withColumn(
+                    f.name,
+                    F.transform(F.col(f.name), lambda x: F.lit(0.0)).cast(
+                        f.dataType.simpleString()
+                    ),
+                )
+        if t == "documents":
+            txt = "the same boilerplate text appears in every document row"
+            df = df.withColumn("text", F.lit(txt)).withColumn(
+                "n_chars", F.lit(len(txt)).cast("bigint")
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+def test_every_query_survives_constant_values(spark, constant_sf):
+    """Zero-variance sweep: stddev/variance denominators, Pearson/Welch
+    denominators, min==max ranges (histogram bin width 0, z-order and LTTB
+    extent 0), all-identical dedup keys (every doc in one LSH bucket), and
+    zero-norm embeddings (cosine 0/0) must all yield NULL/empty/0 rows —
+    never an ANSI DIVIDE_BY_ZERO. ts_autocorr shipped 3 rounds with this
+    crash latent because /root/testdata never produces a constant series."""
+    fails = {}
+    for name, q in registry().items():
+        try:
+            q.spark_fn(spark, constant_sf).count()
+        except Exception as e:  # noqa: BLE001 — collect all, report once
+            fails[name] = f"{type(e).__name__}: {str(e)[:120]}"
+    assert not fails, fails
