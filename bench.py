@@ -321,6 +321,30 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"# sf2 {name} failed: {e}", file=sys.stderr)
         print(f"# sf0.01 anchor: {sf2_secs}", file=sys.stderr)
+    # third scale anchor (~sf1): a 10x decorrelated replica of sf0.1
+    # (scripts/make_sf1.py). ENV-GATED so the driver's default per-round
+    # run stays comparable round-over-round — set SPARK_GRAFT_SF3_DIR to a
+    # generated replica to time the same headline shapes at a third point;
+    # three points give a slope instead of a ratio (VERDICT r10 directive 5).
+    sf3_dir = os.environ.get("SPARK_GRAFT_SF3_DIR", "")
+    sf3_secs: dict[str, float] = {}
+    if sf3_dir and os.path.isdir(sf3_dir):
+        for name in SCALE2:
+            if name not in reg:
+                continue
+            try:
+                best = None
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    reg[name].spark_fn(spark, sf3_dir).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                    spark.catalog.clearCache()
+                    _drop_persisted()
+                sf3_secs[name] = round(best, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"# sf3 {name} failed: {e}", file=sys.stderr)
+        print(f"# sf1-replica anchor: {sf3_secs}", file=sys.stderr)
     # DuckDB oracle timings at the same sf: makes BASELINE.md's "within 2x
     # of the single-node engine" gate evaluable per query (VERDICT r01 #6)
     oracle_secs: dict[str, float] = {}
@@ -381,6 +405,10 @@ def main() -> None:
         # artifact readers never see a scale claim with no samples behind it
         "sf2": 0.01 if sf2_ran else None,
         "sf2_secs": sf2_secs,
+        # third anchor (~sf1 replica) — only when SPARK_GRAFT_SF3_DIR is
+        # set; {} otherwise, so slope readers know whether 3 points exist
+        "sf3_dir": sf3_dir or None,
+        "sf3_secs": sf3_secs,
         # loadavg sampled at phase boundaries — the external-contention
         # audit trail (see CLAUDE.md: judge by Spark:oracle RATIO, and use
         # these samples to label a run contended)

@@ -62,11 +62,16 @@ def _t_cdf(t: pd.Series, dof: pd.Series) -> pd.Series:
 
 
 def welch_components(v1: Column, n1: Column, v2: Column, n2: Column):
-    """Welch t denominator pieces: (se^2, dof) from sample variances/counts."""
+    """Welch t denominator pieces: (se^2, dof) from sample variances/counts.
+    Zero variance on BOTH sides makes the dof denominator exactly 0 (and
+    sqrt(se2) 0 in the caller) — NULL, not an ANSI DIVIDE_BY_ZERO; n=1
+    sides are already NULL via var_samp."""
     q1 = v1 / n1
     q2 = v2 / n2
     se2 = q1 + q2
-    dof = (se2 * se2) / (q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1))
+    dof = (se2 * se2) / F.nullif(
+        q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1), F.lit(0.0)
+    )
     return se2, dof
 
 
@@ -104,7 +109,10 @@ def welch_ttest(
     j = a.crossJoin(b)
     se2, dof = welch_components(F.col("v1"), F.col("n1"), F.col("v2"), F.col("n2"))
     j = j.select(
-        ((F.col("m1") - F.col("m2")) / F.sqrt(se2)).alias("t_stat"),
+        (
+            (F.col("m1") - F.col("m2"))
+            / F.nullif(F.sqrt(se2), F.lit(0.0))
+        ).alias("t_stat"),
         dof.alias("dof"),
     )
     if not with_p:

@@ -45,35 +45,41 @@ class Query:
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
     # r11 head, per VERDICT r10 directive 3 (exactly 50 slots):
-    # (a) ts_autocorr FIRST — changed code this round (ANSI divide-by-zero
-    #     fix on zero-variance series, timeseries_q.py) outranks staleness;
-    "ts_autocorr",
+    # (a) the 10 queries whose CODE CHANGED this round — the ANSI
+    #     divide-by-zero campaign (zero-variance Pearson/Welch/corr,
+    #     zero-norm cosine, empty-funnel rates, zero-range histogram bins).
+    #     Changed code outranks staleness; every one was re-verified
+    #     driver-style at sf0.001/0.01/0.1 before commit:
+    "ts_autocorr", "ann_srp_pairs", "ann_recall_eval", "ev_funnel_windowed",
+    "sk_histq", "dq_drift", "r11_stats_agg", "ts_welch", "ts_welch_p",
+    "ts_e2e_report",
     # (b) the 12 queries whose newest green driver row is r07 — after this
     #     round no query's newest green row may be older than r08:
     "io_orc_roundtrip", "cu_pipeline",
     "cu_budget", "mm_audio_windows", "tx_winnow", "sk_countmin",
     "dd_ngram_jaccard", "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
     "r3_shipping_priority", "r4_rollup",
-    # (c) the 37 oldest r08-greens (prefix of the r10 deferred list's r08
-    #     section, ts_autocorr already promoted above):
+    # (c) the 28 oldest unchanged r08-greens (prefix of the r10 deferred
+    #     list's r08 section):
     "r5_window_topk", "r5b_range_frame", "r6_setops", "r7_scalar_battery",
     "r7b_dates", "r7c_json_map", "r9_scalar_subquery", "r10_outer_hist",
-    "r11_stats_agg", "r12_unpivot", "r_pivot",
+    "r12_unpivot", "r_pivot",
     "tx_langid", "tx_quality", "tx_tokens",
     "st_ahrs_replay", "st_pid_replay", "st_imu_pipeline", "st_ewma",
     "st_kalman",
     "mm_image_features", "sk_bloom", "cu_decontaminate", "cu_pack",
     "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
-    "dq_expectations",
-    "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
-    "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
-    "ev_transitions",
+    "dq_expectations", "tx_tfidf",
 ]
 _DEFERRED_LAST = [
     # Tier 2 proper, staleness-ordered so the r12 head is again a prefix:
-    # the 12 remaining r08 greens:
-    "gr_pagerank", "ann_pq", "sk_histq", "ts_lttb", "dd_containment",
-    "io_zorder", "dq_drift", "r13_top_supplier", "r14_waiting_supplier",
+    # the remaining r08 greens (oldest first — the 8 displaced from the
+    # head by the changed-code group, then the rest):
+    "tx_postings", "tx_collocations", "tx_bm25",
+    "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
+    "ev_transitions",
+    "gr_pagerank", "ann_pq", "ts_lttb", "dd_containment",
+    "io_zorder", "r13_top_supplier", "r14_waiting_supplier",
     "ev_sessionize", "cu_split", "ev_rolling_uniques",
     # r09 head greens (freshest signal = weakest marginal value):
     "io_orc_skipping",
@@ -87,8 +93,8 @@ _DEFERRED_LAST = [
     "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
     "gr_kcore", "st_token_bucket", "st_bursts", "dd_embcos", "dd_cluster",
     "dd_keepbest", "tx_fingerprint", "tx_redact", "dp_profile",
-    "ann_srp_pairs", "tx_gopher_quality", "ts_m4", "sk_theta_ops",
-    "ev_funnel_windowed", "dd_minhash_quality", "ann_recall_eval",
+    "tx_gopher_quality", "ts_m4", "sk_theta_ops",
+    "dd_minhash_quality",
     "cu_anneal_mixture",
     # r10 head greens (the freshest rows in the registry):
     "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
@@ -101,9 +107,9 @@ _DEFERRED_LAST = [
     "dp_sample", "dp_stratified", "mm_frame_sample", "r4b_cube",
     "r5c_rank_battery", "rj_range_join", "sk_hll_merge", "sk_salted_agg",
     "aj_asof_join", "ts_medfilt", "ts_gradient", "ts_runstats",
-    "ts_groupmeans", "ts_welch", "ts_welch_p", "ts_deadband",
+    "ts_groupmeans", "ts_deadband",
     "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
-    "ts_resample", "ts_e2e_report", "r8_tumbling", "r8b_sliding",
+    "ts_resample", "r8_tumbling", "r8b_sliding",
     "r8c_sessions", "tr_hier_rollup",
 ]
 

@@ -211,12 +211,19 @@ def dq_drift(spark: SparkSession, sf: str) -> DataFrame:
         ev.crossJoin(F.broadcast(stats))
         .select(
             "event_type",
-            F.least(
-                F.floor(
-                    (F.col("value") - F.col("mn"))
-                    / (F.col("mx") - F.col("mn")) * PSI_BINS
+            # mx == mn guard (r11 degenerate sweep): zero value range ->
+            # every row in bin 0, not an ANSI DIVIDE_BY_ZERO; PSI is then
+            # computed over one populated bin + 9 smoothed ones, fine.
+            F.coalesce(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("mn"))
+                        / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+                        * PSI_BINS
+                    ),
+                    F.lit(PSI_BINS - 1),
                 ),
-                F.lit(PSI_BINS - 1),
+                F.lit(0),
             ).cast("int").alias("bin"),
             (F.col("ts") <= F.col("ts_mid")).alias("is_ref"),
         )
@@ -261,8 +268,8 @@ stats AS (
 ),
 binned AS (
   SELECT event_type,
-         CAST(least(floor((value - mn) / (mx - mn) * {PSI_BINS}),
-                    {PSI_BINS - 1}) AS INTEGER) AS bin,
+         CAST(coalesce(least(floor((value - mn) / NULLIF(mx - mn, 0) * {PSI_BINS}),
+                    {PSI_BINS - 1}), 0) AS INTEGER) AS bin,
          ts <= ts_mid AS is_ref
   FROM ev, stats
 ),

@@ -94,7 +94,11 @@ def ts_e2e_report(spark: SparkSession, sf: str) -> DataFrame:
                 F.col(f"var_{c}__off"),
                 F.col("n_runs__off"),
             )
-            t = (F.col(f"avg_{c}") - F.col(f"avg_{c}__off")) / F.sqrt(se2)
+            # NULLIF: zero variance on both sides (constant metric) makes
+            # sqrt(se2) exactly 0 — undefined t, not an ANSI throw (r11)
+            t = (F.col(f"avg_{c}") - F.col(f"avg_{c}__off")) / F.nullif(
+                F.sqrt(se2), F.lit(0.0)
+            )
             fields += [
                 F.col(f"avg_{c}").alias(f"avg_{stat}_on"),
                 F.col(f"avg_{c}__off").alias(f"avg_{stat}_off"),
@@ -134,9 +138,10 @@ def _e2e_sql() -> str:
             cols += [
                 f"a.avg_{c} AS avg_{stat}_on",
                 f"b.avg_{c} AS avg_{stat}_off",
-                f"(a.avg_{c} - b.avg_{c}) / sqrt({se2}) AS t_{stat}",
-                f"pow({se2}, 2) / (pow(a.var_{c} / a.n, 2) / (a.n - 1)"
-                f" + pow(b.var_{c} / b.n, 2) / (b.n - 1)) AS dof_{stat}",
+                f"(a.avg_{c} - b.avg_{c}) / NULLIF(sqrt({se2}), 0)"
+                f" AS t_{stat}",
+                f"pow({se2}, 2) / NULLIF(pow(a.var_{c} / a.n, 2) / (a.n - 1)"
+                f" + pow(b.var_{c} / b.n, 2) / (b.n - 1), 0) AS dof_{stat}",
             ]
         per_metric_selects.append(
             "SELECT " + ", ".join(cols) + " FROM ga a, gb b"

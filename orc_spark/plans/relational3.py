@@ -111,7 +111,19 @@ def r11_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.25)").alias("p25_price"),
         F.expr("percentile(o_totalprice, 0.5)").alias("p50_price"),
         F.expr("percentile(o_totalprice, 0.95)").alias("p95_price"),
-        F.corr(p, F.col("c_acctbal")).alias("corr_price_bal"),
+        # corr composed from covar/stddev instead of F.corr: Spark's corr
+        # aggregate divides by zero INTERNALLY on a zero-variance side and
+        # throws under ANSI with no way to guard it from outside (r11
+        # degenerate sweep). The identical composition runs in the oracle,
+        # so cross-engine float agreement rides the same covar/stddev
+        # primitives the sd/var columns already rely on.
+        (
+            F.covar_samp(p, F.col("c_acctbal"))
+            / F.nullif(
+                F.stddev_samp(p) * F.stddev_samp(F.col("c_acctbal")),
+                F.lit(0.0),
+            )
+        ).alias("corr_price_bal"),
         F.covar_samp(p, F.col("c_acctbal")).alias("covar_price_bal"),
         F.expr("regr_slope(o_totalprice, c_acctbal)").alias("slope"),
         F.expr("regr_intercept(o_totalprice, c_acctbal)").alias("intercept"),
@@ -126,7 +138,9 @@ SELECT c_mktsegment,
        quantile_cont(o_totalprice, 0.25)    AS p25_price,
        quantile_cont(o_totalprice, 0.5)     AS p50_price,
        quantile_cont(o_totalprice, 0.95)    AS p95_price,
-       corr(o_totalprice, c_acctbal)        AS corr_price_bal,
+       covar_samp(o_totalprice, c_acctbal)
+         / NULLIF(stddev_samp(o_totalprice) * stddev_samp(c_acctbal), 0)
+                                            AS corr_price_bal,
        covar_samp(o_totalprice, c_acctbal)  AS covar_price_bal,
        regr_slope(o_totalprice, c_acctbal)  AS slope,
        regr_intercept(o_totalprice, c_acctbal) AS intercept
@@ -431,16 +445,23 @@ def ev_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
         F.count("t1").alias("n_viewed"),
         F.count("_t2").alias("n_clicked_3d"),
         F.count("_t3").alias("n_purchased_3d"),
+        # NULLIF guards (r11 degenerate sweep): an empty / viewless events
+        # table makes both counts 0 — rates and mean latency are undefined
+        # (NULL), never an ANSI DIVIDE_BY_ZERO.
         F.round(
-            F.count("_t2").cast("double") / F.count("t1").cast("double"), 6
+            F.count("_t2").cast("double")
+            / F.nullif(F.count("t1").cast("double"), F.lit(0.0)),
+            6,
         ).alias("click_rate"),
         F.round(
-            F.count("_t3").cast("double") / F.count("t1").cast("double"), 6
+            F.count("_t3").cast("double")
+            / F.nullif(F.count("t1").cast("double"), F.lit(0.0)),
+            6,
         ).alias("purchase_rate"),
         F.round(
             (
                 F.sum(F.col("_t3") - F.col("_t1")).cast("double")
-                / F.count("_t3").cast("double")
+                / F.nullif(F.count("_t3").cast("double"), F.lit(0.0))
             )
             / 1000000.0,
             6,
@@ -470,12 +491,14 @@ t3 AS (
 SELECT count(t1.t1)                          AS n_viewed,
        count(t2.t2)                          AS n_clicked_3d,
        count(t3.t3)                          AS n_purchased_3d,
-       round(CAST(count(t2.t2) AS DOUBLE) / CAST(count(t1.t1) AS DOUBLE), 6)
+       round(CAST(count(t2.t2) AS DOUBLE)
+             / NULLIF(CAST(count(t1.t1) AS DOUBLE), 0), 6)
          AS click_rate,
-       round(CAST(count(t3.t3) AS DOUBLE) / CAST(count(t1.t1) AS DOUBLE), 6)
+       round(CAST(count(t3.t3) AS DOUBLE)
+             / NULLIF(CAST(count(t1.t1) AS DOUBLE), 0), 6)
          AS purchase_rate,
        round((CAST(sum(t3.t3 - t3.t1) AS DOUBLE)
-              / CAST(count(t3.t3) AS DOUBLE)) / 1000000.0, 6)
+              / NULLIF(CAST(count(t3.t3) AS DOUBLE), 0)) / 1000000.0, 6)
          AS avg_view_to_purchase_s
 FROM t1
 LEFT JOIN t2 ON t2.user_id = t1.user_id
@@ -770,10 +793,20 @@ def sk_histq(spark: SparkSession, sf: str) -> DataFrame:
     binned = (
         li.crossJoin(F.broadcast(stats))
         .select(
-            F.least(
-                F.floor((F.col("x") - F.col("mn"))
-                        / (F.col("mx") - F.col("mn")) * HISTQ_BINS),
-                F.lit(HISTQ_BINS - 1),
+            # mx == mn guard (r11 degenerate sweep): a constant column has
+            # zero range — every row lands in bin 0 (NULLIF -> NULL ->
+            # coalesce), instead of an ANSI DIVIDE_BY_ZERO. width is then 0
+            # so all three quantile estimates collapse to mn, correctly.
+            F.coalesce(
+                F.least(
+                    F.floor(
+                        (F.col("x") - F.col("mn"))
+                        / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+                        * HISTQ_BINS
+                    ),
+                    F.lit(HISTQ_BINS - 1),
+                ),
+                F.lit(0),
             ).cast("int").alias("bin"),
             "mn", "mx", "total",
         )
@@ -814,8 +847,8 @@ SK_HISTQ_SQL = f"""
 WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
 stats AS (SELECT min(x) AS mn, max(x) AS mx, CAST(count(*) AS BIGINT) AS total FROM li),
 binned AS (
-  SELECT CAST(least(floor((x - mn) / (mx - mn) * {HISTQ_BINS}),
-                    {HISTQ_BINS - 1}) AS INTEGER) AS bin,
+  SELECT CAST(coalesce(least(floor((x - mn) / NULLIF(mx - mn, 0) * {HISTQ_BINS}),
+                    {HISTQ_BINS - 1}), 0) AS INTEGER) AS bin,
          mn, mx, total, CAST(count(*) AS BIGINT) AS cnt
   FROM li, stats
   GROUP BY 1, 2, 3, 4

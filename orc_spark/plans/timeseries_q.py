@@ -256,9 +256,10 @@ g AS (
          var_samp(rms)            AS v
   FROM per_run GROUP BY event_type
 )
-SELECT (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t_stat,
+SELECT (a.m - b.m) / NULLIF(sqrt(a.v / a.n + b.v / b.n), 0) AS t_stat,
        pow(a.v / a.n + b.v / b.n, 2)
-         / (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)) AS dof
+         / NULLIF(pow(a.v / a.n, 2) / (a.n - 1)
+                  + pow(b.v / b.n, 2) / (b.n - 1), 0) AS dof
 FROM (SELECT * FROM g WHERE event_type = 'click') a,
      (SELECT * FROM g WHERE event_type = 'view') b
 """

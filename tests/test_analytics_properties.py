@@ -4604,3 +4604,243 @@ def test_ts_autocorr_degenerate_constant_series(spark):
     # perfectly correlated at lag 2
     assert got[(2, 1)][1] == -1.0
     assert got[(2, 2)][1] == 1.0
+
+
+# --- event-time window family + rollup + resample replays (r11 directive 8):
+# the r8* batch window replays pin tumbling/sliding/session SEMANTICS
+# (bucket assignment, the 4-windows-per-event sliding rule incl. negative
+# starts near the epoch, the >=30min session break) against plain-Python
+# oracles independent of both engines' window machinery. Values are
+# multiples of 0.25 so every sum is binary-exact regardless of
+# accumulation order — the comparisons are exact equality, not isclose.
+
+def _quarter_vals(rng):
+    def extra(ui, eid, t):
+        return {
+            "value": float(rng.integers(-32, 33)) / 4.0,
+            "event_type": ["view", "click", "buy"][eid % 3],
+        }
+    return extra
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_r8_tumbling_matches_bruteforce(spark, user_times, seed):
+    from orc_spark.plans.relational import r8_tumbling
+
+    rng = np.random.default_rng(seed)
+    rows = _mk_rows(user_times, _quarter_vals(rng))
+    want = {}
+    for r in rows:
+        key = ((r["ts_us"] // 1_000_000 // 3600) * 3600, r["event_type"])
+        n, s = want.get(key, (0, 0.0))
+        want[key] = (n + 1, s + r["value"])
+    sf = _write_events(spark, rows)
+    got = {
+        (r["window_start_s"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in r8_tumbling(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_r8b_sliding_matches_bruteforce(spark, user_times, seed):
+    from orc_spark.plans.relational import r8b_sliding
+
+    rng = np.random.default_rng(seed)
+    rows = _mk_rows(user_times, _quarter_vals(rng))
+    # every event lies in exactly the 4 hour-long windows whose 15-min-
+    # aligned starts satisfy w <= ts < w + 3600 (starts may precede the
+    # epoch for events in the first hour)
+    acc = {}
+    for r in rows:
+        ts_s = r["ts_us"] // 1_000_000
+        for k in range(4):
+            w = (ts_s // 900 - k) * 900
+            n, s = acc.get(w, (0, 0.0))
+            acc[w] = (n + 1, s + r["value"])
+    want = {w: (n, s / n) for w, (n, s) in acc.items()}
+    sf = _write_events(spark, rows)
+    got = {
+        r["window_start_s"]: (r["n_events"], r["avg_value"])
+        for r in r8b_sliding(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_r8c_sessions_matches_bruteforce(spark, user_times, seed):
+    from orc_spark.plans.relational import r8c_sessions
+
+    rng = np.random.default_rng(seed)
+    rows = _mk_rows(user_times, _quarter_vals(rng))
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["ts_us"], r["value"])
+        )
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for t, v in evs:
+            if prev is not None and t - prev >= GAP_US:
+                sid += 1
+            key = (u, sid)
+            if key not in want:
+                want[key] = [t // 1_000_000, 0, 0.0]
+            want[key][1] += 1
+            want[key][2] += v
+            prev = t
+    want = {k: tuple(v) for k, v in want.items()}
+    sf = _write_events(spark, rows)
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start_s"], r["n_events"], r["sum_value"]
+        )
+        for r in r8c_sessions(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tr_hier_rollup_matches_bruteforce(spark, user_times, seed):
+    from orc_spark.plans.rollup_q import tr_hier_rollup
+
+    rng = np.random.default_rng(seed)
+    rows = _mk_rows(user_times, _quarter_vals(rng))
+    want = {}
+    for r in rows:
+        us = r["ts_us"]
+        buckets = {
+            "minute_s": (us // 60_000_000) * 60,
+            "hour_s": (us // 3_600_000_000) * 3600,
+            "day_s": (us // 86_400_000_000) * 86400,
+        }
+        for which in ("minute_s", "hour_s", "day_s"):
+            key = (
+                r["event_type"],
+                buckets["minute_s"] if which == "minute_s" else None,
+                buckets["hour_s"] if which == "hour_s" else None,
+                buckets["day_s"] if which == "day_s" else None,
+            )
+            if key not in want:
+                want[key] = [0, 0.0, r["value"], r["value"]]
+            a = want[key]
+            a[0] += 1
+            a[1] += r["value"]
+            a[2] = min(a[2], r["value"])
+            a[3] = max(a[3], r["value"])
+    want = {k: tuple(v) for k, v in want.items()}
+    sf = _write_events(spark, rows)
+    got = {
+        (r["event_type"], r["minute_s"], r["hour_s"], r["day_s"]): (
+            r["n_events"], r["sum_value"], r["min_value"], r["max_value"]
+        )
+        for r in tr_hier_rollup(spark, sf).collect()
+    }
+    assert got == want
+
+
+def _r9(v):
+    """round-half-up to 9 dp on the shortest decimal repr — Spark round()."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(v)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ts_resample_matches_bruteforce(spark, user_times, seed):
+    """Grid/interp edge cases the SQL oracle structurally shares: span
+    shorter than one step (no grid rows), grid-aligned samples (exact hit
+    interpolates to itself via the prev side), the last grid point when the
+    max sample is grid-aligned (t_next is NULL -> NULL, both engines)."""
+    import math
+
+    from orc_spark.plans.rollup_q import GRID_STEP_S, ts_resample
+
+    rng = np.random.default_rng(seed)
+
+    def extra(ui, eid, t):
+        return {"value": float(rng.integers(-5000, 5000)) / 100.0}
+
+    rows = _mk_rows(user_times, extra)
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["ts_us"] // 1_000_000, r["value"])
+        )
+    step = GRID_STEP_S
+    want = {}
+    for u, samples in per_user.items():
+        # one sample per instant is NOT guaranteed (distinct ts_us can
+        # floor to the same second). The window order (t_s, is_grid,
+        # event_id) makes the PRECEDING frame's last sample in a second the
+        # max-event_id one, but the FOLLOWING frame's first sample the
+        # min-event_id one — keep both.
+        by_t_last = {}
+        by_t_first = {}
+        for t, v in samples:  # rows are emitted in event_id order
+            by_t_last[t] = v
+            by_t_first.setdefault(t, v)
+        ts = sorted(by_t_last)
+        t0 = int(math.ceil(min(ts) / step) * step)
+        t1 = int(math.floor(max(ts) / step) * step)
+        for g in range(t0, t1 + 1, step):
+            prevs = [t for t in ts if t <= g]
+            nexts = [t for t in ts if t > g]
+            tp = max(prevs)  # t0 >= min sample time, so prevs is never empty
+            vp = by_t_last[tp]
+            if not nexts:
+                want[(u, g)] = None
+                continue
+            tn = min(nexts)
+            vn = by_t_first[tn]
+            frac = 0.0 if tn == tp else (g - tp) / (tn - tp)
+            want[(u, g)] = _r9(vp + frac * (vn - vp))
+    sf = _write_events(spark, rows)
+    got = {
+        (r["user_id"], r["t_s"]): r["value_interp"]
+        for r in ts_resample(spark, sf).collect()
+    }
+    assert got == want

@@ -19,6 +19,16 @@ from orc_spark.plans import registry
 from orc_spark.sources.tables import TABLES
 
 
+def _force(df) -> None:
+    """Evaluate EVERY column of every row. `.count()` is too weak a probe:
+    Catalyst prunes columns the count does not need, so an ANSI-throwing
+    expression in a pruned column passes silently (found in r11 —
+    sk_histq's 0/0 bin division survived `.count()` on constant data but
+    threw on `.collect()`). The noop sink consumes all columns with no
+    driver transfer."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 @pytest.fixture(scope="module")
 def empty_sf(spark, sf_small, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("empty_sf"))
@@ -34,7 +44,7 @@ def test_every_query_survives_empty_tables(spark, empty_sf):
     fails = {}
     for name, q in registry().items():
         try:
-            q.spark_fn(spark, empty_sf).count()
+            _force(q.spark_fn(spark, empty_sf))
         except Exception as e:  # noqa: BLE001 — collect all, report once
             fails[name] = f"{type(e).__name__}: {str(e)[:120]}"
     assert not fails, fails
@@ -59,7 +69,7 @@ def test_every_query_survives_single_row_tables(spark, onerow_sf):
     fails = {}
     for name, q in registry().items():
         try:
-            q.spark_fn(spark, onerow_sf).count()
+            _force(q.spark_fn(spark, onerow_sf))
         except Exception as e:  # noqa: BLE001 — collect all, report once
             fails[name] = f"{type(e).__name__}: {str(e)[:120]}"
     assert not fails, fails
@@ -118,7 +128,7 @@ def test_every_query_survives_constant_values(spark, constant_sf):
     fails = {}
     for name, q in registry().items():
         try:
-            q.spark_fn(spark, constant_sf).count()
+            _force(q.spark_fn(spark, constant_sf))
         except Exception as e:  # noqa: BLE001 — collect all, report once
             fails[name] = f"{type(e).__name__}: {str(e)[:120]}"
     assert not fails, fails
