@@ -582,7 +582,16 @@ def mb_rules(spark: SparkSession, sf: str) -> DataFrame:
     100 TB shape: pair generation is bounded by Σ|basket|² (basket sizes
     small and capped, same contract as gr_triangles); item and pair counts
     are combinable groupBys; the total-baskets anchor is a 1-row
-    broadcast."""
+    broadcast.
+
+    Measured job floor at sf0.1 (r11 statusTracker decomposition): 7 job
+    rounds = baskets checkpoint materialize + n_baskets anchor + item
+    counts + pair counts (each one exchange over the shared checkpoint —
+    three aggregations of DIFFERENT keys cannot fuse) + two broadcast
+    builds for the item-count legs + final join/TakeOrdered. The
+    checkpoint is what keeps it at 7: without it the basket groupBy would
+    re-run once per consumer. Residual latency ≈ 7 × the ~0.15 s local[32]
+    AQE job floor — amortizes at scale."""
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     # One row per basket (collect_set dedups in the same shuffle a distinct
     # would cost) — pair generation is then an in-row double explode, so no

@@ -1,7 +1,15 @@
 """Data-profiling query: per-column statistics over lineitem (count, nulls,
 distinct, mean/stddev/min/max, approx quantiles) — the standard first pass of
 any large-scale pipeline intake. One aggregation pass for everything
-(map-side partials; no per-column jobs)."""
+(map-side partials; no per-column jobs).
+
+Measured job floor at sf0.1 (r11 statusTracker decomposition): 3 job
+rounds = scan/partial-agg + Expand-distinct exchange + final (the four
+exact count_distinct columns share ONE Expand operator — x5 row
+multiplication inside a single shuffle, not four jobs). 3 rounds is the
+floor for multi-column EXACT distinct counts; approx_count_distinct would
+drop one round but change semantics (dp_profile is the exactness anchor —
+the sketch variants live in sk_*)."""
 
 from __future__ import annotations
 

@@ -548,8 +548,21 @@ def sk_countmin(spark: SparkSession, sf: str) -> DataFrame:
     cells = cms_positions(ev).groupBy("j", "col").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    q_users = spark.createDataFrame(
-        [(u,) for u in CMS_QUERY_USERS], "user_id bigint"
+    # range+explode, NOT createDataFrame: parallelize spreads the 5-row
+    # probe set over the default parallelism (32 partitions → 32 near-empty
+    # tasks in every downstream probe stage), and coalesce(1) on it
+    # measured WORSE (2.8 s → 6.5 s — the coalesced parallelize stage
+    # serializes oddly); a single-partition range stays codegen and keeps
+    # every probe stage at 1 task (r11 statusTracker decomposition,
+    # 6 jobs → 5, best time 2.8 s → 1.3 s)
+    q_users = (
+        spark.range(0, 1, 1, 1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(u) for u in CMS_QUERY_USERS])
+            ).alias("u")
+        )
+        .select(F.col("u").cast("bigint").alias("user_id"))
     )
     probes = q_users.select(
         "user_id", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
@@ -567,7 +580,16 @@ def sk_countmin(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
-    true_n = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    # exact counts only for the PROBED users: the isin filter pushes down
+    # to the parquet scan, so the shuffle carries ~|probe set| rows instead
+    # of |all users| (r11 statusTracker decomposition: the unfiltered
+    # groupBy was the query's only 32-task shuffle pair — at 100 TB it
+    # would shuffle every user's count to answer 5 lookups)
+    true_n = (
+        ev.where(F.col("user_id").isin(CMS_QUERY_USERS))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
     return (
         est.join(true_n, "user_id", "left")
         .select(
@@ -781,7 +803,15 @@ def sk_histq(spark: SparkSession, sf: str) -> DataFrame:
     reduce adds them); every float step is the identical expression on both
     engines, so the estimates and the full bin-table xor digest hash-check.
     At 100 TB: two scans (or one with a pre-known domain), no wide rows,
-    no driver collection."""
+    no driver collection.
+
+    Measured job floor at sf0.1 (r11 statusTracker decomposition): 5 job
+    rounds = stats scan + stats finalize + binned scan/partial + binned
+    finalize + (window cum ∪ final agg, AQE-fused). The two scans are
+    inherent to fixed-width binning (the bin function needs the global
+    range first); the rest are one exchange each — ~5 × the ~0.15 s
+    local[32] AQE job floor of residual tiny-data latency, amortizing at
+    scale."""
     li = load_table(spark, sf, "lineitem").select(
         F.col("l_extendedprice").alias("x")
     )

@@ -4844,3 +4844,200 @@ def test_ts_resample_matches_bruteforce(spark, user_times, seed):
         for r in ts_resample(spark, sf).collect()
     }
     assert got == want
+
+
+# --- relational/dedup replays (r11, continued): range join, salted agg,
+# exact dedup — brute-force Python on synthetic parquet, independent of the
+# SQL oracles (which share each query's algebraic structure).
+
+def _write_orders_lineitem(spark, orders, items):
+    """orders: list of (o_orderkey, day_offset, priority); items: list of
+    (l_orderkey, ship_day_offset, price_quarters). Dates are real
+    timestamps off a fixed base; prices are quarter-units so sums compare
+    exactly."""
+    import datetime as dt
+
+    base = dt.datetime(1995, 1, 1)
+    d = tempfile.mkdtemp(prefix="orc_props_rj_")
+    opdf = pd.DataFrame(
+        {
+            "o_orderkey": [ok for ok, _, _ in orders],
+            "o_custkey": [1] * len(orders),
+            "o_orderstatus": ["O"] * len(orders),
+            "o_totalprice": [100.0] * len(orders),
+            "o_orderdate": [base + dt.timedelta(days=od) for _, od, _ in orders],
+            "o_orderpriority": [p for _, _, p in orders],
+        }
+    )
+    lpdf = pd.DataFrame(
+        {
+            "l_orderkey": [ok for ok, _, _ in items],
+            "l_partkey": [1] * len(items),
+            "l_suppkey": [1] * len(items),
+            "l_linenumber": list(range(1, len(items) + 1)),
+            "l_quantity": [1.0] * len(items),
+            "l_extendedprice": [q / 4.0 for _, _, q in items],
+            "l_discount": [0.0] * len(items),
+            "l_tax": [0.0] * len(items),
+            "l_returnflag": ["N"] * len(items),
+            "l_linestatus": ["O"] * len(items),
+            "l_shipdate": [base + dt.timedelta(days=sd) for _, sd, _ in items],
+        }
+    )
+    oschema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    lschema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    # explicit schemas: an all-empty items list cannot infer one
+    spark.createDataFrame(opdf, oschema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(lpdf, lschema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    spec=st.lists(
+        st.tuples(
+            st.integers(0, 60),                # order day offset
+            st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+            st.lists(                          # per-order items
+                st.tuples(st.integers(-5, 45), st.integers(1, 400)),
+                min_size=0,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_rj_range_join_matches_bruteforce(spark, spec):
+    """Equi+range join boundary semantics: shipdate >= orderdate (same-day
+    INCLUDED) and shipdate < orderdate + 30 days (day-30 EXCLUDED) — the
+    two off-by-one edges a range join gets wrong first."""
+    from orc_spark.plans.relational2 import rj_range_join
+
+    orders = [(i + 1, od, pr) for i, (od, pr, _) in enumerate(spec)]
+    items = [
+        (i + 1, od + rel, q)
+        for i, (od, _, its) in enumerate(spec)
+        for rel, q in its
+    ]
+    sf = _write_orders_lineitem(spark, orders, items)
+    want = {}
+    for od, pr, its in spec:
+        for rel, q in its:
+            if 0 <= rel < 30:  # ship in [orderdate, orderdate+30d)
+                n, s = want.get(pr, (0, 0.0))
+                want[pr] = (n + 1, s + q / 4.0)
+    got = {
+        r["o_orderpriority"]: (r["n_fast_items"], r["fast_revenue"])
+        for r in rj_range_join(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.integers(1, 200),   # quantity quarters
+            st.integers(1, 4000),  # price quarters
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sk_salted_agg_matches_bruteforce(spark, rows):
+    """The salted two-phase aggregation must be EXACTLY a plain groupBy:
+    count/sum/min/max re-derived in Python over the same rows. This is the
+    semantic contract that makes the skew-mitigation shape safe to swap in
+    for any hot-key aggregate."""
+    from orc_spark.plans.curation_q import sk_salted_agg
+
+    d = tempfile.mkdtemp(prefix="orc_props_salt_")
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": range(1, len(rows) + 1),
+            "l_partkey": [1] * len(rows),
+            "l_suppkey": [1] * len(rows),
+            "l_linenumber": [1] * len(rows),
+            "l_quantity": [q / 4.0 for _, q, _ in rows],
+            "l_extendedprice": [p / 4.0 for _, _, p in rows],
+            "l_discount": [0.0] * len(rows),
+            "l_tax": [0.0] * len(rows),
+            "l_returnflag": [f for f, _, _ in rows],
+            "l_linestatus": ["O"] * len(rows),
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet")
+    )
+    want = {}
+    for f, q, p in rows:
+        n, sq, mn, mx = want.get(f, (0, 0.0, float("inf"), float("-inf")))
+        want[f] = (n + 1, sq + q / 4.0, min(mn, p / 4.0), max(mx, p / 4.0))
+    got = {
+        r["l_returnflag"]: (
+            r["n_rows"], r["sum_qty"], r["min_price"], r["max_price"]
+        )
+        for r in sk_salted_agg(spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abcd ",
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_dd_exact_matches_bruteforce(spark, texts):
+    """Exact dedup: group identity is the TEXT itself (brute force groups
+    on the raw string, not any hash), representative = min doc_id, so a
+    digest collision or a normalization bug in the query would diverge."""
+    from orc_spark.plans.dedup_q import dd_exact
+
+    sf = _write_documents(spark, [("en", t) for t in texts])
+    want = {}
+    for i, t in enumerate(texts):
+        rep, n = want.get(t, (i, 0))
+        want[t] = (min(rep, i), n + 1)
+    got = {
+        r["digest"]: (r["rep_doc_id"], r["n_copies"])
+        for r in dd_exact(spark, sf).collect()
+    }
+    import hashlib
+
+    want_by_digest = {
+        hashlib.md5(t.encode()).hexdigest(): v for t, v in want.items()
+    }
+    assert got == want_by_digest

@@ -687,3 +687,20 @@ def test_cu_corpus_report_two_pipelines(spark, sf_small):
     # under each InMemoryTableScan consumer but is one node / one execution)
     scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scan_ids) <= 2, plan
+
+
+def test_sk_countmin_probe_shape(spark, sf_small):
+    """r11 statusTracker decomposition: the probe set must be a
+    single-partition Range-derived frame (parallelize spread 5 rows over 32
+    partitions -> 32 near-empty tasks in every probe stage; coalesce(1) on
+    the parallelize measured 2.3x WORSE than Range), and the exact-count
+    side must filter to the probed users BEFORE its groupBy so the
+    predicate reaches the parquet scan instead of shuffling every user's
+    count."""
+    from orc_spark.plans.explain import formatted_plan
+    from orc_spark.plans.relational3 import sk_countmin
+
+    plan = formatted_plan(sk_countmin(spark, sf_small))
+    assert "Range (0, 1" in plan, plan
+    # the true_n scan carries the IN-list predicate down to parquet
+    assert "user_id IN" in plan or "In(user_id" in plan, plan
