@@ -5041,3 +5041,366 @@ def test_dd_exact_matches_bruteforce(spark, texts):
         hashlib.md5(t.encode()).hexdigest(): v for t, v in want.items()
     }
     assert got == want_by_digest
+
+
+def _write_documents_nchars(spark, rows):
+    """Write (doc_id, text, n_chars) with the n_chars COLUMN independent of
+    len(text) — dd_keepbest's keep policy orders by the stored column, and
+    only a disagreeing column exercises the longest-wins branch on
+    identical texts."""
+    d = tempfile.mkdtemp(prefix="orc_docs_nc_")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [i for i, _, _ in rows],
+            "text": [t for _, t, _ in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["synthetic"] * len(rows),
+            "n_chars": [n for _, _, n in rows],
+        }
+    )
+    spark.createDataFrame(
+        pdf, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["alpha", "beta", "gamma"]),  # few texts -> dup groups
+            st.integers(0, 50),                           # stored n_chars
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dd_keepbest_matches_bruteforce(spark, rows):
+    """Keep policy: per content group keep the doc with the LARGEST stored
+    n_chars, ties broken by smallest doc_id — both orderings exercised by
+    duplicate texts with disagreeing n_chars."""
+    from orc_spark.plans.curation_q import dd_keepbest
+
+    docs = [(i, t, n) for i, (t, n) in enumerate(rows)]
+    sf = _write_documents_nchars(spark, docs)
+    best = {}
+    counts = {}
+    for i, t, n in docs:
+        counts[t] = counts.get(t, 0) + 1
+        cur = best.get(t)
+        # larger n_chars wins; equal n_chars -> smaller doc_id wins
+        if cur is None or (n, -i) > (cur[1], -cur[0]):
+            best[t] = (i, n)
+    import hashlib
+
+    want = {
+        hashlib.md5(t.encode()).hexdigest(): (kept, counts[t])
+        for t, (kept, _) in best.items()
+    }
+    got = {
+        r["digest"]: (r["kept_doc_id"], r["n_copies"])
+        for r in dd_keepbest(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \t", min_size=0, max_size=20),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_tx_fingerprint_matches_bruteforce(spark, texts):
+    """Whitespace normalization + 5-token prefix + h60, all re-derived in
+    plain Python (hashing.h60_py is the same md5-prefix hash)."""
+    import re as _re
+
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.text_q import tx_fingerprint
+
+    sf = _write_documents(spark, [("en", t) for t in texts])
+    want = {}
+    for i, t in enumerate(texts):
+        norm = _re.sub(r"\s+", " ", t.lower()).strip()
+        prefix = " ".join(norm.split(" ")[:5])
+        want[i] = (h60_py(norm), h60_py(prefix))
+    got = {
+        r["doc_id"]: (r["fingerprint"], r["prefix_fp"])
+        for r in tx_fingerprint(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base_keys=st.lists(st.integers(1, 12), min_size=0, max_size=8, unique=True),
+    chg_spec=st.lists(
+        st.tuples(st.integers(1, 15), st.integers(1, 8)),  # (custkey, n_orders)
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_cdc_merge_matches_bruteforce(spark, base_keys, chg_spec, seed):
+    """MERGE INTO semantics: keep base rows with no change row, upsert
+    op='u' (including keys NOT in the base — the insert path), drop
+    op='d' (n_orders % 7 == 0) even when the base had the key. Balances in
+    integer cents so the comparison is exact."""
+    import datetime as dt
+
+    from orc_spark.plans.cdc_q import cdc_merge
+
+    rng = np.random.default_rng(seed)
+    d = tempfile.mkdtemp(prefix="orc_props_cdc_")
+    cust = pd.DataFrame(
+        {
+            "c_custkey": base_keys,
+            "c_name": [f"c{k}" for k in base_keys],
+            "c_nationkey": [1] * len(base_keys),
+            "c_acctbal": [float(rng.integers(0, 40000)) / 4.0 for _ in base_keys],
+            "c_mktsegment": ["BUILDING"] * len(base_keys),
+        }
+    )
+    orows = []
+    base_date = dt.datetime(1995, 1, 1)
+    okey = 1
+    for ck, n in chg_spec:
+        for _ in range(n):
+            orows.append(
+                {
+                    "o_orderkey": okey,
+                    "o_custkey": ck,
+                    "o_orderstatus": "O",
+                    "o_totalprice": float(rng.integers(1, 40000)) / 4.0,
+                    "o_orderdate": base_date,
+                    "o_orderpriority": "3-MEDIUM",
+                }
+            )
+            okey += 1
+    ordf = pd.DataFrame(
+        orows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        ordf,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+
+    # brute force merge
+    bal = {r["c_custkey"]: int(round(r["c_acctbal"] * 100)) for _, r in cust.iterrows()}
+    chg = {}
+    for _, r in ordf.iterrows():
+        ck = r["o_custkey"]
+        cents, n = chg.get(ck, (0, 0))
+        chg[ck] = (cents + int(round(r["o_totalprice"] * 100)), n + 1)
+    want = {}
+    for ck, cents in bal.items():
+        if ck not in chg:
+            want[ck] = (cents, 0, "base")
+    for ck, (cents, n) in chg.items():
+        if n % 7 != 0:  # op 'u' upserts/inserts; op 'd' deletes
+            want[ck] = (cents, n, "chg")
+    got = {
+        r["c_custkey"]: (r["acctbal_cents"], r["ver"], r["src"])
+        for r in cdc_merge(spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["O", "F", "P"]),
+            st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+            st.integers(1, 4000),  # price quarters
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_r4b_cube_matches_bruteforce(spark, rows):
+    """CUBE semantics: all four grouping sets, the NULL placeholder rows,
+    and grouping_id encoding (status bit 2, priority bit 1) — re-derived by
+    enumerating the lattice in plain Python."""
+    import datetime as dt
+
+    from orc_spark.plans.relational2 import r4b_cube
+
+    d = tempfile.mkdtemp(prefix="orc_props_cube_")
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": [1] * len(rows),
+            "o_orderstatus": [s for s, _, _ in rows],
+            "o_totalprice": [q / 4.0 for _, _, q in rows],
+            "o_orderdate": [dt.datetime(1995, 1, 1)] * len(rows),
+            "o_orderpriority": [p for _, p, _ in rows],
+        }
+    )
+    spark.createDataFrame(
+        pdf,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    want = {}
+    for s, p, q in rows:
+        for key, gid in (
+            ((s, p), 0),
+            ((s, None), 1),
+            ((None, p), 2),
+            ((None, None), 3),
+        ):
+            n, rev = want.get((key, gid), (0, 0.0))
+            want[(key, gid)] = (n + 1, rev + q / 4.0)
+    got = {
+        ((r["o_orderstatus"], r["o_orderpriority"]), r["gid"]): (
+            r["n_orders"], r["revenue"]
+        )
+        for r in r4b_cube(spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    quarters=st.lists(
+        st.tuples(st.integers(-400, 400), st.booleans()),  # (value, null?)
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_dp_profile_matches_bruteforce(spark, quarters):
+    """Per-column profile vs plain Python: counts/distinct/min/max/mean
+    exact (quarter-unit values make sums binary-exact); stddev compared at
+    1e-12 relative — Spark's var_samp uses incremental central moments, not
+    the textbook sum-of-squares, so the last ulp can differ legitimately."""
+    import math
+
+    from orc_spark.plans.profile_q import NUM_COLS, dp_profile
+
+    d = tempfile.mkdtemp(prefix="orc_props_prof_")
+    vals = [None if isnull else q / 4.0 for q, isnull in quarters]
+    n = len(vals)
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": range(1, n + 1),
+            "l_partkey": [1] * n,
+            "l_suppkey": [1] * n,
+            "l_linenumber": [1] * n,
+            # all four profiled columns share the same value list: one
+            # brute-force check covers every column's pipeline
+            "l_quantity": vals,
+            "l_extendedprice": vals,
+            "l_discount": vals,
+            "l_tax": vals,
+            "l_returnflag": ["N"] * n,
+            "l_linestatus": ["O"] * n,
+        }
+    )
+    spark.createDataFrame(
+        pdf,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+
+    nn = [v for v in vals if v is not None]
+    mean = sum(nn) / len(nn) if nn else None
+    if len(nn) >= 2:
+        var = sum((v - mean) ** 2 for v in nn) / (len(nn) - 1)
+        std = math.sqrt(var)
+    else:
+        std = None
+    got = {r["column"]: r for r in dp_profile(spark, d).collect()}
+    assert set(got) == set(NUM_COLS)
+    for c in NUM_COLS:
+        r = got[c]
+        assert r["n_rows"] == n
+        assert r["n_nonnull"] == len(nn)
+        assert r["n_distinct"] == len(set(nn))
+        assert r["min_val"] == (min(nn) if nn else None)
+        assert r["max_val"] == (max(nn) if nn else None)
+        if nn:
+            assert r["mean"] == mean  # exact: quarter units sum exactly
+        else:
+            assert r["mean"] is None
+        if std is None:
+            assert r["std"] is None or r["std"] != r["std"]
+        else:
+            assert math.isclose(r["std"], std, rel_tol=1e-12, abs_tol=1e-15)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef 01", min_size=0, max_size=24),
+        min_size=1,
+        max_size=9,
+    )
+)
+def test_mm_frame_sample_matches_bruteforce(spark, texts):
+    """The multimodal frame-sampling PLUMBING (kind routing by doc_id % 3,
+    synthesized duration, 1 s frame grid, stride-7919 payload slice, hex
+    digest) re-derived byte-for-byte in plain Python — the declared-stub
+    decode means the grid/slice/digest pipeline IS the operator surface."""
+    import hashlib
+
+    from orc_spark.plans.mm_q import mm_frame_sample
+
+    sf = _write_documents(spark, [("en", t) for t in texts])
+    want = {}
+    for i, t in enumerate(texts):
+        if i % 3 != 2:
+            continue  # video kind = doc_id % 3 == 2
+        payload = t.encode("utf-8")
+        hexstr = payload.hex()
+        duration_ms = ((len(t) % 10) + 1) * 1000
+        for t_ms in range(0, duration_ms, 1000):
+            start = 2 * ((t_ms * 7919) % max(len(payload), 1))
+            s = hexstr[start : start + 128]
+            digest = hashlib.md5((s if s else "00").encode()).hexdigest()
+            want[(i, t_ms // 1000)] = (t_ms, digest)
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["t_ms"], r["frame_digest"])
+        for r in mm_frame_sample(spark, sf).collect()
+    }
+    assert got == want
