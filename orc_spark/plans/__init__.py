@@ -45,18 +45,20 @@ class Query:
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
     # r11 head, per VERDICT r10 directive 3 (exactly 50 slots):
-    # (a) the 10 queries whose CODE CHANGED this round — the ANSI
+    # (a) the 12 queries whose CODE CHANGED this round — the ANSI
     #     divide-by-zero campaign (zero-variance Pearson/Welch/corr,
-    #     zero-norm cosine, empty-funnel rates, zero-range histogram bins).
-    #     Changed code outranks staleness; every one was re-verified
+    #     zero-norm cosine, empty-funnel rates, zero-range histogram bins),
+    #     the tx_redact SQL-literal escaping fix, and the sk_countmin probe
+    #     reshape. Changed code outranks staleness; every one re-verified
     #     driver-style at sf0.001/0.01/0.1 before commit:
     "ts_autocorr", "ann_srp_pairs", "ann_recall_eval", "ev_funnel_windowed",
     "sk_histq", "dq_drift", "r11_stats_agg", "ts_welch", "ts_welch_p",
-    "ts_e2e_report",
-    # (b) the 12 queries whose newest green driver row is r07 — after this
-    #     round no query's newest green row may be older than r08:
+    "ts_e2e_report", "tx_redact", "sk_countmin",
+    # (b) the remaining 11 r07-stale queries (sk_countmin, also r07-stale,
+    #     is already in the changed group above) — after this round no
+    #     query's newest green row may be older than r08:
     "io_orc_roundtrip", "cu_pipeline",
-    "cu_budget", "mm_audio_windows", "tx_winnow", "sk_countmin",
+    "cu_budget", "mm_audio_windows", "tx_winnow",
     "dd_ngram_jaccard", "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
     "r3_shipping_priority", "r4_rollup",
     # (c) the 28 oldest unchanged r08-greens (prefix of the r10 deferred
@@ -69,13 +71,13 @@ _PRIORITY_FIRST = [
     "st_kalman",
     "mm_image_features", "sk_bloom", "cu_decontaminate", "cu_pack",
     "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
-    "dq_expectations", "tx_tfidf",
+    "dq_expectations",
 ]
 _DEFERRED_LAST = [
     # Tier 2 proper, staleness-ordered so the r12 head is again a prefix:
-    # the remaining r08 greens (oldest first — the 8 displaced from the
+    # the remaining r08 greens (oldest first — the 10 displaced from the
     # head by the changed-code group, then the rest):
-    "tx_postings", "tx_collocations", "tx_bm25",
+    "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
     "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
     "ev_transitions",
     "gr_pagerank", "ann_pq", "ts_lttb", "dd_containment",
@@ -92,7 +94,7 @@ _DEFERRED_LAST = [
     "mb_rules", "ev_survival", "cdc_pit_lookup", "r21_null_semantics",
     "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
     "gr_kcore", "st_token_bucket", "st_bursts", "dd_embcos", "dd_cluster",
-    "dd_keepbest", "tx_fingerprint", "tx_redact", "dp_profile",
+    "dd_keepbest", "tx_fingerprint", "dp_profile",
     "tx_gopher_quality", "ts_m4", "sk_theta_ops",
     "dd_minhash_quality",
     "cu_anneal_mixture",

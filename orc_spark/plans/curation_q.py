@@ -42,9 +42,17 @@ def tx_redact(spark: SparkSession, sf: str) -> DataFrame:
     red = F.regexp_replace(red, LONGNUM, "<NUM>")
     return docs.select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(text, '{EMAIL}', 0)")).alias("n_emails"),
-        F.size(F.expr(f"regexp_extract_all(text, '{URL}', 0)")).alias("n_urls"),
-        F.size(F.expr(f"regexp_extract_all(text, '{LONGNUM}', 0)")).alias("n_longnums"),
+        # DSL regexp_extract_all, NOT F.expr(f"... '{pat}' ..."): embedding
+        # the pattern in a SQL string literal re-processes backslash
+        # escapes, so EMAIL's \. reached the regex engine as `.` (any char)
+        # and "a@b plain" counted as an email — diverging from both the
+        # redaction pass below (DSL, correct pattern) and the DuckDB oracle
+        # (SQL literals don't process backslashes). Found by the r11
+        # tx_redact brute-force replay; latent on testdata only because no
+        # text there has the x@y<space>word shape.
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(URL), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(LONGNUM), 0)).alias("n_longnums"),
         F.length(red).cast("bigint").alias("redacted_len"),
         F.md5(red).alias("redacted_digest"),
     )

@@ -5404,3 +5404,419 @@ def test_mm_frame_sample_matches_bruteforce(spark, texts):
         for r in mm_frame_sample(spark, sf).collect()
     }
     assert got == want
+
+
+# --- O18/O19/O8/O3 firmware-operator replays on the events surface (r11):
+# the golden tests pin these operators on the real 129k log; these replays
+# additionally pin the REGISTRY queries (events-table surface, per-user
+# ordinal series) against plain-Python re-derivations on random inputs.
+
+def _ts_rows(user_times, rng, types=("view", "click", "error")):
+    counters = {}
+
+    def extra(ui, eid, t):
+        i = counters.get(ui, 0)
+        counters[ui] = i + 1
+        return {
+            "value": float(rng.integers(-8000, 8000)) / 100.0,
+            "event_type": types[int(rng.integers(0, len(types)))],
+        }
+
+    return _mk_rows(user_times, extra)
+
+
+def _series_by_user(rows):
+    s = {}
+    for r in rows:  # _mk_rows emits per-user rows already (ts, eid)-sorted
+        s.setdefault(r["user_id"], []).append(r)
+    return s
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ts_medfilt_matches_bruteforce(spark, user_times, seed):
+    """k=15 zero-padded median: sort the window of 15 (zero-filled at the
+    series edges), take element 8 — pure selection, so equality is exact."""
+    from orc_spark.plans.timeseries_q import ts_medfilt
+
+    rows = _ts_rows(user_times, np.random.default_rng(seed))
+    sf = _write_events(spark, rows)
+    want = {}
+    for u, rs in _series_by_user(rows).items():
+        vals = [r["value"] for r in rs]
+        for i, r in enumerate(rs):
+            win = [
+                vals[j] if 0 <= j < len(vals) else 0.0
+                for j in range(i - 7, i + 8)
+            ]
+            want[r["event_id"]] = (r["value"], sorted(win)[7])
+    got = {
+        r["event_id"]: (r["value"], r["value_medfilt"])
+        for r in ts_medfilt(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ts_gradient_matches_bruteforce(spark, user_times, seed):
+    """np.gradient semantics: central difference /2.0 interior, one-sided
+    at the edges, 0.0 for a single-point series — identical float ops."""
+    from orc_spark.plans.timeseries_q import ts_gradient
+
+    rows = _ts_rows(user_times, np.random.default_rng(seed))
+    sf = _write_events(spark, rows)
+    want = {}
+    for u, rs in _series_by_user(rows).items():
+        vals = [r["value"] for r in rs]
+        n = len(vals)
+        for i, r in enumerate(rs):
+            if n == 1:
+                g = 0.0
+            elif i == 0:
+                g = vals[1] - vals[0]
+            elif i == n - 1:
+                g = vals[-1] - vals[-2]
+            else:
+                g = (vals[i + 1] - vals[i - 1]) / 2.0
+            want[r["event_id"]] = g
+    got = {r["event_id"]: r["value_grad"] for r in ts_gradient(spark, sf).collect()}
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ts_deadband_peakreject_locf_match_bruteforce(spark, user_times, seed):
+    """Three per-row/LOCF operators in one fixture: deadband (±1.0 floor
+    subtraction), peak rejection (|v| >= 18 replaced by last kept value,
+    NULL before any kept), and LOCF over gapped 'error' events."""
+    from orc_spark.plans.timeseries_q import ts_deadband, ts_locf, ts_peak_reject
+
+    rows = _ts_rows(user_times, np.random.default_rng(seed))
+    sf = _write_events(spark, rows)
+
+    want_db = {}
+    for r in rows:
+        v = r["value"]
+        want_db[r["event_id"]] = (
+            v - 1.0 if v > 1.0 else (v + 1.0 if v < -1.0 else 0.0)
+        )
+    got_db = {r["event_id"]: r["value_db"] for r in ts_deadband(spark, sf).collect()}
+    assert got_db == want_db
+
+    want_pr = {}
+    want_locf = {}
+    for u, rs in _series_by_user(rows).items():
+        last_kept = None
+        last_seen = None
+        for r in rs:
+            v = r["value"]
+            if abs(v) < 18:
+                last_kept = v
+            want_pr[r["event_id"]] = last_kept
+            if r["event_type"] != "error":
+                last_seen = v
+                want_locf[r["event_id"]] = (v, last_seen)
+            else:
+                want_locf[r["event_id"]] = (None, last_seen)
+    got_pr = {
+        r["event_id"]: r["value_pr"] for r in ts_peak_reject(spark, sf).collect()
+    }
+    assert got_pr == want_pr
+    got_locf = {
+        r["event_id"]: (r["value_gapped"], r["value_locf"])
+        for r in ts_locf(spark, sf).collect()
+    }
+    assert got_locf == want_locf
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ts_zero_cal_matches_bruteforce(spark, user_times, seed):
+    """Baseline = mean of the first 50 ordinals (all of them at test
+    sizes), subtracted per user. Quarter-unit values make the sum — and
+    hence the mean and the centered values — binary-exact."""
+    from orc_spark.plans.timeseries_q import ts_zero_cal
+
+    rng = np.random.default_rng(seed)
+    counters = {}
+
+    def extra(ui, eid, t):
+        i = counters.get(ui, 0)
+        counters[ui] = i + 1
+        return {"value": float(rng.integers(-4000, 4000)) / 4.0}
+
+    rows = _mk_rows(user_times, extra)
+    sf = _write_events(spark, rows)
+    want = {}
+    for u, rs in _series_by_user(rows).items():
+        vals = [r["value"] for r in rs]
+        baseline = sum(vals[:50]) / len(vals[:50])
+        for r in rs:
+            want[r["event_id"]] = r["value"] - baseline
+    got = {
+        r["event_id"]: r["value_centered"]
+        for r in ts_zero_cal(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=2),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ts_transform_matches_bruteforce(spark, user_times, seed):
+    """3-DoF -> 4-corner mix (Transform.c semantics): the exact float
+    expression (left-assoc mix + 32768.0), clamp to [0, 65535], floor —
+    re-derived with the same Python doubles the engine folds in."""
+    from orc_spark.operators.control import A_2AB, B_2AB, INV_2AB, INV_2CD
+    from orc_spark.plans.timeseries_q import ts_transform
+
+    rng = np.random.default_rng(seed)
+
+    def extra(ui, eid, t):
+        return {"value": float(rng.integers(-6000, 6000)) / 100.0}
+
+    rows = _mk_rows(user_times, extra)
+    sf = _write_events(spark, rows)
+    want = {}
+    for r in rows:
+        v = r["value"]
+        z, th, ph = v * 1000, v * 500, v * 250
+        acts = (
+            B_2AB * z - INV_2AB * th + INV_2CD * ph + 32768.0,
+            B_2AB * z - INV_2AB * th - INV_2CD * ph + 32768.0,
+            A_2AB * z + INV_2AB * th + INV_2CD * ph + 32768.0,
+            A_2AB * z + INV_2AB * th - INV_2CD * ph + 32768.0,
+        )
+        import math
+
+        want[r["event_id"]] = tuple(
+            int(math.floor(min(max(a, 0.0), 65535.0))) for a in acts
+        )
+    got = {
+        r["event_id"]: (r["act1"], r["act2"], r["act3"], r["act4"])
+        for r in ts_transform(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ts_runstats_matches_bruteforce(spark, user_times, seed):
+    """Per-user RMS/min/max over the k=15 zero-pad median-filtered series:
+    the filter output is a selection (exact), quarter-unit values make
+    sum(f²) binary-exact, so rms = sqrt(exact/n) compares exactly."""
+    import math
+
+    from orc_spark.plans.timeseries_q import ts_runstats
+
+    rng = np.random.default_rng(seed)
+    counters = {}
+
+    def extra(ui, eid, t):
+        i = counters.get(ui, 0)
+        counters[ui] = i + 1
+        return {"value": float(rng.integers(-400, 400)) / 4.0}
+
+    rows = _mk_rows(user_times, extra)
+    sf = _write_events(spark, rows)
+    want = {}
+    for u, rs in _series_by_user(rows).items():
+        vals = [r["value"] for r in rs]
+        f = []
+        for i in range(len(vals)):
+            win = [
+                vals[j] if 0 <= j < len(vals) else 0.0
+                for j in range(i - 7, i + 8)
+            ]
+            f.append(sorted(win)[7])
+        rms = math.sqrt(sum(x * x for x in f) / len(f))
+        want[u] = (rms, min(f), max(f), len(f))
+    got = {
+        r["user_id"]: (r["rms"], r["min_val"], r["max_val"], r["n_samples"])
+        for r in ts_runstats(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab1 .,\t!x9", min_size=0, max_size=25),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_tx_tokens_matches_bruteforce(spark, texts):
+    """Token counting re-derived with Python re on the same patterns:
+    whitespace split (empty -> ['']), alpha runs, digit runs, and the
+    BPE-ish subtoken pattern (alpha run | single digit | non-alnum mark)."""
+    import re as _re
+
+    from orc_spark.plans.text_q import tx_tokens
+
+    sf = _write_documents(spark, [("en", t) for t in texts])
+    want = {}
+    for i, t in enumerate(texts):
+        want[i] = (
+            len(t),
+            # trim() in Spark/DuckDB strips SPACES only — not \t — so the
+            # brute force must strip(" "), not Python's all-whitespace strip
+            len(_re.split(r"\s+", t.strip(" "))),
+            len(_re.findall(r"[a-z]+", t)),
+            len(_re.findall(r"[0-9]+", t)),
+            len(_re.findall(r"[a-z]+|[0-9]|[^a-z0-9\s]", t)),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_chars_calc"], r["n_tokens"], r["n_alpha_words"],
+            r["n_numbers"], r["n_subtokens"],
+        )
+        for r in tx_tokens(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "and", "of", "to", "xylophone", "qwerty", "data",
+                 "中", "engine", "in", "is"]
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_tx_langid_matches_bruteforce(spark, docs):
+    """Stopword-density language heuristic: ratio, round-6, threshold
+    bands, and the CJK override — recomputed from the same STOPWORDS list."""
+    from orc_spark.plans.text_q import STOPWORDS, tx_langid
+
+    texts = [" ".join(words) for words in docs]
+    sf = _write_documents(spark, [("en", t) for t in texts])
+    sw = set(STOPWORDS)
+    want = {}
+    for i, words in enumerate(docs):
+        toks = [w.lower() for w in words]  # join/split round-trips the words
+        ratio = sum(1 for w in toks if w in sw) / len(toks)
+        has_cjk = any("一" <= c <= "鿿" for c in texts[i])
+        pred = (
+            "zh" if has_cjk
+            else "en" if ratio >= 0.08
+            else "en_maybe" if ratio >= 0.02
+            else "unk"
+        )
+        want[i] = (_r6(ratio), pred)
+    got = {
+        r["doc_id"]: (r["stop_ratio"], r["pred_lang"])
+        for r in tx_langid(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["plain", "a@b.co", "x@y.org", "https://e.com/p", "http://q.io",
+                 "1234567", "123456789", "12345", "a@b", "https://",
+                 "tail"]
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_tx_redact_matches_bruteforce(spark, docs):
+    """PII redaction: match counts and the digest of the REPLACED text,
+    re-derived with Python re.sub/findall on the identical patterns —
+    including the order of the three passes (emails, then URLs, then long
+    numbers) which changes the result when patterns overlap."""
+    import hashlib
+    import re as _re
+
+    from orc_spark.plans.curation_q import EMAIL, LONGNUM, URL, tx_redact
+
+    texts = [" ".join(words) for words in docs]
+    sf = _write_documents(spark, [("en", t) for t in texts])
+    want = {}
+    for i, t in enumerate(texts):
+        red = _re.sub(EMAIL, "<EMAIL>", t)
+        red = _re.sub(URL, "<URL>", red)
+        red = _re.sub(LONGNUM, "<NUM>", red)
+        want[i] = (
+            len(_re.findall(EMAIL, t)),
+            len(_re.findall(URL, t)),
+            len(_re.findall(LONGNUM, t)),
+            len(red),
+            hashlib.md5(red.encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_emails"], r["n_urls"], r["n_longnums"],
+            r["redacted_len"], r["redacted_digest"],
+        )
+        for r in tx_redact(spark, sf).collect()
+    }
+    assert got == want
