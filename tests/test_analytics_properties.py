@@ -5820,3 +5820,437 @@ def test_tx_redact_matches_bruteforce(spark, docs):
         for r in tx_redact(spark, sf).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcAB ", min_size=0, max_size=18),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dd_minhash_sig_matches_bruteforce(spark, texts):
+    """Full MinHash signature re-derived in plain Python: 5-char shingles
+    of the lowercased text (short docs yield their whole text as the one
+    shingle), h60, and all 16 affine permutations mod 2^31-1 — exact
+    integer equality on every signature slot."""
+    from orc_spark.functions.hashing import MERSENNE_P, MINHASH_PERMS, h60_py
+    from orc_spark.plans.dedup_q import SHINGLE_K, dd_minhash_sig
+
+    sf = _write_documents(spark, [("en", t) for t in texts])
+    want = {}
+    for i, t in enumerate(texts):
+        lt = t.lower()
+        n_pos = max(len(lt) - (SHINGLE_K - 1), 1)
+        hs = {h60_py(lt[p : p + SHINGLE_K]) for p in range(n_pos)}
+        want[i] = tuple(
+            min((a * (h % MERSENNE_P) + b) % MERSENNE_P for h in hs)
+            for a, b in MINHASH_PERMS
+        )
+    got = {
+        r["doc_id"]: tuple(r[f"m{j}"] for j in range(len(MINHASH_PERMS)))
+        for r in dd_minhash_sig(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="the and of data xq.,!: ", min_size=1, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_tx_quality_matches_bruteforce(spark, texts):
+    """Quality ratios + composite score re-derived in Python with the same
+    single-division float expressions (trim = spaces only, like the
+    engines)."""
+    import re as _re
+
+    from orc_spark.plans.text_q import STOPWORDS, tx_quality
+
+    sf = _write_documents(spark, [("en", t) for t in texts])
+    sw = set(STOPWORDS)
+    want = {}
+    for i, t in enumerate(texts):
+        n_chars = float(len(t))
+        toks = _re.split(r"\s+", t.strip(" "))
+        n_toks = float(len(toks))
+        n_stop = float(sum(1 for x in toks if x in sw))
+        n_punct = float(len(_re.findall(r"[.,!?;:]", t)))
+        n_space = float(t.count(" "))
+        mean_tok_len = (n_chars - n_space) / n_toks
+        stop_ratio = n_stop / n_toks
+        punct_ratio = n_punct / n_chars if n_chars else None
+        score = (
+            min(n_toks / 100.0, 1.0) * 0.4
+            + min(stop_ratio * 5.0, 1.0) * 0.4
+            + (0.2 if 3.0 <= mean_tok_len <= 10.0 else 0.0)
+        )
+        want[i] = (
+            _r6(mean_tok_len),
+            _r6(stop_ratio),
+            _r6(punct_ratio) if punct_ratio is not None else None,
+            _r6(score),
+        )
+    got = {
+        r["doc_id"]: (
+            r["mean_tok_len"], r["stop_ratio"], r["punct_ratio"],
+            r["quality_score"],
+        )
+        for r in tx_quality(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.sampled_from(["O", "F"]),
+            st.integers(1, 200),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_r_pivot_matches_bruteforce(spark, rows):
+    """Pivot = conditional aggregation: per returnflag, qty sums split by
+    linestatus columns, NULL where a cell has no rows."""
+    from orc_spark.plans.relational2 import r_pivot
+
+    d = tempfile.mkdtemp(prefix="orc_props_piv_")
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": range(1, len(rows) + 1),
+            "l_partkey": [1] * len(rows),
+            "l_suppkey": [1] * len(rows),
+            "l_linenumber": [1] * len(rows),
+            "l_quantity": [q / 4.0 for _, _, q in rows],
+            "l_extendedprice": [1.0] * len(rows),
+            "l_discount": [0.0] * len(rows),
+            "l_tax": [0.0] * len(rows),
+            "l_returnflag": [f for f, _, _ in rows],
+            "l_linestatus": [s for _, s, _ in rows],
+        }
+    )
+    spark.createDataFrame(
+        pdf,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    cells = {}
+    for f, s, q in rows:
+        cells[(f, s)] = cells.get((f, s), 0.0) + q / 4.0
+    want = {
+        f: (cells.get((f, "O")), cells.get((f, "F")))
+        for f in {f for f, _, _ in rows}
+    }
+    got = {
+        r["l_returnflag"]: (r["qty_open"], r["qty_filled"])
+        for r in r_pivot(spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=1, max_size=3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ts_groupmeans_matches_bruteforce(spark, user_times, seed):
+    """Group means over per-(user, type) runs: medfilt (exact selection) ->
+    RMS (exact on quarter units) -> avg over runs. The final averages sum
+    IRRATIONAL rms doubles whose accumulation order Spark doesn't fix, so
+    they compare at 1e-12 relative; counts compare exactly."""
+    import math
+
+    from orc_spark.plans.timeseries_q import ts_groupmeans
+
+    rng = np.random.default_rng(seed)
+    types = ("view", "click")
+    counters = {}
+
+    def extra(ui, eid, t):
+        i = counters.get(ui, 0)
+        counters[ui] = i + 1
+        return {
+            "value": float(rng.integers(-400, 400)) / 4.0,
+            "event_type": types[int(rng.integers(0, 2))],
+        }
+
+    rows = _mk_rows(user_times, extra)
+    sf = _write_events(spark, rows)
+    runs = {}
+    for r in rows:  # per (user, type) series in (ts, eid) order
+        runs.setdefault((r["user_id"], r["event_type"]), []).append(r["value"])
+    per_type = {}
+    for (u, ty), vals in runs.items():
+        f = []
+        for i in range(len(vals)):
+            win = [
+                vals[j] if 0 <= j < len(vals) else 0.0
+                for j in range(i - 7, i + 8)
+            ]
+            f.append(sorted(win)[7])
+        rms = math.sqrt(sum(x * x for x in f) / len(f))
+        per_type.setdefault(ty, []).append((rms, min(f), max(f)))
+    want = {
+        ty: (
+            sum(r for r, _, _ in rs) / len(rs),
+            sum(m for _, m, _ in rs) / len(rs),
+            sum(m for _, _, m in rs) / len(rs),
+            len(rs),
+        )
+        for ty, rs in per_type.items()
+    }
+    got = {
+        r["event_type"]: (r["avg_rms"], r["avg_min"], r["avg_max"], r["n_runs"])
+        for r in ts_groupmeans(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for ty, (arms, amin, amax, n) in want.items():
+        g = got[ty]
+        assert g[3] == n
+        assert math.isclose(g[0], arms, rel_tol=1e-12)
+        assert math.isclose(g[1], amin, rel_tol=1e-12)
+        assert math.isclose(g[2], amax, rel_tol=1e-12)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.lists(st.integers(-8, 8), min_size=4, max_size=4).filter(
+            lambda v: any(x != 0 for x in v)
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    dup_of=st.integers(0, 9),
+)
+def test_dd_embcos_matches_bruteforce(spark, base, dup_of):
+    """Exact all-pairs cosine near-dup vs a plain numpy loop: normalize,
+    dot, round-6, threshold. A planted duplicate of one base vector
+    guarantees at least one pair above the threshold every run."""
+    import numpy as np
+
+    from orc_spark.plans.dedup_q import COS_THRESHOLD, dd_embcos
+
+    vecs = [list(map(float, v)) for v in base]
+    vecs.append(list(vecs[dup_of % len(base)]))  # exact dup -> cos 1.0
+    d = tempfile.mkdtemp(prefix="orc_props_emb_")
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    spark.createDataFrame(pdf, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    m = np.asarray(vecs, dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    want = {}
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            c = round(float(m[a] @ m[b]), 6)
+            if c >= COS_THRESHOLD:
+                want[(a, b)] = c
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in dd_embcos(spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-8, 8), min_size=3, max_size=3).filter(
+            lambda v: any(x != 0 for x in v)
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_ann_bruteforce_fast_matches_bruteforce(spark, vecs):
+    """The production streamed-matmul top-k (query set pushed down and
+    bounded) vs a plain numpy ranking with the same round-6 + (cos desc,
+    id asc) order, including the rank column."""
+    import numpy as np
+
+    from orc_spark.plans.mm_q import ANN_FAST_K, ANN_N_Q, ann_bruteforce_fast
+
+    d = tempfile.mkdtemp(prefix="orc_props_annf_")
+    fl = [list(map(float, v)) for v in vecs]
+    pdf = pd.DataFrame({"vec_id": range(len(fl)), "embedding": fl})
+    spark.createDataFrame(pdf, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    m = np.asarray(fl, dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    want = {}
+    for q in range(min(ANN_N_Q, len(fl))):
+        sims = {i: round(float(m[q] @ m[i]), 6) for i in range(len(fl)) if i != q}
+        order = sorted(sims, key=lambda i: (-sims[i], i))
+        for rank, i in enumerate(order[:ANN_FAST_K], 1):
+            want[(q, i)] = (sims[i], rank)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["cos_sim"], r["rank"])
+        for r in ann_bruteforce_fast(spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=15),
+        min_size=2,
+        max_size=8,
+    ),
+    dup_of=st.integers(0, 7),
+)
+def test_dd_minhash_pairs_matches_bruteforce(spark, texts, dup_of):
+    """Banded LSH candidates + signature-match estimate, re-derived from
+    raw text: shingles -> h60 -> 16 perms -> 4 bands of 4 -> pairs sharing
+    any band -> est = matching slots / 16. A planted exact duplicate
+    guarantees candidates."""
+    from orc_spark.functions.hashing import MERSENNE_P, MINHASH_PERMS, h60_py
+    from orc_spark.plans.dedup_q import (
+        N_BANDS,
+        N_PERM,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+        dd_minhash_pairs,
+    )
+
+    texts = list(texts) + [texts[dup_of % len(texts)]]
+    sf = _write_documents(spark, [("en", t) for t in texts])
+    sigs = {}
+    for i, t in enumerate(texts):
+        lt = t.lower()
+        n_pos = max(len(lt) - (SHINGLE_K - 1), 1)
+        hs = {h60_py(lt[p : p + SHINGLE_K]) for p in range(n_pos)}
+        sigs[i] = [
+            min((a * (h % MERSENNE_P) + b) % MERSENNE_P for h in hs)
+            for a, b in MINHASH_PERMS
+        ]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sigs[a], sigs[b]
+            shared_band = any(
+                sa[k * ROWS_PER_BAND : (k + 1) * ROWS_PER_BAND]
+                == sb[k * ROWS_PER_BAND : (k + 1) * ROWS_PER_BAND]
+                for k in range(N_BANDS)
+            )
+            if shared_band:
+                est = sum(1 for i in range(N_PERM) if sa[i] == sb[i]) / N_PERM
+                want[(a, b)] = est
+    got = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dd_minhash_pairs(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_times=st.lists(times_strategy, min_size=2, max_size=4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ts_welch_matches_bruteforce(spark, user_times, seed):
+    """Welch t + dof re-derived in plain Python: per-(user, type) RMS
+    populations (exact on quarter units), textbook sample stats, then the
+    IDENTICAL closed-form float expression the operator computes.
+    mean/var use sum-based formulas, so tiny ulp drift vs Spark's
+    incremental avg/var_samp is absorbed by a 1e-9 relative compare."""
+    import math
+
+    from orc_spark.plans.timeseries_q import ts_welch
+
+    rng = np.random.default_rng(seed)
+    types = ("click", "view")
+    counters = {}
+
+    def extra(ui, eid, t):
+        i = counters.get(ui, 0)
+        counters[ui] = i + 1
+        return {
+            "value": float(rng.integers(-400, 400)) / 4.0,
+            "event_type": types[int(rng.integers(0, 2))],
+        }
+
+    rows = _mk_rows(user_times, extra)
+    sf = _write_events(spark, rows)
+    pops = {"click": [], "view": []}
+    per_run = {}
+    for r in rows:
+        if r["event_type"] in pops:
+            per_run.setdefault((r["user_id"], r["event_type"]), []).append(
+                r["value"]
+            )
+    for (u, ty), vals in per_run.items():
+        pops[ty].append(math.sqrt(sum(v * v for v in vals) / len(vals)))
+    a, b = pops["click"], pops["view"]
+    rows_out = ts_welch(spark, sf).collect()
+    if not a or not b:
+        assert rows_out == []
+        return
+    [r] = rows_out
+
+    def stats(xs):
+        n = float(len(xs))
+        mean = sum(xs) / n
+        var = (
+            sum((x - mean) ** 2 for x in xs) / (n - 1) if len(xs) >= 2 else None
+        )
+        return n, mean, var
+
+    n1, m1, v1 = stats(a)
+    n2, m2, v2 = stats(b)
+    if v1 is None or v2 is None:
+        assert r["t_stat"] is None or r["t_stat"] != r["t_stat"]
+        return
+    q1, q2 = v1 / n1, v2 / n2
+    se2 = q1 + q2
+    if se2 == 0.0:
+        assert r["t_stat"] is None
+        assert r["dof"] is None
+        return
+    t = (m1 - m2) / math.sqrt(se2)
+    dof = (se2 * se2) / (q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1))
+    assert math.isclose(r["t_stat"], t, rel_tol=1e-9, abs_tol=1e-12)
+    assert math.isclose(r["dof"], dof, rel_tol=1e-9)
