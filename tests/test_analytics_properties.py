@@ -6254,3 +6254,438 @@ def test_ts_welch_matches_bruteforce(spark, user_times, seed):
     dof = (se2 * se2) / (q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1))
     assert math.isclose(r["t_stat"], t, rel_tol=1e-9, abs_tol=1e-12)
     assert math.isclose(r["dof"], dof, rel_tol=1e-9)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    custs=st.lists(st.integers(1, 10), min_size=1, max_size=8, unique=True),
+    orders=st.lists(
+        st.tuples(
+            st.integers(1, 12),
+            st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_r10_outer_hist_matches_bruteforce(spark, custs, orders):
+    """TPC-H Q13 shape: LEFT join with the priority filter ON THE JOIN
+    CONDITION (zero-order customers must appear in the c_count=0 bucket,
+    which a WHERE would silently drop) — re-counted in plain Python."""
+    import datetime as dt
+
+    from orc_spark.plans.relational3 import r10_outer_hist
+
+    d = tempfile.mkdtemp(prefix="orc_props_hist_")
+    cpdf = pd.DataFrame(
+        {
+            "c_custkey": custs,
+            "c_name": [f"c{k}" for k in custs],
+            "c_nationkey": [1] * len(custs),
+            "c_acctbal": [0.0] * len(custs),
+            "c_mktsegment": ["BUILDING"] * len(custs),
+        }
+    )
+    opdf = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(orders) + 1),
+            "o_custkey": [c for c, _ in orders],
+            "o_orderstatus": ["O"] * len(orders),
+            "o_totalprice": [1.0] * len(orders),
+            "o_orderdate": [dt.datetime(1995, 1, 1)] * len(orders),
+            "o_orderpriority": [p for _, p in orders],
+        }
+    )
+    spark.createDataFrame(
+        cpdf,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        opdf,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    per_cust = {c: 0 for c in custs}
+    for c, p in orders:
+        if p != "1-URGENT" and c in per_cust:
+            per_cust[c] += 1
+    want = {}
+    for c, n in per_cust.items():
+        want[n] = want.get(n, 0) + 1
+    got = {
+        r["c_count"]: r["custdist"] for r in r10_outer_hist(spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["BUILDING", "MACHINERY"]),
+            st.integers(1, 4000),   # price quarters
+            st.integers(-2000, 2000),  # acctbal quarters
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_r11_stats_agg_matches_bruteforce(spark, rows):
+    """The moment-sketch battery re-derived: exact interpolated
+    percentiles (rank = p·(n-1) linear interpolation), sample var/std,
+    corr composed covar/(sd·sd), and least-squares slope/intercept —
+    float stats at 1e-9 relative (Spark accumulates incrementally),
+    percentiles and counts exact."""
+    import datetime as dt
+    import math
+
+    from orc_spark.plans.relational3 import r11_stats_agg
+
+    d = tempfile.mkdtemp(prefix="orc_props_r11_")
+    segs = [s for s, _, _ in rows]
+    prices = [q / 4.0 for _, q, _ in rows]
+    bals = [b / 4.0 for _, _, b in rows]
+    cpdf = pd.DataFrame(
+        {
+            "c_custkey": range(1, len(rows) + 1),
+            "c_name": [f"c{i}" for i in range(len(rows))],
+            "c_nationkey": [1] * len(rows),
+            "c_acctbal": bals,
+            "c_mktsegment": segs,
+        }
+    )
+    opdf = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": range(1, len(rows) + 1),
+            "o_orderstatus": ["O"] * len(rows),
+            "o_totalprice": prices,
+            "o_orderdate": [dt.datetime(1995, 1, 1)] * len(rows),
+            "o_orderpriority": ["3-MEDIUM"] * len(rows),
+        }
+    )
+    spark.createDataFrame(
+        cpdf,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        opdf,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+
+    def pct(xs, p):
+        xs = sorted(xs)
+        r = p * (len(xs) - 1)
+        lo, hi = int(math.floor(r)), int(math.ceil(r))
+        frac = r - lo
+        return xs[lo] * (1 - frac) + xs[hi] * frac
+
+    groups = {}
+    for s, p, b in zip(segs, prices, bals):
+        groups.setdefault(s, []).append((p, b))
+    got = {r["c_mktsegment"]: r for r in r11_stats_agg(spark, d).collect()}
+    assert set(got) == set(groups)
+    for s, pb in groups.items():
+        ps = [p for p, _ in pb]
+        bs = [b for _, b in pb]
+        n = len(ps)
+        r = got[s]
+        assert r["n"] == n
+        assert r["p25_price"] == pct(ps, 0.25)
+        assert r["p50_price"] == pct(ps, 0.5)
+        assert r["p95_price"] == pct(ps, 0.95)
+        mp, mb = sum(ps) / n, sum(bs) / n
+        if n >= 2:
+            var = sum((x - mp) ** 2 for x in ps) / (n - 1)
+            cov = sum((x - mp) * (y - mb) for x, y in zip(ps, bs)) / (n - 1)
+            sdp = math.sqrt(var)
+            sdb = math.sqrt(sum((y - mb) ** 2 for y in bs) / (n - 1))
+            assert math.isclose(r["var_price"], var, rel_tol=1e-9, abs_tol=1e-12)
+            assert math.isclose(r["sd_price"], sdp, rel_tol=1e-9, abs_tol=1e-12)
+            assert math.isclose(
+                r["covar_price_bal"], cov, rel_tol=1e-9, abs_tol=1e-12
+            )
+            den = sdp * sdb
+            if den == 0.0:
+                assert r["corr_price_bal"] is None
+            else:
+                assert math.isclose(
+                    r["corr_price_bal"], cov / den, rel_tol=1e-9, abs_tol=1e-9
+                )
+            sxx = sum((y - mb) ** 2 for y in bs)  # regr x = c_acctbal
+            sxy = sum((y - mb) * (x - mp) for x, y in zip(ps, bs))
+            if sxx == 0.0:
+                assert r["slope"] is None
+            else:
+                slope = sxy / sxx
+                assert math.isclose(r["slope"], slope, rel_tol=1e-9, abs_tol=1e-9)
+                assert math.isclose(
+                    r["intercept"], mp - slope * mb, rel_tol=1e-9, abs_tol=1e-9
+                )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef 01", min_size=0, max_size=24),
+        min_size=1,
+        max_size=9,
+    )
+)
+def test_mm_audio_windows_matches_bruteforce(spark, texts):
+    """Audio-window plumbing (kind doc_id % 3 == 1, 500 ms grid,
+    sample-rate-aware n_samples, stride-6151 64-hex-char slice, h60 energy
+    proxy) re-derived byte-for-byte in plain Python."""
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.mm_q import mm_audio_windows
+
+    sf = _write_documents(spark, [("en", t) for t in texts])
+    want = {}
+    for i, t in enumerate(texts):
+        if i % 3 != 1:
+            continue
+        payload = t.encode("utf-8")
+        hexstr = payload.hex()
+        duration_ms = ((len(t) % 10) + 1) * 1000
+        for t_ms in range(0, duration_ms, 500):
+            n_samples = 16000 * min(500, duration_ms - t_ms) // 1000
+            start = 2 * ((t_ms * 6151) % max(len(payload), 1))
+            s = hexstr[start : start + 64]
+            want[(i, t_ms // 500)] = (t_ms, n_samples, h60_py(s if s else "00"))
+    rows = mm_audio_windows(spark, sf).collect()
+    got = {
+        (r["media_id"], r["window_idx"]): (
+            r["t_ms"], r["n_samples"], r["energy_h60"]
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def _write_orders_simple(spark, rows):
+    """rows: (o_custkey, price_quarters) -> orders.parquet (okey = idx+1)."""
+    import datetime as dt
+
+    d = tempfile.mkdtemp(prefix="orc_props_ord_")
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": [c for c, _ in rows],
+            "o_orderstatus": ["O"] * len(rows),
+            "o_totalprice": [q / 4.0 for _, q in rows],
+            "o_orderdate": [dt.datetime(1995, 1, 1)] * len(rows),
+            "o_orderpriority": ["3-MEDIUM"] * len(rows),
+        }
+    )
+    spark.createDataFrame(
+        pdf,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    return d
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(1, 4000)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_r5_window_topk_matches_bruteforce(spark, rows):
+    """Per-customer top-2 by (price desc, key asc) with the running spend
+    along that exact order — re-derived by sorting in Python."""
+    from orc_spark.plans.relational import r5_window_topk
+
+    d = _write_orders_simple(spark, rows)
+    per_cust = {}
+    for i, (c, q) in enumerate(rows):
+        per_cust.setdefault(c, []).append((q / 4.0, i + 1))
+    want = {}
+    for c, lst in per_cust.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        run = 0.0
+        for rn, (p, ok) in enumerate(lst, 1):
+            run += p
+            if rn <= 2:
+                want[ok] = (c, p, rn, run)
+    got = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_totalprice"], r["rn"],
+                          r["running_spend"])
+        for r in r5_window_topk(spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(1, 12000)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_r5b_range_frame_matches_bruteforce(spark, rows):
+    """RANGE ±1000 value frame: per order, count/sum of the SAME
+    customer's orders within ±1000 of its price (bounds inclusive),
+    independent of row order — re-derived by value comparison."""
+    from orc_spark.plans.relational2 import r5b_range_frame
+
+    d = _write_orders_simple(spark, rows)
+    per_cust = {}
+    for i, (c, q) in enumerate(rows):
+        per_cust.setdefault(c, []).append((q / 4.0, i + 1))
+    want = {}
+    for c, lst in per_cust.items():
+        for p, ok in lst:
+            near = [p2 for p2, _ in lst if abs(p2 - p) <= 1000.0]
+            want[ok] = (c, p, len(near), sum(sorted(near)))
+    got = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_totalprice"], r["n_near"],
+                          r["sum_near"])
+        for r in r5b_range_frame(spark, d).collect()
+    }
+    # sums are quarter-exact, so exact equality incl. the float sums
+    assert got == want
+
+
+def _write_lineitem_part(spark, items, parts):
+    """items: (l_partkey, qty_quarters, price_quarters); parts:
+    (p_partkey, p_brand, p_size)."""
+    d = tempfile.mkdtemp(prefix="orc_props_lp_")
+    lpdf = pd.DataFrame(
+        {
+            "l_orderkey": range(1, len(items) + 1),
+            "l_partkey": [p for p, _, _ in items],
+            "l_suppkey": [1] * len(items),
+            "l_linenumber": [1] * len(items),
+            "l_quantity": [q / 4.0 for _, q, _ in items],
+            "l_extendedprice": [pr / 4.0 for _, _, pr in items],
+            "l_discount": [0.0] * len(items),
+            "l_tax": [0.0] * len(items),
+            "l_returnflag": ["N"] * len(items),
+            "l_linestatus": ["O"] * len(items),
+        }
+    )
+    ppdf = pd.DataFrame(
+        {
+            "p_partkey": [k for k, _, _ in parts],
+            "p_name": [f"part {k}" for k, _, _ in parts],
+            "p_brand": [b for _, b, _ in parts],
+            "p_type": ["STANDARD"] * len(parts),
+            "p_size": [s for _, _, s in parts],
+            "p_retailprice": [1.0] * len(parts),
+        }
+    )
+    spark.createDataFrame(
+        lpdf,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        ppdf,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+    return d
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    items=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(1, 240), st.integers(1, 100)),
+        min_size=1,
+        max_size=20,
+    ),
+    parts=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(20, 60)),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_r6_setops_matches_bruteforce(spark, items, parts):
+    """INTERSECT / EXCEPT / UNION-distinct over the heavy-lineitem and
+    big-part key sets, re-derived with Python set algebra."""
+    from orc_spark.plans.relational import r6_setops
+
+    d = _write_lineitem_part(
+        spark, items, [(k, "Brand#1", s) for k, s in parts]
+    )
+    heavy = {p for p, q, _ in items if q / 4.0 >= 45}
+    big = {k for k, s in parts if s >= 40}
+    [r] = r6_setops(spark, d).collect()
+    assert (r["n_intersect"], r["n_except"], r["n_union"]) == (
+        len(heavy & big), len(heavy - big), len(heavy | big)
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    items=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(1, 240), st.integers(1, 400)),
+        min_size=1,
+        max_size=20,
+    ),
+    brand1=st.lists(st.integers(1, 6), min_size=1, max_size=6, unique=True),
+)
+def test_r9_scalar_subquery_matches_bruteforce(spark, items, brand1):
+    """Decorrelated scalar subquery (TPC-H Q17 shape): per-part mean
+    quantity, rows strictly below half of it, revenue / 7.0 — re-derived
+    per part in Python on quarter-exact values."""
+    from orc_spark.plans.relational3 import r9_scalar_subquery
+
+    parts = [(k, "Brand#1" if k in set(brand1) else "Brand#2", 10)
+             for k in range(1, 7)]
+    d = _write_lineitem_part(spark, items, parts)
+    b1 = set(brand1)
+    per_part = {}
+    for k, q, pr in items:
+        if k in b1:
+            per_part.setdefault(k, []).append((q / 4.0, pr / 4.0))
+    tot, n = 0.0, 0
+    for k, lst in per_part.items():
+        avg_q = sum(q for q, _ in lst) / len(lst)
+        for q, pr in lst:
+            if q < 0.5 * avg_q:
+                tot += pr
+                n += 1
+    [r] = r9_scalar_subquery(spark, d).collect()
+    assert r["n_small"] == n
+    if n == 0:
+        assert r["avg_yearly"] is None
+    else:
+        assert r["avg_yearly"] == tot / 7.0
