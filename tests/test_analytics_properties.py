@@ -6689,3 +6689,1138 @@ def test_r9_scalar_subquery_matches_bruteforce(spark, items, brand1):
         assert r["avg_yearly"] is None
     else:
         assert r["avg_yearly"] == tot / 7.0
+
+
+def _write_cust_orders_nation(spark, custs, orders):
+    """custs: (c_custkey, nationkey, segment); orders: (o_custkey,
+    price_quarters, year). Nation table is 3 fixed rows."""
+    import datetime as dt
+
+    d = tempfile.mkdtemp(prefix="orc_props_con_")
+    cpdf = pd.DataFrame(
+        {
+            "c_custkey": [k for k, _, _ in custs],
+            "c_name": [f"c{k}" for k, _, _ in custs],
+            "c_nationkey": [nk for _, nk, _ in custs],
+            "c_acctbal": [0.0] * len(custs),
+            "c_mktsegment": [s for _, _, s in custs],
+        }
+    )
+    opdf = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(orders) + 1),
+            "o_custkey": [c for c, _, _ in orders],
+            "o_orderstatus": ["O"] * len(orders),
+            "o_totalprice": [q / 4.0 for _, q, _ in orders],
+            "o_orderdate": [dt.datetime(y, 6, 1) for _, _, y in orders],
+            "o_orderpriority": ["3-MEDIUM"] * len(orders),
+        }
+    )
+    npdf = pd.DataFrame(
+        {
+            "n_nationkey": [0, 1, 2],
+            "n_name": ["ALPHA", "BETA", "GAMMA"],
+            "n_regionkey": [0, 0, 1],
+        }
+    )
+    spark.createDataFrame(
+        cpdf,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        opdf,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        npdf, "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "nation.parquet"))
+    return d
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),
+            st.sampled_from(["O", "F"]),
+            st.integers(1, 200),     # qty quarters
+            st.integers(1, 4000),    # price quarters
+            st.integers(0, 1),       # discount in quarters (0 or 0.25)
+            st.integers(0, 1),       # tax in quarters
+            st.integers(1995, 2000),  # ship year (cutoff 1998-09-02)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_r1_pricing_summary_matches_bruteforce(spark, items):
+    """TPC-H Q1 re-derived in Python: the shipdate cutoff, the disc/charge
+    product sums (quarter-unit prices and quarter discounts/taxes keep
+    every product and sum binary-exact), and avg = sum/count."""
+    import datetime as dt
+
+    from orc_spark.plans.relational import r1_pricing_summary
+
+    d = tempfile.mkdtemp(prefix="orc_props_r1_")
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": range(1, len(items) + 1),
+            "l_partkey": [1] * len(items),
+            "l_suppkey": [1] * len(items),
+            "l_linenumber": [1] * len(items),
+            "l_quantity": [q / 4.0 for _, _, q, _, _, _, _ in items],
+            "l_extendedprice": [p / 4.0 for _, _, _, p, _, _, _ in items],
+            "l_discount": [dc / 4.0 for _, _, _, _, dc, _, _ in items],
+            "l_tax": [tx / 4.0 for _, _, _, _, _, tx, _ in items],
+            "l_returnflag": [f for f, _, _, _, _, _, _ in items],
+            "l_linestatus": [s for _, s, _, _, _, _, _ in items],
+            "l_shipdate": [dt.datetime(y, 1, 15) for *_, y in items],
+        }
+    )
+    spark.createDataFrame(
+        pdf,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    want = {}
+    for f, s, q, p, dc, tx, y in items:
+        if dt.datetime(y, 1, 15) > dt.datetime(1998, 9, 2):
+            continue
+        qq, pp, dd_, tt = q / 4.0, p / 4.0, dc / 4.0, tx / 4.0
+        a = want.setdefault((f, s), [0.0, 0.0, 0.0, 0.0, 0])
+        a[0] += qq
+        a[1] += pp
+        a[2] += pp * (1 - dd_)
+        a[3] += pp * (1 - dd_) * (1 + tt)
+        a[4] += 1
+    want_full = {}
+    for key, (sq, sp, sd, sc, n) in want.items():
+        dsum = sum(
+            dc / 4.0
+            for f, s, _, _, dc, _, y in items
+            if (f, s) == key and dt.datetime(y, 1, 15) <= dt.datetime(1998, 9, 2)
+        )
+        want_full[key] = (sq, sp, sd, sc, sq / n, sp / n, dsum / n, n)
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["sum_qty"], r["sum_base_price"], r["sum_disc_price"],
+            r["sum_charge"], r["avg_qty"], r["avg_price"], r["avg_disc"],
+            r["count_order"],
+        )
+        for r in r1_pricing_summary(spark, d).collect()
+    }
+    assert got == want_full
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    custs=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(0, 2),
+                  st.sampled_from(["BUILDING", "MACHINERY"])),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    orders=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 4000),
+                  st.integers(1995, 1998)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_r2_r2b_r4_match_bruteforce(spark, custs, orders):
+    """Three battery shapes on one fixture: segment join-agg (r2),
+    semi/anti existence counts (r2b), and the nation×year ROLLUP with
+    grouping_id (r4) — all re-derived in Python. Orders referencing
+    non-existent customers drop out of every inner join, exactly like
+    production late-arriving facts."""
+    from orc_spark.plans.relational import r2_join_agg, r2b_semi_anti, r4_rollup
+
+    d = _write_cust_orders_nation(spark, custs, orders)
+    cust_by_key = {k: (nk, s) for k, nk, s in custs}
+    nation_name = {0: "ALPHA", 1: "BETA", 2: "GAMMA"}
+    joined = [
+        (c, q / 4.0, y, *cust_by_key[c]) for c, q, y in orders if c in cust_by_key
+    ]
+
+    # r2: per segment
+    seg = {}
+    for _, p, _, _, s in joined:
+        n, tot = seg.get(s, (0, 0.0))
+        seg[s] = (n + 1, tot + p)
+    want_r2 = {s: (n, tot, tot / n) for s, (n, tot) in seg.items()}
+    got_r2 = {
+        r["c_mktsegment"]: (r["n_orders"], r["total_revenue"],
+                            r["avg_order_price"])
+        for r in r2_join_agg(spark, d).collect()
+    }
+    assert got_r2 == want_r2
+
+    # r2b: existence split
+    with_orders = {c for c, _, _ in orders if c in cust_by_key}
+    [rb] = r2b_semi_anti(spark, d).collect()
+    assert (rb["n_with_orders"], rb["n_without_orders"]) == (
+        len(with_orders), len(custs) - len(with_orders)
+    )
+
+    # r4: rollup (nation, year) -> 3 grouping sets with gid 0/1/3
+    want_r4 = {}
+    for _, p, y, nk, _ in joined:
+        nname = nation_name[nk]
+        for key, gid in (
+            ((nname, y), 0),
+            ((nname, None), 1),
+            ((None, None), 3),
+        ):
+            n, tot = want_r4.get((key, gid), (0, 0.0))
+            want_r4[(key, gid)] = (n + 1, tot + p)
+    got_r4 = {
+        ((r["n_name"], r["order_year"]), r["gid"]): (r["n_orders"], r["revenue"])
+        for r in r4_rollup(spark, d).collect()
+    }
+    assert got_r4 == want_r4
+
+
+def _write_supplier(spark, d, n_supp):
+    pdf = pd.DataFrame(
+        {
+            "s_suppkey": range(1, n_supp + 1),
+            "s_name": [f"Supplier#{k:09d}" for k in range(1, n_supp + 1)],
+            "s_nationkey": [1] * n_supp,
+            "s_acctbal": [0.0] * n_supp,
+        }
+    )
+    spark.createDataFrame(
+        pdf, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "supplier.parquet"))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(1, 5),          # suppkey
+            st.integers(1, 4000),       # price quarters
+            st.integers(0, 1),          # discount quarters
+            st.integers(0, 200),        # ship day offset from 1996-01-01
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_r13_top_supplier_matches_bruteforce(spark, items):
+    """Q15 shape: 90-day revenue view in integer 1e-4 units, max-equality
+    tie semantics (ALL suppliers at the max revenue return) — re-derived
+    in Python with the same fixed-point accumulation."""
+    import datetime as dt
+
+    from orc_spark.plans.relational2 import r13_top_supplier
+
+    d = tempfile.mkdtemp(prefix="orc_props_r13_")
+    base = dt.datetime(1996, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": range(1, len(items) + 1),
+            "l_partkey": [1] * len(items),
+            "l_suppkey": [s for s, _, _, _ in items],
+            "l_linenumber": [1] * len(items),
+            "l_quantity": [1.0] * len(items),
+            "l_extendedprice": [p / 4.0 for _, p, _, _ in items],
+            "l_discount": [dc / 4.0 for _, _, dc, _ in items],
+            "l_tax": [0.0] * len(items),
+            "l_returnflag": ["N"] * len(items),
+            "l_linestatus": ["O"] * len(items),
+            "l_shipdate": [base + dt.timedelta(days=off) for *_, off in items],
+        }
+    )
+    spark.createDataFrame(
+        pdf,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    _write_supplier(spark, d, 5)
+    rev = {}
+    hi = dt.datetime(1996, 3, 31)
+    for s, p, dc, off in items:
+        if base + dt.timedelta(days=off) <= hi:
+            fp = int(round((p / 4.0) * (1 - dc / 4.0) * 10000))
+            rev[s] = rev.get(s, 0) + fp
+    want = {}
+    if rev:
+        mx = max(rev.values())
+        for s, fp in rev.items():
+            if fp == mx:
+                want[s] = (f"Supplier#{s:09d}", _r6(fp / 10000.0))
+    got = {
+        r["s_suppkey"]: (r["s_name"], r["total_revenue"])
+        for r in r13_top_supplier(spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.sampled_from(["F", "O"]),       # order status
+            st.lists(                          # (suppkey, late_days) lines
+                st.tuples(st.integers(1, 4), st.integers(0, 120)),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_r14_waiting_supplier_matches_bruteforce(spark, orders):
+    """Q21 shape re-derived: only finished orders count, late = shipped
+    strictly more than 60 days after the order date, and a supplier waits
+    only when the order had >= 2 distinct suppliers and the late set is
+    exactly one DISTINCT supplier (multiple late lines of the same
+    supplier still qualify)."""
+    import datetime as dt
+
+    from orc_spark.plans.relational2 import r14_waiting_supplier
+
+    d = tempfile.mkdtemp(prefix="orc_props_r14_")
+    base = dt.datetime(1995, 1, 1)
+    lrows, orows = [], []
+    ln = 1
+    for ok, (status, lines) in enumerate(orders, 1):
+        orows.append((ok, 1, status, 1.0, base, "3-MEDIUM"))
+        for s, days in lines:
+            lrows.append((ok, 1, s, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                          base + dt.timedelta(days=days)))
+            ln += 1
+    spark.createDataFrame(
+        pd.DataFrame(
+            orows,
+            columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_totalprice", "o_orderdate", "o_orderpriority"],
+        ),
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        pd.DataFrame(
+            lrows,
+            columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                     "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"],
+        ),
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    _write_supplier(spark, d, 4)
+    waits = {}
+    for ok, (status, lines) in enumerate(orders, 1):
+        if status != "F":
+            continue
+        supps = {s for s, _ in lines}
+        late = {s for s, days in lines if days > 60}
+        if len(supps) >= 2 and len(late) == 1:
+            (s,) = late
+            waits[s] = waits.get(s, 0) + 1
+    ranked = sorted(
+        ((f"Supplier#{s:09d}", n) for s, n in waits.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = [(r["s_name"], r["numwait"])
+           for r in r14_waiting_supplier(spark, d).collect()]
+    assert got == ranked
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(1, 6),                   # custkey
+            st.integers(0, 120),                 # orderdate day offset
+            st.lists(                            # lines: (qty_quarters, price_q, flag)
+                st.tuples(st.integers(1, 800), st.integers(1, 4000),
+                          st.sampled_from(["R", "N"])),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_r16_r18_match_bruteforce(spark, orders):
+    """Q18 (big-quantity orders, HAVING > 300, top-50) and Q10 (returned-
+    item revenue top-20 in a date window) re-derived on one fixture —
+    including the tie-ordered top-k and the fixed-point revenue sums."""
+    import datetime as dt
+
+    from orc_spark.plans.relational2 import r16_big_orders, r18_returned_items
+
+    base = dt.datetime(1996, 1, 1)
+    d = tempfile.mkdtemp(prefix="orc_props_r16_")
+    orows, lrows = [], []
+    ln = 1
+    for ok, (ck, off, lines) in enumerate(orders, 1):
+        orows.append((ok, ck, "F", 1.0, base + dt.timedelta(days=off), "3-MEDIUM"))
+        for q, p, fl in lines:
+            lrows.append((ok, 1, 1, ln, q / 4.0, p / 4.0, 0.25, 0.0, fl, "O",
+                          base + dt.timedelta(days=off + 10)))
+            ln += 1
+    spark.createDataFrame(
+        pd.DataFrame(orows, columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]),
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        pd.DataFrame(lrows, columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate"]),
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    custs = sorted({ck for ck, _, _ in orders} | {1, 2, 3, 4, 5, 6})
+    spark.createDataFrame(
+        pd.DataFrame({
+            "c_custkey": custs,
+            "c_name": [f"Customer#{k:09d}" for k in custs],
+            "c_nationkey": [k % 3 for k in custs],
+            "c_acctbal": [0.0] * len(custs),
+            "c_mktsegment": ["BUILDING"] * len(custs),
+        }),
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        pd.DataFrame({"n_nationkey": [0, 1, 2],
+                      "n_name": ["ALPHA", "BETA", "GAMMA"],
+                      "n_regionkey": [0, 0, 1]}),
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "nation.parquet"))
+
+    # r16 brute force
+    want16 = []
+    for ok, (ck, off, lines) in enumerate(orders, 1):
+        tq = sum(q / 4.0 for q, _, _ in lines)
+        if tq > 300:
+            odate = base + dt.timedelta(days=off)
+            want16.append((
+                ck, f"Customer#{ck:09d}", ok,
+                int(odate.replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+                int(tq),
+            ))
+    want16.sort(key=lambda t: (-t[4], t[2]))
+    got16 = [
+        (r["c_custkey"], r["c_name"], r["orderkey"], r["order_ms"],
+         r["total_qty"])
+        for r in r16_big_orders(spark, d).collect()
+    ]
+    assert got16 == want16[:50]
+
+    # r18 brute force: returned lines of orders in [1996-01-01, 1996-04-01)
+    nation_name = {0: "ALPHA", 1: "BETA", 2: "GAMMA"}
+    rev = {}
+    for ok, (ck, off, lines) in enumerate(orders, 1):
+        odate = base + dt.timedelta(days=off)
+        if not (dt.datetime(1996, 1, 1) <= odate < dt.datetime(1996, 4, 1)):
+            continue
+        for q, p, fl in lines:
+            if fl == "R":
+                fp = int(round((p / 4.0) * (1 - 0.25) * 10000))
+                rev[ck] = rev.get(ck, 0) + fp
+    want18 = sorted(
+        (
+            (ck, f"Customer#{ck:09d}", nation_name[ck % 3], fp)
+            for ck, fp in rev.items()
+        ),
+        key=lambda t: (-t[3], t[0]),
+    )[:20]
+    got18 = [
+        (r["c_custkey"], r["c_name"], r["nation"], r["revenue_fp"])
+        for r in r18_returned_items(spark, d).collect()
+    ]
+    assert got18 == want18
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(1, 8),                     # partkey
+            st.integers(1, 160),                   # qty quarters (<= 40)
+            st.integers(1, 4000),                  # price quarters
+            st.integers(0, 23),                    # ship month offset
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    parts=st.lists(
+        st.tuples(
+            st.integers(1, 8),
+            st.sampled_from(["PROMO", "STANDARD", "Brand#12", "Brand#23",
+                             "Brand#34"]),
+            st.integers(1, 50),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_r19_r20_match_bruteforce(spark, items, parts):
+    """Q14 (monthly promo share ratio on fixed-point sums) and Q19 (the
+    three disjunctive brand/size/quantity arms) re-derived in Python on
+    one fixture. p_type doubles as brand for the bracket arms."""
+    import datetime as dt
+
+    from orc_spark.plans.relational2 import r19_promo_share, r20_bracket_revenue
+
+    d = tempfile.mkdtemp(prefix="orc_props_r19_")
+    base = dt.datetime(1995, 1, 15)
+
+    def ship(off):
+        return dt.datetime(1995 + off // 12, 1 + off % 12, 15)
+
+    lpdf = pd.DataFrame(
+        {
+            "l_orderkey": range(1, len(items) + 1),
+            "l_partkey": [k for k, _, _, _ in items],
+            "l_suppkey": [1] * len(items),
+            "l_linenumber": [1] * len(items),
+            "l_quantity": [q / 4.0 for _, q, _, _ in items],
+            "l_extendedprice": [p / 4.0 for _, _, p, _ in items],
+            "l_discount": [0.25] * len(items),
+            "l_tax": [0.0] * len(items),
+            "l_returnflag": ["N"] * len(items),
+            "l_linestatus": ["O"] * len(items),
+            "l_shipdate": [ship(off) for *_, off in items],
+        }
+    )
+    ppdf = pd.DataFrame(
+        {
+            "p_partkey": [k for k, _, _ in parts],
+            "p_name": [f"part {k}" for k, _, _ in parts],
+            "p_brand": [b for _, b, _ in parts],
+            "p_type": [b for _, b, _ in parts],  # brand == type in fixture
+            "p_size": [s for _, _, s in parts],
+            "p_retailprice": [1.0] * len(parts),
+        }
+    )
+    spark.createDataFrame(
+        lpdf,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        ppdf,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+
+    pinfo = {k: (b, s) for k, b, s in parts}
+    joined = [
+        (k, q / 4.0, int(round((p / 4.0) * 0.75 * 10000)), ship(off),
+         *pinfo[k])
+        for k, q, p, off in items
+        if k in pinfo
+    ]
+    # r19
+    months = {}
+    for _, _, fp, sd, b, _ in joined:
+        a = months.setdefault((sd.year, sd.month), [0, 0])
+        if b == "PROMO":
+            a[0] += fp
+        a[1] += fp
+    want19 = [
+        (y, m, pf, tf, _r6(100.0 * pf / tf))
+        for (y, m), (pf, tf) in sorted(months.items())
+    ]
+    got19 = [
+        (r["ship_year"], r["ship_month"], r["promo_fp"], r["total_fp"],
+         r["promo_pct"])
+        for r in r19_promo_share(spark, d).collect()
+    ]
+    assert got19 == want19
+    # r20
+    n = rev = tq = 0
+    for _, q, fp, _, b, s in joined:
+        hit = (
+            (b == "Brand#12" and 1 <= s <= 15 and 1 <= q <= 15)
+            or (b == "Brand#23" and 10 <= s <= 30 and 10 <= q <= 25)
+            or (b == "Brand#34" and 20 <= s <= 50 and 20 <= q <= 40)
+        )
+        if hit:
+            n += 1
+            rev += fp
+            tq += int(q)  # cast truncates
+    [r20] = r20_bracket_revenue(spark, d).collect()
+    if n == 0:
+        assert (r20["n_items"], r20["revenue_fp"], r20["total_qty"]) == (
+            0, None, None
+        )
+    else:
+        assert (r20["n_items"], r20["revenue_fp"], r20["total_qty"]) == (
+            n, rev, tq
+        )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    custs=st.lists(
+        st.tuples(st.integers(1, 10),
+                  st.sampled_from(["BUILDING", "MACHINERY"])),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    orders=st.lists(
+        st.tuples(st.integers(1, 12), st.sampled_from(["P", "F"]),
+                  st.integers(0, 400)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_r21_null_semantics_matches_bruteforce(spark, custs, orders):
+    """The NULL battery re-derived: count(*) vs count(col), null-safe
+    equality of the NULLIF pair (true iff n_orders is NULL or not in
+    {1,2}), coalesced sums, NULL-skipping avg/min, and NULLS FIRST
+    ordering."""
+    import datetime as dt
+
+    from orc_spark.plans.relational2 import r21_null_semantics
+
+    base = dt.datetime(1995, 1, 1)
+    d = tempfile.mkdtemp(prefix="orc_props_r21_")
+    cpdf = pd.DataFrame(
+        {
+            "c_custkey": [k for k, _ in custs],
+            "c_name": [f"c{k}" for k, _ in custs],
+            "c_nationkey": [1] * len(custs),
+            "c_acctbal": [0.0] * len(custs),
+            "c_mktsegment": [s for _, s in custs],
+        }
+    )
+    opdf = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(orders) + 1),
+            "o_custkey": [c for c, _, _ in orders],
+            "o_orderstatus": [s for _, s, _ in orders],
+            "o_totalprice": [1.0] * len(orders),
+            "o_orderdate": [base + dt.timedelta(days=off)
+                            for _, _, off in orders],
+            "o_orderpriority": ["3-MEDIUM"] * len(orders),
+        }
+    )
+    spark.createDataFrame(
+        cpdf,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        opdf,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+
+    def ms(dtv):
+        return int(dtv.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    recent = {}
+    for c, s, off in orders:
+        if s == "P":
+            n, last = recent.get(c, (0, None))
+            t = ms(base + dt.timedelta(days=off))
+            recent[c] = (n + 1, t if last is None else max(last, t))
+    segs = {}
+    for k, s in custs:
+        segs.setdefault(s, []).append(recent.get(k))
+    want = []
+    for s, vals in segs.items():
+        matched = [v for v in vals if v is not None]
+        n_orders = [n for n, _ in matched]
+        want.append((
+            s,
+            len(vals),
+            len(matched),
+            len(vals) - len(matched),
+            # nullif(n,1) <=> nullif(n,2): true iff n is NULL or n not in {1,2}
+            sum(1 for v in vals if v is None or v[0] not in (1, 2)),
+            sum(n_orders),
+            _r6(sum(n_orders) / len(n_orders)) if n_orders else None,
+            min((t for _, t in matched), default=None),
+        ))
+    want.sort(key=lambda t: (t[2], t[0]))
+    got = [
+        (r["c_mktsegment"], r["n_cust"], r["n_matched"], r["n_null_nullsafe"],
+         r["n_nullif_nullsafe_eq"], r["total_orders_coalesced"],
+         r["avg_orders_skipnull"], r["min_last_ms_skipnull"])
+        for r in r21_null_semantics(spark, d).collect()
+    ]
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(1, 6),            # custkey
+            st.integers(-40, 40),         # orderdate offset vs 1995-03-15
+            st.lists(                     # lines: (ship offset, price_q, disc 0/1)
+                st.tuples(st.integers(-40, 40), st.integers(1, 4000),
+                          st.integers(0, 1)),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    building=st.lists(st.integers(1, 6), min_size=0, max_size=6, unique=True),
+)
+def test_r3_shipping_priority_matches_bruteforce(spark, orders, building):
+    """TPC-H Q3 re-derived: strict date cutoffs on BOTH sides of the join,
+    BUILDING-segment filter, quarter-exact revenue sums, and the
+    (revenue desc, orderdate, orderkey) top-10 tie order."""
+    import datetime as dt
+
+    from orc_spark.plans.relational import r3_shipping_priority
+
+    cutoff = dt.datetime(1995, 3, 15)
+    d = tempfile.mkdtemp(prefix="orc_props_r3_")
+    bset = set(building)
+    orows, lrows = [], []
+    ln = 1
+    for ok, (ck, odoff, lines) in enumerate(orders, 1):
+        orows.append((ok, ck, "O", 1.0, cutoff + dt.timedelta(days=odoff),
+                      "3-MEDIUM"))
+        for soff, p, dc in lines:
+            lrows.append((ok, 1, 1, ln, 1.0, p / 4.0, dc / 4.0, 0.0, "N", "O",
+                          cutoff + dt.timedelta(days=soff)))
+            ln += 1
+    spark.createDataFrame(
+        pd.DataFrame(orows, columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]),
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        pd.DataFrame(lrows, columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate"]),
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    custs = list(range(1, 7))
+    spark.createDataFrame(
+        pd.DataFrame({
+            "c_custkey": custs,
+            "c_name": [f"c{k}" for k in custs],
+            "c_nationkey": [1] * len(custs),
+            "c_acctbal": [0.0] * len(custs),
+            "c_mktsegment": ["BUILDING" if k in bset else "MACHINERY"
+                             for k in custs],
+        }),
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+
+    def ms(dtv):
+        return int(dtv.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    agg = {}
+    for ok, (ck, odoff, lines) in enumerate(orders, 1):
+        if ck not in bset or odoff >= 0:  # o_orderdate < cutoff
+            continue
+        for soff, p, dc in lines:
+            if soff > 0:  # l_shipdate > cutoff
+                key = (ok, ms(cutoff + dt.timedelta(days=odoff)), "3-MEDIUM")
+                agg[key] = agg.get(key, 0.0) + (p / 4.0) * (1 - dc / 4.0)
+    want = sorted(
+        ((k[0], k[1], k[2], rev) for k, rev in agg.items()),
+        key=lambda t: (-t[3], t[1], t[0]),
+    )[:10]
+    got = [
+        (r["l_orderkey"], r["orderdate_ms"], r["o_orderpriority"], r["revenue"])
+        for r in r3_shipping_priority(spark, d).collect()
+    ]
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    custs=st.lists(
+        st.tuples(st.integers(1, 8),
+                  st.sampled_from(["BUILDING", "MACHINERY", "FURNITURE"])),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    orders=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 4000)),
+        min_size=1,
+        max_size=15,
+    ),
+    nat_pairs=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 2), st.integers(0, 2),
+                  st.integers(1, 4000), st.integers(1995, 1997)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_r12_unpivot_and_r17_nation_volume_match_bruteforce(
+    spark, custs, orders, nat_pairs
+):
+    """r12: wide per-segment aggregate melted to (segment, metric, value)
+    rows. r17: Q7 nation-pair revenue flow with the supp_nation <
+    cust_nation asymmetry filter — both re-derived in Python. The r17
+    fixture routes supplier/customer nations through nat_pairs:
+    (suppkey&custkey, supp_nat, cust_nat, price_q, ship_year)."""
+    import datetime as dt
+
+    from orc_spark.plans.relational2 import r17_nation_volume
+    from orc_spark.plans.relational3 import r12_unpivot
+
+    nation_name = {0: "ALPHA", 1: "BETA", 2: "GAMMA"}
+    cust_by_key = dict(custs)
+    d = tempfile.mkdtemp(prefix="orc_props_r12_")
+
+    # r12 fixture (cust + orders)
+    sup_rows = []
+    extra_custs = []
+    lrows, orows2 = [], []
+    okey = 1000  # r17 orders start here, away from r12's
+    ln = 1
+    for i, (k, sn, cn, p, y) in enumerate(nat_pairs):
+        sup_rows.append((100 + i, sn))
+        extra_custs.append((200 + i, cn))
+        orows2.append((okey, 200 + i, dt.datetime(y, 6, 1)))
+        lrows.append((okey, 100 + i, p, dt.datetime(y, 6, 1)))
+        okey += 1
+    cpdf = pd.DataFrame(
+        {
+            "c_custkey": [k for k, _ in custs] + [k for k, _ in extra_custs],
+            "c_name": ["x"] * (len(custs) + len(extra_custs)),
+            "c_nationkey": [0] * len(custs) + [n for _, n in extra_custs],
+            "c_acctbal": [0.0] * (len(custs) + len(extra_custs)),
+            "c_mktsegment": [s for _, s in custs]
+            + ["OTHER"] * len(extra_custs),
+        }
+    )
+    opdf = pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, len(orders) + 1))
+            + [o for o, _, _ in orows2],
+            "o_custkey": [c for c, _ in orders] + [c for _, c, _ in orows2],
+            "o_orderstatus": ["O"] * (len(orders) + len(orows2)),
+            "o_totalprice": [q / 4.0 for _, q in orders]
+            + [1.0] * len(orows2),
+            "o_orderdate": [dt.datetime(1995, 1, 1)] * len(orders)
+            + [dte for _, _, dte in orows2],
+            "o_orderpriority": ["3-MEDIUM"] * (len(orders) + len(orows2)),
+        }
+    )
+    lpdf = pd.DataFrame(
+        {
+            "l_orderkey": [o for o, _, _, _ in lrows],
+            "l_partkey": [1] * len(lrows),
+            "l_suppkey": [s for _, s, _, _ in lrows],
+            "l_linenumber": range(1, len(lrows) + 1),
+            "l_quantity": [1.0] * len(lrows),
+            "l_extendedprice": [p / 4.0 for _, _, p, _ in lrows],
+            "l_discount": [0.25] * len(lrows),
+            "l_tax": [0.0] * len(lrows),
+            "l_returnflag": ["N"] * len(lrows),
+            "l_linestatus": ["O"] * len(lrows),
+            "l_shipdate": [dte for _, _, _, dte in lrows],
+        }
+    )
+    spdf = pd.DataFrame(
+        {
+            "s_suppkey": [k for k, _ in sup_rows],
+            "s_name": ["s"] * len(sup_rows),
+            "s_nationkey": [n for _, n in sup_rows],
+            "s_acctbal": [0.0] * len(sup_rows),
+        }
+    )
+    npdf = pd.DataFrame({"n_nationkey": [0, 1, 2],
+                         "n_name": ["ALPHA", "BETA", "GAMMA"],
+                         "n_regionkey": [0, 0, 1]})
+    spark.createDataFrame(
+        cpdf,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        opdf,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        lpdf,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        spdf, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "supplier.parquet"))
+    spark.createDataFrame(
+        npdf, "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "nation.parquet"))
+
+    # r12 brute force: per segment (cnt, sum, avg) melted
+    seg = {}
+    for c, q in orders:
+        if c in cust_by_key:
+            s = cust_by_key[c]
+            n, tot = seg.get(s, (0, 0.0))
+            seg[s] = (n + 1, tot + q / 4.0)
+    # r17 extra custs (segment OTHER) also join r12's aggregate
+    for _, ck, _ in orows2:
+        pass  # their orders have price 1.0 and segment OTHER
+    other_orders = [(c, 4) for _, c, _ in orows2]  # 1.0 = 4 quarters
+    for c, q in other_orders:
+        s = "OTHER"
+        n, tot = seg.get(s, (0, 0.0))
+        seg[s] = (n + 1, tot + q / 4.0)
+    want12 = {}
+    for s, (n, tot) in seg.items():
+        want12[(s, "cnt_orders")] = float(n)
+        want12[(s, "sum_price")] = tot
+        want12[(s, "avg_price")] = tot / n
+    got12 = {
+        (r["c_mktsegment"], r["metric"]): r["value"]
+        for r in r12_unpivot(spark, d).collect()
+    }
+    assert got12 == want12
+
+    # r17 brute force
+    flows = {}
+    for k, sn, cn, p, y in nat_pairs:
+        a, b = nation_name[sn], nation_name[cn]
+        if a < b:
+            fp = int(round((p / 4.0) * 0.75 * 10000))
+            key = (a, b, y)
+            flows[key] = flows.get(key, 0) + fp
+    want17 = sorted(
+        ((a, b, y, fp) for (a, b, y), fp in flows.items()),
+        key=lambda t: (-t[3], t[0], t[1], t[2]),
+    )[:25]
+    got17 = [
+        (r["supp_nation"], r["cust_nation"], r["ship_year"], r["revenue_fp"])
+        for r in r17_nation_volume(spark, d).collect()
+    ]
+    assert got17 == want17
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["1-URGENT", "3-MEDIUM"]),
+                  st.integers(1, 50)),   # price quarters (small -> many ties)
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_r5c_rank_battery_matches_bruteforce(spark, rows):
+    """Every ranking function re-derived along the exact (price desc, key
+    asc) order. The ORDER BY tuple is UNIQUE (orderkey tiebreak — the
+    determinism requirement for hash-checking), so rank/dense_rank equal
+    row_number and cume_dist has singleton peer groups: rnk = rn,
+    prnk = (rn-1)/(n-1) with the n=1 zero case, cdist = rn/n, plus the
+    standard ntile split and lag/lead/first."""
+    import datetime as dt
+
+    from orc_spark.plans.relational2 import r5c_rank_battery
+
+    d = tempfile.mkdtemp(prefix="orc_props_r5c_")
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(rows) + 1),
+            "o_custkey": [1] * len(rows),
+            "o_orderstatus": ["O"] * len(rows),
+            "o_totalprice": [q / 4.0 for _, q in rows],
+            "o_orderdate": [dt.datetime(1995, 1, 1)] * len(rows),
+            "o_orderpriority": [p_ for p_, _ in rows],
+        }
+    )
+    spark.createDataFrame(
+        pdf,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    per = {}
+    for i, (pr, q) in enumerate(rows):
+        per.setdefault(pr, []).append((q / 4.0, i + 1))
+    want = {}
+    for pr, lst in per.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        n = len(lst)
+        for idx, (p, ok) in enumerate(lst):
+            rn = idx + 1
+            rnk = rn            # unique ordering tuple -> no peers
+            drnk = rn
+            prnk = 0.0 if n == 1 else (rn - 1) / (n - 1)
+            cdist = rn / n
+            # standard ntile(4): first (n % 4) tiles get ceil(n/4)
+            sz, rem = divmod(n, 4)
+            tile, pos = 1, 0
+            for t in range(1, 5):
+                width = sz + (1 if t <= rem else 0)
+                if pos + width >= rn:
+                    tile = t
+                    break
+                pos += width
+            want[ok] = (
+                pr, rn, rnk, drnk, _r9(prnk), _r9(cdist), tile,
+                lst[idx - 1][1] if idx > 0 else None,
+                lst[idx + 1][1] if idx < n - 1 else None,
+                lst[0][1],
+            )
+            if rn > 50:
+                del want[ok]
+    got = {
+        r["o_orderkey"]: (
+            r["o_orderpriority"], r["rn"], r["rnk"], r["drnk"], r["prnk"],
+            r["cdist"], r["quartile"], r["prev_key"], r["next_key"],
+            r["top_key"],
+        )
+        for r in r5c_rank_battery(spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    custs=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(-2000, 8000),
+                  st.sampled_from(["BUILDING", "MACHINERY"])),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    orders=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(0, 1400)),  # day offset
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_r15_idle_customers_matches_bruteforce(spark, custs, orders):
+    """Q22 shape re-derived: strict above-average balance (avg over
+    POSITIVE balances only), 'idle' = no order within 2 years of the
+    dataset's max order date, grouped cents-exact sums."""
+    import datetime as dt
+
+    from orc_spark.plans.relational2 import r15_idle_customers
+
+    base = dt.datetime(1994, 1, 1)
+    d = tempfile.mkdtemp(prefix="orc_props_r15_")
+    cpdf = pd.DataFrame(
+        {
+            "c_custkey": [k for k, _, _ in custs],
+            "c_name": [f"c{k}" for k, _, _ in custs],
+            "c_nationkey": [1] * len(custs),
+            "c_acctbal": [b / 4.0 for _, b, _ in custs],
+            "c_mktsegment": [s for _, _, s in custs],
+        }
+    )
+    opdf = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(orders) + 1),
+            "o_custkey": [c for c, _ in orders],
+            "o_orderstatus": ["O"] * len(orders),
+            "o_totalprice": [1.0] * len(orders),
+            "o_orderdate": [base + dt.timedelta(days=off) for _, off in orders],
+            "o_orderpriority": ["3-MEDIUM"] * len(orders),
+        }
+    )
+    spark.createDataFrame(
+        cpdf,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        opdf,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    pos = [b / 4.0 for _, b, _ in custs if b / 4.0 > 0]
+    avg_bal = sum(pos) / len(pos) if pos else None
+    max_off = max(off for _, off in orders)
+    recent = {
+        c for c, off in orders
+        if off * 86400000 >= max_off * 86400000 - 2 * 365 * 86400000
+    }
+    want = {}
+    for k, b, s in custs:
+        bal = b / 4.0
+        if avg_bal is not None and bal > avg_bal and k not in recent:
+            n, cents = want.get(s, (0, 0))
+            want[s] = (n + 1, cents + int(round(bal * 100)))
+    got = {
+        r["c_mktsegment"]: (r["n_cust"], r["total_bal_cents"])
+        for r in r15_idle_customers(spark, d).collect()
+    }
+    assert got == want
