@@ -7824,3 +7824,340 @@ def test_r15_idle_customers_matches_bruteforce(spark, custs, orders):
         for r in r15_idle_customers(spark, d).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "x9", "q"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n_phrase=st.integers(5, 9),
+)
+def test_ir_family_matches_bruteforce(spark, docs, n_phrase):
+    """The whole IR pack re-derived in plain Python on one corpus:
+    tx_tfidf (smoothed idf, per-doc top-5 with term tiebreak), tx_postings
+    (xor-folded posting digests via h60_py), tx_collocations (PMI over
+    adjacent bigrams, min-count 5 guaranteed by a planted repeated
+    phrase), and tx_bm25 (the full Okapi expression in the identical float
+    op order). Token extraction mirrors regexp [a-z]+ — '9' in 'x9'
+    splits the token, exactly like the engines."""
+    import math
+    import re as _re
+    from functools import reduce
+
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.ir_q import (
+        BM25_B,
+        BM25_K1,
+        COLLOC_MIN_C,
+        COLLOC_TOPK,
+        TOPK,
+        tx_bm25,
+        tx_collocations,
+        tx_postings,
+        tx_tfidf,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    # planted collocation: one doc repeating "alpha beta" n_phrase times
+    texts.append(" ".join(["alpha beta"] * n_phrase))
+    sf = _write_documents(spark, [("en", t) for t in texts])
+
+    toks = {i: _re.findall(r"[a-z]+", t.lower()) for i, t in enumerate(texts)}
+    n_docs = len(texts)
+
+    # tf / df
+    tf = {}
+    for i, ts in toks.items():
+        for w in ts:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df = {}
+    for (i, w), c in tf.items():
+        df[w] = df.get(w, 0) + 1
+
+    # tx_tfidf
+    want_tfidf = {}
+    for i in toks:
+        scored = []
+        for (d_, w), c in tf.items():
+            if d_ != i:
+                continue
+            raw = c * (math.log((n_docs + 1) / (df[w] + 1)) + 1.0)
+            scored.append((w, c, df[w], raw))
+        scored.sort(key=lambda t: (-t[3], t[0]))
+        for rank, (w, c, dfw, raw) in enumerate(scored[:TOPK], 1):
+            want_tfidf[(i, w)] = (c, dfw, _r6(raw), rank)
+    got_tfidf = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"], r["rank"])
+        for r in tx_tfidf(spark, sf).collect()
+    }
+    assert got_tfidf == want_tfidf
+
+    # tx_postings
+    want_post = {}
+    for w in df:
+        entries = [(i, c) for (i, w2), c in tf.items() if w2 == w]
+        digest = reduce(
+            lambda a, b: a ^ b, (h60_py(f"{i}:{c}") for i, c in entries)
+        )
+        want_post[w] = (
+            len(entries),
+            sum(c for _, c in entries),
+            min(i for i, _ in entries),
+            max(i for i, _ in entries),
+            digest,
+        )
+    got_post = {
+        r["term"]: (r["df"], r["total_tf"], r["doc_min"], r["doc_max"],
+                    r["postings_digest"])
+        for r in tx_postings(spark, sf).collect()
+    }
+    assert got_post == want_post
+
+    # tx_collocations
+    uni = {}
+    n_tok = 0
+    bi = {}
+    for ts in toks.values():
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+            n_tok += 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    scored = []
+    for (a, b), cxy in bi.items():
+        if cxy >= COLLOC_MIN_C:
+            pmi = _r6(math.log(n_tok * cxy / (uni[a] * uni[b])))
+            scored.append((f"{a} {b}", cxy, uni[a], uni[b], pmi))
+    scored.sort(key=lambda t: (-t[4], t[0]))
+    want_colloc = scored[:COLLOC_TOPK]
+    got_colloc = [
+        (r["bigram"], r["c_xy"], r["c_x"], r["c_y"], r["pmi"])
+        for r in tx_collocations(spark, sf).collect()
+    ]
+    assert got_colloc == want_colloc
+
+    # tx_bm25 (n_docs here = docs WITH at least one token)
+    dl = {}
+    for (i, w), c in tf.items():
+        dl[i] = dl.get(i, 0) + c
+    nd = len(dl)
+    tot_dl = sum(dl.values())
+    want_bm25 = {}
+    for i in dl:
+        scored = []
+        for (d_, w), c in tf.items():
+            if d_ != i:
+                continue
+            idf = math.log(1.0 + (float(nd - df[w]) + 0.5) / (float(df[w]) + 0.5))
+            raw = (
+                idf
+                * (float(c) * (BM25_K1 + 1.0))
+                / (
+                    float(c)
+                    + BM25_K1
+                    * (
+                        (1.0 - BM25_B)
+                        + BM25_B * (float(dl[i]) * float(nd)) / float(tot_dl)
+                    )
+                )
+            )
+            scored.append((w, c, raw))
+        scored.sort(key=lambda t: (-t[2], t[0]))
+        for rank, (w, c, raw) in enumerate(scored[:TOPK], 1):
+            want_bm25[(i, w)] = (c, dl[i], _r6(raw), rank)
+    got_bm25 = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"], r["bm25"], r["rank"])
+        for r in tx_bm25(spark, sf).collect()
+    }
+    assert got_bm25 == want_bm25
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef 01", min_size=0, max_size=30),
+        min_size=1,
+        max_size=9,
+    )
+)
+def test_mm_image_features_matches_bruteforce(spark, texts):
+    """The image decode-stub -> features path re-derived in plain Python:
+    MINSTD pixel stream from the payload md5 seed, integer channel-sum
+    stats, and the md5 digest over the 64 edge-padded 8x8 block sums."""
+    import hashlib
+
+    from orc_spark.plans.mm_q import mm_image_features
+
+    sf = _write_documents(spark, [("en", t) for t in texts])
+    want = {}
+    for i, t in enumerate(texts):
+        if i % 3 != 0:
+            continue  # image kind = doc_id % 3 == 0
+        payload = t.encode("utf-8")
+        nc = len(t)
+        w, h = nc % 32 + 8, nc % 24 + 8
+        seed = int(hashlib.md5(payload).hexdigest()[:15], 16) % 2147483647
+        tt = np.arange(h * w * 3, dtype=np.int64)
+        v = ((seed + 1 + tt) * 48271) % 2147483647 % 256
+        raw = v.reshape(h, w, 3)
+        l3 = raw.sum(axis=2)
+        ph, pw = -h % 8, -w % 8
+        lp3 = np.pad(l3, ((0, ph), (0, pw)), mode="edge")
+        bs = lp3.reshape(8, lp3.shape[0] // 8, 8, lp3.shape[1] // 8).sum(
+            axis=(1, 3)
+        )
+        digest = hashlib.md5(
+            ",".join(str(int(x)) for x in bs.ravel()).encode()
+        ).hexdigest()
+        want[i] = (
+            len(payload), w, h, int(l3.sum()), int((l3 * l3).sum()), digest
+        )
+    got = {
+        r["media_id"]: (
+            r["n_bytes"], r["width"], r["height"], r["luma_sum3"],
+            r["luma_sumsq3"], r["thumb_digest"]
+        )
+        for r in mm_image_features(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    dup_of=st.integers(0, 7),
+)
+def test_dd_ngram_jaccard_matches_bruteforce(spark, texts, dup_of):
+    """Exact trigram Jaccard on RAW STRING sets (the query hashes grams
+    with xxhash64 — injective w.h.p. — so string-set Jaccard must match),
+    with the floor(len/50) length-bucket candidate rule. Planted duplicate
+    guarantees at least one qualifying pair."""
+    from orc_spark.plans.dedup_q import (
+        JACCARD_THRESHOLD,
+        LEN_BUCKET,
+        NGRAM_N,
+        dd_ngram_jaccard,
+    )
+
+    texts = list(texts) + [texts[dup_of % len(texts)]]
+    sf = _write_documents(spark, [("en", t) for t in texts])
+
+    def grams(t):
+        lt = t.lower()
+        n_pos = max(len(lt) - (NGRAM_N - 1), 1)
+        return {lt[p : p + NGRAM_N] for p in range(n_pos)}
+
+    gs = {i: grams(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if len(texts[a]) // LEN_BUCKET != len(texts[b]) // LEN_BUCKET:
+                continue
+            inter = len(gs[a] & gs[b])
+            union = len(gs[a] | gs[b])
+            j = inter / union if union else 0.0
+            if j >= JACCARD_THRESHOLD:
+                want[(a, b)] = j
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd_ngram_jaccard(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert got[k] == j
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=15),
+        min_size=1,
+        max_size=6,
+    ),
+    dups=st.lists(st.integers(0, 5), min_size=1, max_size=4),
+)
+def test_dd_cluster_matches_bruteforce(spark, texts, dups):
+    """Near-dup clustering re-derived end to end: MinHash signatures ->
+    banded candidates -> est >= 0.5 edges -> plain-Python union-find;
+    cluster_id = the component's min doc_id, sizes exact. Planted
+    duplicates create real multi-doc components."""
+    from orc_spark.functions.hashing import MERSENNE_P, MINHASH_PERMS, h60_py
+    from orc_spark.plans.cluster_q import JACCARD_MIN, dd_cluster
+    from orc_spark.plans.dedup_q import (
+        N_BANDS,
+        N_PERM,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+    )
+
+    texts = list(texts) + [texts[i % len(texts)] for i in dups]
+    sf = _write_documents(spark, [("en", t) for t in texts])
+    sigs = {}
+    for i, t in enumerate(texts):
+        lt = t.lower()
+        n_pos = max(len(lt) - (SHINGLE_K - 1), 1)
+        hs = {h60_py(lt[p : p + SHINGLE_K]) for p in range(n_pos)}
+        sigs[i] = [
+            min((a * (h % MERSENNE_P) + b) % MERSENNE_P for h in hs)
+            for a, b in MINHASH_PERMS
+        ]
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sigs[a], sigs[b]
+            shared = any(
+                sa[k * ROWS_PER_BAND : (k + 1) * ROWS_PER_BAND]
+                == sb[k * ROWS_PER_BAND : (k + 1) * ROWS_PER_BAND]
+                for k in range(N_BANDS)
+            )
+            if not shared:
+                continue
+            est = sum(1 for i in range(N_PERM) if sa[i] == sb[i]) / N_PERM
+            if est >= JACCARD_MIN:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in range(len(texts))}
+    sizes = {}
+    for i, c in comp.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    want = {i: (comp[i], sizes[comp[i]]) for i in comp}
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dd_cluster(spark, sf).collect()
+    }
+    assert got == want
