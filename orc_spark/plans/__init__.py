@@ -53,7 +53,7 @@ _PRIORITY_FIRST = [
     #     driver-style at sf0.001/0.01/0.1 before commit:
     "ts_autocorr", "ann_srp_pairs", "ann_recall_eval", "ev_funnel_windowed",
     "sk_histq", "dq_drift", "r11_stats_agg", "ts_welch", "ts_welch_p",
-    "ts_e2e_report", "tx_redact", "sk_countmin",
+    "ts_e2e_report", "tx_redact", "sk_countmin", "dq_expectations",
     # (b) the remaining 11 r07-stale queries (sk_countmin, also r07-stale,
     #     is already in the changed group above) — after this round no
     #     query's newest green row may be older than r08:
@@ -71,7 +71,6 @@ _PRIORITY_FIRST = [
     "st_kalman",
     "mm_image_features", "sk_bloom", "cu_decontaminate", "cu_pack",
     "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
-    "dq_expectations",
 ]
 _DEFERRED_LAST = [
     # Tier 2 proper, staleness-ordered so the r12 head is again a prefix:

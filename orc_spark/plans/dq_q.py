@@ -87,14 +87,17 @@ def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
     )
     # referential integrity: orphan count and total ride ONE outer-join agg
     # (customer is a declared broadcast dimension), not an anti-join plus a
-    # second orders scan
+    # second orders scan. The key set is DEDUPLICATED first: a duplicated
+    # parent key would multiply the joined order rows and inflate n_checked
+    # past count(orders), diverging from the oracle's plain counts (found
+    # by the r11 planted-violation replay — an audit query must stay
+    # correct precisely when the data is broken, that's its job).
     fk = (
         orders.select("o_custkey")
         .join(
             cust.select(
-                F.col("c_custkey").alias("o_custkey"),
-                F.lit(1).alias("_present"),
-            ),
+                F.col("c_custkey").alias("o_custkey")
+            ).distinct().withColumn("_present", F.lit(1)),
             "o_custkey",
             "left",
         )

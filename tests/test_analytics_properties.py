@@ -8161,3 +8161,259 @@ def test_dd_cluster_matches_bruteforce(spark, texts, dups):
         for r in dd_cluster(spark, sf).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdefgh ", min_size=0, max_size=60),
+        min_size=2,
+        max_size=10,
+    ),
+    contaminated=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_cu_decontaminate_matches_bruteforce(spark, texts, contaminated, seed):
+    """Winnowing decontamination re-derived: 20-gram h60 hashes, window-8
+    minima as fingerprints, doc_id % 13 == 0 as the eval split, shared-fp
+    counts and contamination fraction. A >= 27-char substring planted into
+    doc 0 (eval) and one train doc guarantees the MOSS bound fires."""
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.curation_q import (
+        DECON_EVAL_MOD,
+        DECON_K,
+        DECON_W,
+        cu_decontaminate,
+    )
+
+    rng = np.random.default_rng(seed)
+    shared = "".join(
+        "abcdefgh "[rng.integers(0, 9)] for _ in range(DECON_K + DECON_W + 5)
+    )
+    texts = list(texts)
+    texts[0] = texts[0] + shared                     # doc 0 -> eval split
+    ci = contaminated % (len(texts) - 1) + 1          # some train doc
+    texts[ci] = shared + texts[ci]
+    sf = _write_documents(spark, [("en", t) for t in texts])
+
+    def fps(t):
+        lt = t.lower()
+        n_pos = max(len(lt) - (DECON_K - 1), 1)
+        hs = [h60_py(lt[p : p + DECON_K]) for p in range(n_pos)]
+        out = set()
+        for p in range(n_pos - (DECON_W - 1)):
+            out.add(min(hs[p : p + DECON_W]))
+        return out
+
+    ev = set()
+    train = {}
+    for i, t in enumerate(texts):
+        if i % DECON_EVAL_MOD == 0:
+            ev |= fps(t)
+        else:
+            train[i] = fps(t)
+    want = {}
+    for i, f in train.items():
+        shared_n = len(f & ev)
+        if shared_n:
+            want[i] = (len(f), shared_n, _r6(shared_n / len(f)))
+    assert ci in want, "planted contamination must fire"
+    got = {
+        r["doc_id"]: (r["n_fp"], r["n_shared_fp"], r["contam_frac"])
+        for r in cu_decontaminate(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    langs=st.lists(
+        st.sampled_from(["en", "zh", "de", "es", "fr"]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cu_mixture_matches_bruteforce(spark, langs):
+    """Deterministic mixture sampling re-derived: per-lang md5-rank
+    ordering, k = min(n_l / w_l) over PRESENT languages, floor(k·w_l)
+    kept per language, achieved-share audit."""
+    import hashlib
+
+    from orc_spark.plans.curation_q import CU_MIX, cu_mixture
+
+    sf = _write_documents(spark, [(l, f"doc {i}") for i, l in enumerate(langs)])
+    by_lang = {}
+    for i, l in enumerate(langs):
+        by_lang.setdefault(l, []).append(i)
+    k = min(len(ids) / CU_MIX[l] for l, ids in by_lang.items())
+    import math
+
+    kept_n = {}
+    for l, ids in by_lang.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        kept_n[l] = min(len(ids), int(math.floor(k * CU_MIX[l])))
+    tot_kept = sum(kept_n.values())
+    want = {
+        l: (
+            len(by_lang[l]),
+            kept_n[l],
+            _r6(CU_MIX[l]),
+            _r6(kept_n[l] / tot_kept) if tot_kept else None,
+        )
+        for l in by_lang
+        if kept_n[l] > 0 or True
+    }
+    # languages whose floor(k*w) is 0 keep no rows and drop from the audit
+    want = {l: v for l, v in want.items() if v[1] > 0}
+    got = {
+        r["lang"]: (r["n_total"], r["n_kept"], r["target_share"],
+                    r["achieved_share"])
+        for r in cu_mixture(spark, sf).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    dup_cust=st.integers(0, 3),
+    dup_line=st.integers(0, 3),
+    orphans=st.integers(0, 4),
+    null_vals=st.integers(0, 4),
+    bad_nchars=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_dq_expectations_matches_bruteforce(
+    spark, dup_cust, dup_line, orphans, null_vals, bad_nchars, seed
+):
+    """The expectation audit re-derived with PLANTED violations of every
+    check: duplicate customer keys, duplicate (orderkey, linenumber)
+    pairs, orphan order custkeys, NULL event values, and n_chars columns
+    disagreeing with length(text) — each check's n_failed must count
+    exactly the planted rows."""
+    import datetime as dt
+
+    from orc_spark.plans.dq_q import dq_expectations
+
+    rng = np.random.default_rng(seed)
+    d = tempfile.mkdtemp(prefix="orc_props_dq_")
+    n_cust, n_li, n_ord, n_ev, n_doc = 6, 8, 6, 6, 5
+
+    ckeys = list(range(1, n_cust + 1))
+    for i in range(dup_cust):
+        ckeys[i % n_cust] = 1  # duplicates of key 1
+    spark.createDataFrame(
+        pd.DataFrame({
+            "c_custkey": ckeys,
+            "c_name": [f"c{i}" for i in range(n_cust)],
+            "c_nationkey": [1] * n_cust,
+            "c_acctbal": [0.0] * n_cust,
+            "c_mktsegment": ["BUILDING"] * n_cust,
+        }),
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+
+    pairs = [(i + 1, 1) for i in range(n_li)]
+    for i in range(dup_line):
+        pairs[i % n_li] = (1, 1)
+    qty = [float(rng.integers(1, 100)) for _ in range(n_li)]
+    spark.createDataFrame(
+        pd.DataFrame({
+            "l_orderkey": [a for a, _ in pairs],
+            "l_partkey": [1] * n_li,
+            "l_suppkey": [1] * n_li,
+            "l_linenumber": [b for _, b in pairs],
+            "l_quantity": qty,
+            "l_extendedprice": [1.0] * n_li,
+            "l_discount": [0.0] * n_li,
+            "l_tax": [0.0] * n_li,
+            "l_returnflag": ["N"] * n_li,
+            "l_linestatus": ["O"] * n_li,
+        }),
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+
+    okeys = [int(rng.integers(1, n_cust + 1)) for _ in range(n_ord)]
+    for i in range(orphans):
+        okeys[i % n_ord] = 999  # no such customer
+    spark.createDataFrame(
+        pd.DataFrame({
+            "o_orderkey": range(1, n_ord + 1),
+            "o_custkey": okeys,
+            "o_orderstatus": ["O"] * n_ord,
+            "o_totalprice": [1.0] * n_ord,
+            "o_orderdate": [dt.datetime(1995, 1, 1)] * n_ord,
+            "o_orderpriority": ["3-MEDIUM"] * n_ord,
+        }),
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+
+    vals = [1.5] * n_ev
+    for i in range(null_vals):
+        vals[i % n_ev] = None
+    spark.createDataFrame(
+        pd.DataFrame({
+            "event_id": range(n_ev),
+            "ts": [pd.Timestamp("2024-01-01")] * n_ev,
+            "user_id": [1] * n_ev,
+            "event_type": ["view"] * n_ev,
+            "value": vals,
+            "props": ["{}"] * n_ev,
+        }),
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    texts = [f"doc number {i}" for i in range(n_doc)]
+    ncs = [len(t) for t in texts]
+    for i in range(bad_nchars):
+        ncs[i % n_doc] += 7
+    spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": range(n_doc),
+            "text": texts,
+            "lang": ["en"] * n_doc,
+            "source": ["synthetic"] * n_doc,
+            "n_chars": ncs,
+        }),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    dup_cust_fail = n_cust - len(set(ckeys))
+    dup_line_fail = n_li - len(set(pairs))
+    # duplicating custkey 1 REMOVES the overwritten keys from the customer
+    # table, so orders referencing them are orphans too — not just the 999s
+    orphan_fail = sum(1 for k in okeys if k not in set(ckeys))
+    range_fail = sum(1 for q in qty if q <= 0 or q > 100)
+    null_fail = sum(1 for v in vals if v is None)
+    nchars_fail = sum(1 for t, nc in zip(texts, ncs) if nc != len(t))
+    want = {
+        "customer.c_custkey unique": (n_cust, dup_cust_fail),
+        "lineitem (l_orderkey, l_linenumber) unique": (n_li, dup_line_fail),
+        "lineitem.l_quantity in (0, 100]": (n_li, range_fail),
+        "orders.o_custkey references customer": (n_ord, orphan_fail),
+        "events.value not null": (n_ev, null_fail),
+        "documents.n_chars == length(text)": (n_doc, nchars_fail),
+    }
+    got = {
+        r["check_name"]: (r["n_checked"], r["n_failed"], r["passed"])
+        for r in dq_expectations(spark, d).collect()
+    }
+    assert set(got) == set(want)
+    for name, (n, fails) in want.items():
+        assert got[name] == (n, fails, fails == 0), name
