@@ -8417,3 +8417,197 @@ def test_dq_expectations_matches_bruteforce(
     assert set(got) == set(want)
     for name, (n, fails) in want.items():
         assert got[name] == (n, fails, fails == 0), name
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["azure", "beige", "coral", "dim"]),
+                     min_size=1, max_size=4),          # name words
+            st.sampled_from(["STANDARD BRUSHED", "ECONOMY PLATED"]),
+            st.integers(1, 60),                         # p_size
+            st.integers(1, 8000),                       # retail quarters
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_r7_scalar_battery_matches_bruteforce(spark, parts):
+    """Scalar-function battery re-derived per row in Python: string ops,
+    regex head, array sort exact; sqrt/pow/fmod exact (IEEE correctly
+    rounded); asin/atan2/ln at 1e-12 relative — the JVM's Math.asin
+    differs from CPython's libm by 1 ulp (measured: asin(0.32) ends
+    ...463014 vs ...4630 2), which the gate's 9-sig-fig rounding absorbs."""
+    import math
+    import re as _re
+
+    from orc_spark.plans.relational import r7_scalar_battery
+
+    d = tempfile.mkdtemp(prefix="orc_props_r7_")
+    names = [" ".join(ws) for ws, _, _, _ in parts]
+    pdf = pd.DataFrame(
+        {
+            "p_partkey": range(1, len(parts) + 1),
+            "p_name": names,
+            "p_brand": ["Brand#1"] * len(parts),
+            "p_type": [t for _, t, _, _ in parts],
+            "p_size": [s for _, _, s, _ in parts],
+            "p_retailprice": [p / 4.0 for _, _, _, p in parts],
+        }
+    )
+    spark.createDataFrame(
+        pdf,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+    want = {}
+    for i, (ws, ty, s, pq) in enumerate(parts, 1):
+        name = " ".join(ws)
+        price = pq / 4.0
+        m = _re.search(r"^(\w+)", ty)
+        want[i] = (
+            name[:5].upper(),
+            len(name),
+            m.group(1) if m else "",
+            len(name.split(" ")),
+            sorted(name.split(" "))[0],
+            math.sqrt(price),
+            float(s) ** 2.0,
+            math.degrees(math.atan2(float(s), 100.0)),
+            math.asin(min(s / 50.0, 1.0)),
+            math.log(price + 1.0),
+            math.fmod(price, 7.0),
+        )
+    got = {
+        r["p_partkey"]: (
+            r["name_prefix"], r["name_len"], r["type_head"], r["n_words"],
+            r["first_word_sorted"], r["price_sqrt"], r["size_sq"],
+            r["size_angle_deg"], r["size_asin"], r["price_ln"],
+            r["price_mod7"],
+        )
+        for r in r7_scalar_battery(spark, d).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g[:7] == w[:7], k          # strings/ints/sqrt/pow exact
+        assert g[10] == w[10], k          # fmod exact
+        for gi, wi in zip(g[7:10], w[7:10]):  # asin/atan2/ln: 1 ulp slack
+            assert math.isclose(gi, wi, rel_tol=1e-12), (k, gi, wi)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    days=st.lists(st.integers(0, 2500), min_size=1, max_size=20),
+)
+def test_r7b_dates_matches_bruteforce(spark, days):
+    """Date battery re-derived with Python datetime: calendar fields,
+    quarter, month truncation in epoch ms, day diffs from the anchor, and
+    the Sunday/Saturday weekend rule (Spark dayofweek 1=Sunday)."""
+    import datetime as dt
+
+    from orc_spark.plans.relational2 import r7b_dates
+
+    base = dt.datetime(1993, 1, 1)
+    d = _write_orders_simple(spark, [(1, 4)] * len(days))
+    # overwrite orderdates with the generated offsets
+    import glob
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(days) + 1),
+            "o_custkey": [1] * len(days),
+            "o_orderstatus": ["O"] * len(days),
+            "o_totalprice": [1.0] * len(days),
+            "o_orderdate": [base + dt.timedelta(days=off) for off in days],
+            "o_orderpriority": ["3-MEDIUM"] * len(days),
+        }
+    )
+    spark.createDataFrame(
+        pdf,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    anchor = dt.date(1995, 6, 15)
+    want = {}
+    for i, off in enumerate(days, 1):
+        dv = (base + dt.timedelta(days=off))
+        month_start = dv.replace(day=1, hour=0, minute=0, second=0)
+        want[i] = (
+            dv.year,
+            dv.month,
+            dv.day,
+            (dv.month - 1) // 3 + 1,
+            dv.strftime("%Y-%m"),
+            int(month_start.replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+            (dv.date() - anchor).days,
+            dv.isoweekday() in (6, 7),  # Sat=6, Sun=7
+        )
+    got = {
+        r["o_orderkey"]: (
+            r["y"], r["m"], r["dom"], r["q"], r["ym"], r["month_start_ms"],
+            r["days_from_anchor"], r["is_weekend"],
+        )
+        for r in r7b_dates(spark, d).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click"]),
+            st.one_of(st.none(), st.integers(0, 99)),  # k value / missing
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_r7c_json_map_matches_bruteforce(spark, evs):
+    """JSON + map battery re-derived: $.k extraction (NULL when the key is
+    missing), modulo, map lookup, and to_json output SHAPE (a NULL k field
+    is omitted entirely — mirrored byte-for-byte)."""
+    import json as _json
+
+    from orc_spark.plans.relational2 import r7c_json_map
+
+    rows = []
+    for i, (ty, k) in enumerate(evs):
+        props = _json.dumps({"k": k} if k is not None else {})
+        rows.append(
+            {
+                "event_id": i,
+                "ts_us": i * 1_000_000,
+                "user_id": 1,
+                "event_type": ty,
+                "value": 1.0,
+                "props": props,
+            }
+        )
+    sf = _write_events(spark, rows)
+    want = {}
+    for i, (ty, k) in enumerate(evs):
+        j_out = (
+            f'{{"id":{i},"k":{k}}}' if k is not None else f'{{"id":{i}}}'
+        )
+        want[i] = (k, k % 10 if k is not None else None, ty, 2, j_out)
+    got = {
+        r["event_id"]: (r["k_val"], r["k_mod"], r["m_type"], r["m_nkeys"],
+                        r["j_out"])
+        for r in r7c_json_map(spark, sf).collect()
+    }
+    assert got == want
