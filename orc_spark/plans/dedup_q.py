@@ -578,9 +578,14 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         with np.errstate(invalid="ignore", divide="ignore"):
             jac = inter.astype(np.float64) / union
         if diagonal:
+            # triu over POSITIONS picks each unordered pair once (ids are
+            # unique per cell), but positions follow applyInPandas arrival
+            # order — orient by VALUE so doc_a < doc_b always holds (the
+            # oracle's contract), matching the off-diagonal branch.
             ia, ib = np.triu_indices(aid.shape[0], k=1)
             keep = jac[ia, ib] >= JACCARD_THRESHOLD
-            da, db = aid[ia[keep]], bid[ib[keep]]
+            da = np.minimum(aid[ia[keep]], bid[ib[keep]])
+            db = np.maximum(aid[ia[keep]], bid[ib[keep]])
             vals = jac[ia[keep], ib[keep]]
         else:
             ia, ib = np.where(jac >= JACCARD_THRESHOLD)

@@ -3400,7 +3400,7 @@ def test_tx_ngram_lm_matches_bruteforce(spark, texts):
 
 
 @settings(
-    max_examples=6,
+    max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -4286,7 +4286,7 @@ def test_cu_corpus_report_matches_bruteforce(spark, base):
 
 
 @settings(
-    max_examples=6,
+    max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -6038,7 +6038,7 @@ def test_ts_groupmeans_matches_bruteforce(spark, user_times, seed):
 
 
 @settings(
-    max_examples=6,
+    max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -6126,7 +6126,7 @@ def test_ann_bruteforce_fast_matches_bruteforce(spark, vecs):
 
 
 @settings(
-    max_examples=6,
+    max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -8038,7 +8038,7 @@ def test_mm_image_features_matches_bruteforce(spark, texts):
 
 
 @settings(
-    max_examples=6,
+    max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -8091,7 +8091,7 @@ def test_dd_ngram_jaccard_matches_bruteforce(spark, texts, dup_of):
 
 
 @settings(
-    max_examples=6,
+    max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
