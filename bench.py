@@ -327,8 +327,14 @@ def main() -> None:
     # generated replica to time the same headline shapes at a third point;
     # three points give a slope instead of a ratio (VERDICT r10 directive 5).
     sf3_dir = os.environ.get("SPARK_GRAFT_SF3_DIR", "")
+    if sf3_dir and not os.path.isdir(sf3_dir):
+        # a non-null sf3_dir in BENCH_DETAIL must always mean "the anchor
+        # RAN" — a missing dir otherwise looks like every query failed
+        print(f"# SPARK_GRAFT_SF3_DIR={sf3_dir} does not exist; "
+              "skipping sf3 anchor", file=sys.stderr)
+        sf3_dir = ""
     sf3_secs: dict[str, float] = {}
-    if sf3_dir and os.path.isdir(sf3_dir):
+    if sf3_dir:
         for name in SCALE2:
             if name not in reg:
                 continue

@@ -955,6 +955,19 @@ def ann_srp_pairs(spark: SparkSession, sf: str) -> DataFrame:
     rounded-cosine rerank stay whole-stage-codegen SQL. Recall for true
     near-dups (cos ≥ 0.9) is ≈ 1-(1-0.857^8)^8 ≈ 0.94 at these
     parameters; tune planes/bands for the corpus's similarity floor."""
+    return _srp_pairs(spark, sf, probes=None)
+
+
+def _srp_pairs(
+    spark: SparkSession, sf: str, probes: DataFrame | None
+) -> DataFrame:
+    """ann_srp_pairs body, with an optional probe restriction: when
+    `probes` (a frame of probe vec_ids) is given, candidates are filtered
+    to probe-touching pairs BEFORE the distinct and the exact-cosine
+    rerank — ann_recall_eval's sampled mode lives or dies on this
+    placement (fixed {SRP_BAND_BITS}-bit band space ⇒ candidate count
+    grows ~n²/2^bits·bands; reranking all of them at ~sf1 measured 15×
+    sf0.1, reranking only probe-touching ones is linear)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1017,8 +1030,20 @@ def ann_srp_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
-        .distinct()
     )
+    if probes is not None:
+        # two broadcast hash joins (equi, codegen) instead of one OR-predicate
+        # nested-loop join; filter BEFORE distinct so the dedup shuffle only
+        # carries probe-touching pairs
+        pa = probes.select(F.col("vec_id").alias("vec_a"), F.lit(1).alias("fa"))
+        pb = probes.select(F.col("vec_id").alias("vec_b"), F.lit(1).alias("fb"))
+        cand = (
+            cand.join(F.broadcast(pa), "vec_a", "left")
+            .join(F.broadcast(pb), "vec_b", "left")
+            .where(F.col("fa").isNotNull() | F.col("fb").isNotNull())
+            .select("vec_a", "vec_b")
+        )
+    cand = cand.distinct()
     norms = flat.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
     )
@@ -1050,7 +1075,12 @@ def ann_srp_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ANN_SRP_SQL = f"""
+def _srp_pairs_sql(cand_probe_filter: str = "") -> str:
+    """ANN_SRP_SQL, optionally restricting candidates to probe-touching
+    pairs (the filter sits INSIDE cand, mirroring _srp_pairs' placement
+    before the distinct + rerank; `probes` resolves lexically from the
+    enclosing WITH in ANN_RECALL_SQL)."""
+    return f"""
 WITH flat AS (
   SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v,
          CAST(floor(CAST(embedding[i] AS DOUBLE) * {SRP_QUANT}) AS BIGINT) AS qv
@@ -1082,6 +1112,7 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.vec_id < b.vec_id
+  {cand_probe_filter}
 ),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
 pair_dots AS (
@@ -1099,27 +1130,121 @@ WHERE round(dot / NULLIF(na.nrm * nb.nrm, 0), 6) >= {COS_THRESHOLD}
 """
 
 
+ANN_SRP_SQL = _srp_pairs_sql()
+
+
 # --- ANN recall evaluation (SRP-LSH vs exact ground truth) --------------------
 
-def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN QA: recall of the SRP-LSH near-dup path against the exact
-    all-pairs cosine ground truth at the same threshold — the measurement a
-    corpus owner runs before trusting the linear-cost path at 100 TB (the
-    docstring math on ann_srp_pairs predicts ≈0.94; this query measures it
-    on THEIR vectors). Both sides apply the identical rounded-cosine
-    threshold, so retrieved ⊆ truth and recall = n_retrieved / n_truth.
+ANN_RECALL_EXACT_MAX = 600  # corpora up to this size: exact full-truth mode
+ANN_RECALL_Q = 16  # sampled mode: ground-truth probes per label stratum
 
-    Scale: the truth side is the block-grid exact join (quadratic — at real
-    corpus scale you'd evaluate on a sampled stratum; the estimator shape
-    is unchanged), the retrieved side is the banded-LSH path being graded."""
-    truth = dd_embcos(spark, sf)
-    retr = ann_srp_pairs(spark, sf)
+
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN QA: recall of the SRP-LSH near-dup path against exact cosine
+    ground truth at the same threshold — the measurement a corpus owner
+    runs before trusting the linear-cost path at 100 TB (the docstring math
+    on ann_srp_pairs predicts ≈0.94; this query measures it on THEIR
+    vectors). Both sides apply the identical rounded-cosine threshold, so
+    retrieved ⊆ truth and recall = n_retrieved / n_truth.
+
+    Truth is STRATUM-SAMPLED above {ANN_RECALL_EXACT_MAX} vectors (was the
+    one measured super-linear shape in BENCH_SCALE3_r11: exact all-pairs
+    truth grew 23.9× at the 0.1→1 step): per label stratum (the k-means /
+    IVF-cid stand-in), the {ANN_RECALL_Q} deterministically-h60-ranked
+    vectors become probes, truth = exact pairs TOUCHING a probe (one
+    broadcast-probe matmul per corpus partition — linear in corpus size),
+    and the retrieved side is filtered to the same probe-touching pairs.
+    recall = |retrieved ∩ probe-touching| / |truth ∩ probe-touching| — an
+    unbiased estimator of pair recall under the deterministic stratified
+    design (each stratum contributes probes, every probe-touching pair is
+    graded exactly; variance falls as probes·n pairs accumulate, see
+    tests/test_analytics_properties.py's sampled-mode replay). At or below
+    the guard, probes = ALL vectors, which degenerates to the old exact
+    semantics. The mode switch costs one count() job.
+
+    Scale: probe matrix ≤ max({ANN_RECALL_EXACT_MAX}, Q·|labels|) rows —
+    broadcast; truth is one narrow mapInPandas matmul pass + a distinct on
+    probe-touching pairs only; the retrieved filter is two broadcast hash
+    joins. Nothing quadratic in corpus size remains."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    sampled = n > ANN_RECALL_EXACT_MAX
+    if sampled:
+        win = Window.partitionBy("label").orderBy(
+            h60(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+        probes = (
+            emb.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") <= ANN_RECALL_Q)
+            .select("vec_id", "embedding")
+        )
+    else:
+        probes = emb.select("vec_id", "embedding")
+    probe_pdf = probes.toPandas()  # bounded: ≤ max(EXACT_MAX, Q·|labels|)
+    if probe_pdf.empty:
+        q_ids = np.array([], dtype=np.int64)
+        q_m = np.zeros((0, 0))
+        q_nrm = np.zeros((0,))
+    else:
+        q_ids = probe_pdf["vec_id"].to_numpy()
+        q_m = np.vstack(probe_pdf["embedding"].map(np.asarray).to_numpy()).astype(
+            np.float64
+        )
+        q_nrm = np.sqrt((q_m * q_m).sum(axis=1))
+    bc = spark.sparkContext.broadcast((q_ids, q_m, q_nrm))
+    schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+        ]
+    )
+
+    def probe_truth(it):
+        qi, qm, qn = bc.value
+        for pdf in it:
+            if pdf.empty or qm.shape[0] == 0:
+                continue
+            rid = pdf["vec_id"].to_numpy()
+            rm = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(
+                np.float64
+            )
+            rn = np.sqrt((rm * rm).sum(axis=1))
+            # raw dot / (|a|·|b|), the oracle's association; zero norms →
+            # nan, which fails the >= threshold (oracle: NULLIF → NULL)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = np.round((qm @ rm.T) / (qn[:, None] * rn[None, :]), 6)
+            pi, ci = np.where(sims >= COS_THRESHOLD)
+            keep = qi[pi] != rid[ci]  # drop self-pairs
+            pi, ci = pi[keep], ci[keep]
+            yield pd.DataFrame(
+                {
+                    "vec_a": np.minimum(qi[pi], rid[ci]),
+                    "vec_b": np.maximum(qi[pi], rid[ci]),
+                }
+            )
+
+    # probe-probe pairs arrive once per endpoint → distinct canonical pairs
+    truth = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(probe_truth, schema)
+        .distinct()
+    )
+    # sampled mode: the probe restriction goes INTO the SRP pipeline so
+    # only probe-touching candidates reach the exact-cosine rerank
+    retr = _srp_pairs(
+        spark, sf, probes.select("vec_id") if sampled else None
+    )
     tc = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     rc = retr.agg(F.count(F.lit(1)).alias("n_retrieved"))
     # n_truth == 0 guard (constant-value sweep, r11): an all-degenerate
     # corpus (e.g. zero embeddings) has no truth pairs and recall is
     # undefined — NULL, not an ANSI DIVIDE_BY_ZERO.
     return tc.crossJoin(rc).select(
+        F.lit(int(len(probe_pdf))).cast("bigint").alias("n_probes"),
         "n_truth",
         "n_retrieved",
         F.round(
@@ -1131,11 +1256,42 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ANN_RECALL_SQL = f"""
-WITH truth AS ({DD_EMBCOS_SQL}),
-srp AS ({ANN_SRP_SQL}),
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+ranked AS (
+  SELECT vec_id, row_number() OVER (
+           PARTITION BY label
+           ORDER BY {h60_sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id FROM ranked
+  WHERE rn <= {ANN_RECALL_Q} OR (SELECT n FROM nn) <= {ANN_RECALL_EXACT_MAX}
+),
+{_COS_CORE_SQL.strip()},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+  WHERE a.vec_id IN (SELECT vec_id FROM probes)
+     OR b.vec_id IN (SELECT vec_id FROM probes)
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT vec_a, vec_b
+  FROM dots
+  JOIN norms na ON na.vec_id = vec_a
+  JOIN norms nb ON nb.vec_id = vec_b
+  WHERE round(dot / NULLIF(na.nrm * nb.nrm, 0), 6) >= {COS_THRESHOLD}
+),
+srp AS (
+  {_srp_pairs_sql(
+      "WHERE a.vec_id IN (SELECT vec_id FROM probes) "
+      "OR b.vec_id IN (SELECT vec_id FROM probes)"
+  )}
+),
 tc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
 rc AS (SELECT CAST(count(*) AS BIGINT) AS n_retrieved FROM srp)
-SELECT tc.n_truth AS n_truth, rc.n_retrieved AS n_retrieved,
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+       tc.n_truth AS n_truth, rc.n_retrieved AS n_retrieved,
        round(CAST(rc.n_retrieved AS DOUBLE)
              / NULLIF(CAST(tc.n_truth AS DOUBLE), 0), 6)
          AS recall

@@ -200,7 +200,14 @@ def dq_drift(spark: SparkSession, sf: str) -> DataFrame:
     accumulation order ambiguity is gone because each (type, bin) appears
     once. Scale: two combinable aggregations over events, output
     |event_type| rows."""
-    ev = load_table(spark, sf, "events").select("event_type", "ts", "value")
+    # NULL measurements are excluded up front: without the filter a NULL
+    # value lands in the coalesce(..., 0) below and silently inflates bin 0
+    # (r11 advice). The oracle filters identically.
+    ev = (
+        load_table(spark, sf, "events")
+        .select("event_type", "ts", "value")
+        .where(F.col("value").isNotNull())
+    )
     # the reference/current split point just has to be THE SAME on both
     # engines — midpoint of min/max ts (pure integer arithmetic)
     stats = ev.agg(
@@ -263,7 +270,8 @@ def dq_drift(spark: SparkSession, sf: str) -> DataFrame:
 
 
 DQ_DRIFT_SQL = f"""
-WITH ev AS (SELECT event_type, epoch_us(ts) AS ts, value FROM events),
+WITH ev AS (SELECT event_type, epoch_us(ts) AS ts, value FROM events
+            WHERE value IS NOT NULL),
 stats AS (
   SELECT min(value) AS mn, max(value) AS mx,
          (min(ts) + max(ts)) // 2 AS ts_mid

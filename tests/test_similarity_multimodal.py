@@ -259,3 +259,106 @@ def test_semdedup_drops_planted_within_cluster_dups(spark, tmp_path):
         assert rows[lab]["n_vecs"] == total
         assert rows[lab]["n_dropped"] == len(dropped_by_label[lab])
         assert rows[lab]["n_kept"] == total - len(dropped_by_label[lab])
+
+
+def test_ann_recall_eval_sampled_mode_matches_replay(spark, tmp_path):
+    """The stratified sampled-truth estimator (corpus > ANN_RECALL_EXACT_MAX
+    triggers sampled mode) replayed end-to-end in plain Python/numpy,
+    independent of both engines: probe selection (per-label h60 rank),
+    exact probe-touching truth pairs (float64 raw-dot/norm-product, round
+    6), the full SRP sketch -> bands -> probe-touching candidates ->
+    rounded-cosine rerank (signs recomputed from md5, all band math exact
+    integers). n_probes / n_truth / n_retrieved / recall must match
+    exactly. Deterministic planted-cluster corpus: 700 vectors in 40 tight
+    clusters so probe-touching truth is plentiful."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orc_spark.plans.dedup_q import (
+        ANN_RECALL_EXACT_MAX,
+        ANN_RECALL_Q,
+        COS_THRESHOLD,
+        SRP_BAND_BITS,
+        SRP_EMB_DIM,
+        SRP_N_BANDS,
+        SRP_PLANES,
+        SRP_QUANT,
+        ann_recall_eval,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 700, SRP_EMB_DIM
+    assert n > ANN_RECALL_EXACT_MAX
+    centers = rng.normal(size=(40, dim))
+    member_of = rng.integers(0, 40, size=n)
+    vecs = (
+        centers[member_of] + rng.normal(scale=0.35, size=(n, dim))
+    ).astype(np.float32)
+    labels = (np.arange(n) % 10).astype(np.int32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # probe selection: per label, ANN_RECALL_Q smallest (h60(id), id)
+    probes = set()
+    for lab in range(10):
+        ids = [i for i in range(n) if labels[i] == lab]
+        ids.sort(key=lambda i: (h60(str(i)), i))
+        probes.update(ids[:ANN_RECALL_Q])
+
+    m = vecs.astype(np.float64)
+    nrm = np.sqrt((m * m).sum(axis=1))
+    sims = np.round((m @ m.T) / (nrm[:, None] * nrm[None, :]), 6)
+    truth = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if sims[a, b] >= COS_THRESHOLD and (a in probes or b in probes)
+    }
+    assert len(truth) > 50, "fixture must plant plenty of truth pairs"
+
+    # SRP replay: integer sketch, exact
+    signs = np.array(
+        [
+            [1 if h60(f"srp:{p}:{i}") % 2 == 1 else -1 for i in range(dim)]
+            for p in range(SRP_PLANES)
+        ],
+        dtype=np.int64,
+    )
+    qm = np.floor(m * SRP_QUANT).astype(np.int64)
+    bits = (qm @ signs.T >= 0).astype(np.int64)
+    pow2 = 1 << np.arange(SRP_BAND_BITS, dtype=np.int64)
+    bv = bits.reshape(n, SRP_N_BANDS, SRP_BAND_BITS) @ pow2
+    buckets: dict = {}
+    for i in range(n):
+        for band in range(SRP_N_BANDS):
+            buckets.setdefault((band, int(bv[i, band])), []).append(i)
+    cand = set()
+    for ids in buckets.values():
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                if a in probes or b in probes:
+                    cand.add((a, b))
+    retrieved = {(a, b) for a, b in cand if sims[a, b] >= COS_THRESHOLD}
+    assert retrieved <= truth  # same threshold on both sides
+
+    row = ann_recall_eval(spark, str(tmp_path)).collect()[0]
+    assert row["n_probes"] == len(probes)
+    assert row["n_truth"] == len(truth)
+    assert row["n_retrieved"] == len(retrieved)
+    assert row["recall"] == round(len(retrieved) / len(truth), 6)
