@@ -44,45 +44,26 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # r11 head, per VERDICT r10 directive 3 (exactly 50 slots):
-    # (a) the 12 queries whose CODE CHANGED this round — the ANSI
-    #     divide-by-zero campaign (zero-variance Pearson/Welch/corr,
-    #     zero-norm cosine, empty-funnel rates, zero-range histogram bins),
-    #     the tx_redact SQL-literal escaping fix, and the sk_countmin probe
-    #     reshape. Changed code outranks staleness; every one re-verified
-    #     driver-style at sf0.001/0.01/0.1 before commit:
-    "ts_autocorr", "ann_srp_pairs", "ann_recall_eval", "ev_funnel_windowed",
-    "sk_histq", "dq_drift", "r11_stats_agg", "ts_welch", "ts_welch_p",
-    "ts_e2e_report", "tx_redact", "sk_countmin", "dq_expectations",
-    # (b) the remaining 11 r07-stale queries (sk_countmin, also r07-stale,
-    #     is already in the changed group above) — after this round no
-    #     query's newest green row may be older than r08:
-    "io_orc_roundtrip", "cu_pipeline",
-    "cu_budget", "mm_audio_windows", "tx_winnow",
-    "dd_ngram_jaccard", "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
-    "r3_shipping_priority", "r4_rollup",
-    # (c) the 28 oldest unchanged r08-greens (prefix of the r10 deferred
-    #     list's r08 section):
-    "r5_window_topk", "r5b_range_frame", "r6_setops", "r7_scalar_battery",
-    "r7b_dates", "r7c_json_map", "r9_scalar_subquery", "r10_outer_hist",
-    "r12_unpivot", "r_pivot",
-    "tx_langid", "tx_quality", "tx_tokens",
-    "st_ahrs_replay", "st_pid_replay", "st_imu_pipeline", "st_ewma",
-    "st_kalman",
-    "mm_image_features", "sk_bloom", "cu_decontaminate", "cu_pack",
-    "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
-]
-_DEFERRED_LAST = [
-    # Tier 2 proper, staleness-ordered so the r12 head is again a prefix:
-    # the remaining r08 greens (oldest first — the 10 displaced from the
-    # head by the changed-code group, then the rest):
+    # r12 head, per VERDICT r11 directive 3 (exactly 50 slots):
+    # (a) the 4 queries whose CODE CHANGED this round — the
+    #     dd_ngram_jaccard diagonal-cell pair-orientation fix (the r11
+    #     judge-failing bug), ann_recall_eval's stratified sampled-truth
+    #     mode, the ann_srp_pairs probe-filter refactor it rides on, and
+    #     dq_drift's NULL-measurement filter (r11 advice). Changed code
+    #     outranks staleness; every one re-verified driver-style at
+    #     sf0.001/0.01/0.1 before commit:
+    "dd_ngram_jaccard", "ann_recall_eval", "ann_srp_pairs", "dq_drift",
+    # (b) the 19 r08-stale queries (scripts/freshness.py --stale-only at
+    #     round start) — after this round no query's newest green row may
+    #     be older than r09:
     "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
     "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
     "ev_transitions",
     "gr_pagerank", "ann_pq", "ts_lttb", "dd_containment",
     "io_zorder", "r13_top_supplier", "r14_waiting_supplier",
     "ev_sessionize", "cu_split", "ev_rolling_uniques",
-    # r09 head greens (freshest signal = weakest marginal value):
+    # (c) the 27 oldest r09-greens (prefix of the r11 deferred list's r09
+    #     section):
     "io_orc_skipping",
     "r15_idle_customers", "dq_benford", "ev_ab_test", "st_hysteresis",
     "ts_crossings", "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv",
@@ -90,14 +71,19 @@ _DEFERRED_LAST = [
     "st_goertzel", "r16_big_orders", "r17_nation_volume",
     "r18_returned_items", "r19_promo_share", "r20_bracket_revenue",
     "st_holt", "ev_rfm", "dq_freshness", "ev_concurrency", "ts_seasonal",
-    "mb_rules", "ev_survival", "cdc_pit_lookup", "r21_null_semantics",
+    "mb_rules", "ev_survival",
+]
+_DEFERRED_LAST = [
+    # Tier 2 proper, staleness-ordered so the r13 head is again a prefix:
+    # the 19 remaining r09 greens (oldest first):
+    "cdc_pit_lookup", "r21_null_semantics",
     "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
     "gr_kcore", "st_token_bucket", "st_bursts", "dd_embcos", "dd_cluster",
     "dd_keepbest", "tx_fingerprint", "dp_profile",
     "tx_gopher_quality", "ts_m4", "sk_theta_ops",
     "dd_minhash_quality",
     "cu_anneal_mixture",
-    # r10 head greens (the freshest rows in the registry):
+    # r10 head greens:
     "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
     "gr_bfs", "gr_linkpred", "ts_theilsen", "dd_semdedup", "io_compaction",
     "tx_zipf", "tx_hashclf", "gr_label_prop", "ev_feature_snapshot",
@@ -112,6 +98,23 @@ _DEFERRED_LAST = [
     "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
     "ts_resample", "r8_tumbling", "r8b_sliding",
     "r8c_sessions", "tr_hier_rollup",
+    # r11 head greens (the freshest rows in the registry), in r11 head
+    # order minus the 4 promoted as changed code:
+    "ts_autocorr", "ev_funnel_windowed",
+    "sk_histq", "r11_stats_agg", "ts_welch", "ts_welch_p",
+    "ts_e2e_report", "tx_redact", "sk_countmin", "dq_expectations",
+    "io_orc_roundtrip", "cu_pipeline",
+    "cu_budget", "mm_audio_windows", "tx_winnow",
+    "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
+    "r3_shipping_priority", "r4_rollup",
+    "r5_window_topk", "r5b_range_frame", "r6_setops", "r7_scalar_battery",
+    "r7b_dates", "r7c_json_map", "r9_scalar_subquery", "r10_outer_hist",
+    "r12_unpivot", "r_pivot",
+    "tx_langid", "tx_quality", "tx_tokens",
+    "st_ahrs_replay", "st_pid_replay", "st_imu_pipeline", "st_ewma",
+    "st_kalman",
+    "mm_image_features", "sk_bloom", "cu_decontaminate", "cu_pack",
+    "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
 ]
 
 

@@ -8611,3 +8611,248 @@ def test_r7c_json_map_matches_bruteforce(spark, evs):
         for r in r7c_json_map(spark, sf).collect()
     }
     assert got == want
+
+
+def test_cu_pipeline_matches_composition_replay(spark):
+    """The flagship curation pass replayed stage by stage in plain Python:
+    quality score from raw string ops, md5 keep-best (longest text, tie ->
+    smallest doc_id, among quality survivors), MinHash banded candidates
+    (shingles -> h60 -> 16 perms -> 4 bands) with est >= CU_JACCARD_MIN and
+    both ends surviving exact dedup dropping doc_b, then the per-(source,
+    lang, status) audit — counts, char mass, token mass exact. Fixture is
+    deterministic and exercises all four statuses."""
+    import hashlib
+    import re
+
+    from orc_spark.functions.hashing import MERSENNE_P, MINHASH_PERMS, h60_py
+    from orc_spark.plans.curation_q import (
+        CU_JACCARD_MIN,
+        CU_QUALITY_MIN,
+        cu_pipeline,
+    )
+    from orc_spark.plans.dedup_q import (
+        N_BANDS,
+        N_PERM,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+    )
+    from orc_spark.plans.text_q import STOPWORDS
+
+    long_a = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "chases the fox around the old mill by the river all afternoon"
+    )
+    docs = [
+        ("en", long_a),                      # 0: kept (keeper of digest)
+        ("en", long_a),                      # 1: exact_dup of 0
+        ("en", long_a + " again today"),     # 2: near_dup candidate vs 0
+        ("en", "tiny"),                      # 3: low_quality (short)
+        ("de", "der hund und die katze laufen durch den garten und "
+               "spielen mit dem ball bis es dunkel wird am abend"),   # 4 kept
+        ("de", "zz"),                        # 5: low_quality
+        ("en", "a completely different long document about engines and "
+               "the turbines that spin inside them all day and night"),  # 6
+    ]
+    sf = _write_documents(spark, docs)
+
+    # stage 0: quality replay (same string ops as the tx_quality replay)
+    def q_score(text):
+        toks = re.split(r"\s+", text.strip(" "))
+        n_toks = float(len(toks))
+        n_stop = float(sum(1 for x in toks if x in STOPWORDS))
+        mtl = (float(len(text)) - float(text.count(" "))) / n_toks
+        return (
+            min(n_toks / 100.0, 1.0) * 0.4
+            + min(n_stop / n_toks * 5.0, 1.0) * 0.4
+            + (0.2 if 3.0 <= mtl <= 10.0 else 0.0)
+        )
+
+    quality = {i: q_score(t) for i, (_, t) in enumerate(docs)}
+    passed = {i for i in quality if quality[i] >= CU_QUALITY_MIN}
+
+    # stage 2: md5 keep-best among quality survivors
+    by_digest = {}
+    for i, (_, t) in enumerate(docs):
+        if i in passed:
+            by_digest.setdefault(
+                hashlib.md5(t.encode()).hexdigest(), []
+            ).append(i)
+    keepers = set()
+    exact_dups = set()
+    for ids in by_digest.values():
+        best = min(ids, key=lambda i: (-len(docs[i][1]), i))
+        keepers.add(best)
+        exact_dups.update(set(ids) - {best})
+
+    # stage 3: MinHash candidates over ALL docs, both-ends-keeper filter
+    sigs = {}
+    for i, (_, t) in enumerate(docs):
+        lt = t.lower()
+        n_pos = max(len(lt) - (SHINGLE_K - 1), 1)
+        hs = {h60_py(lt[p : p + SHINGLE_K]) for p in range(n_pos)}
+        sigs[i] = [
+            min((a * (h % MERSENNE_P) + b) % MERSENNE_P for h in hs)
+            for a, b in MINHASH_PERMS
+        ]
+    near_drops = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = sigs[a], sigs[b]
+            if not any(
+                sa[kb * ROWS_PER_BAND : (kb + 1) * ROWS_PER_BAND]
+                == sb[kb * ROWS_PER_BAND : (kb + 1) * ROWS_PER_BAND]
+                for kb in range(N_BANDS)
+            ):
+                continue
+            est = sum(1 for j in range(N_PERM) if sa[j] == sb[j]) / N_PERM
+            if est >= CU_JACCARD_MIN and a in keepers and b in keepers:
+                near_drops.add(b)
+
+    def status_of(i):
+        if quality[i] < CU_QUALITY_MIN:
+            return "low_quality"
+        if i in exact_dups:
+            return "exact_dup"
+        if i in near_drops:
+            return "near_dup"
+        return "kept"
+
+    statuses = {status_of(i) for i in range(len(docs))}
+    assert statuses == {"low_quality", "exact_dup", "near_dup", "kept"}, (
+        f"fixture must exercise all four statuses, got {statuses}"
+    )
+
+    want = {}
+    for i, (lang, t) in enumerate(docs):
+        key = ("synthetic", lang, status_of(i))
+        n, ch, tk = want.get(key, (0, 0, 0))
+        want[key] = (
+            n + 1,
+            ch + len(t),
+            tk + len(re.split(r"\s+", t.strip(" "))),
+        )
+    got = {
+        (r["source"], r["lang"], r["status"]): (
+            r["n_docs"],
+            r["sum_chars"],
+            r["sum_tokens"],
+        )
+        for r in cu_pipeline(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_ts_e2e_report_matches_composition_replay(spark):
+    """The flagship e2e report replayed in plain Python over a deterministic
+    events fixture: per-(user, event_type) series -> zero-padded median-15
+    filter -> np.gradient jerk -> per-run rms/min/max -> per-group
+    mean/var_samp -> Welch t/dof per metric x stat. Integers exact; float
+    columns compared at 1e-9 relative (sum-order drift between Spark's
+    incremental aggregates and Python's sum, same tolerance as the
+    ts_welch replay)."""
+    import math
+
+    import pytest
+
+    from orc_spark.plans.e2e_q import GROUPS, ts_e2e_report
+
+    rng = np.random.RandomState(11)
+    rows = []
+    eid = 0
+    for ui in range(1, 7):
+        for et in ("click", "view", "purchase"):  # purchase must be filtered
+            n = 12 + (ui * 3 + len(et)) % 9
+            for j in range(n):
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts_us": 1_000_000 * (j + 1) + ui,
+                        "user_id": ui,
+                        "event_type": et,
+                        "value": round(float(rng.uniform(-4, 4)), 3),
+                        "props": "{}",
+                    }
+                )
+                eid += 1
+    sf = _write_events(spark, rows)
+
+    # replay: per-run series in (ts, event_id) order
+    runs = {}
+    for r in rows:
+        if r["event_type"] in GROUPS:
+            runs.setdefault((r["user_id"], r["event_type"]), []).append(
+                (r["ts_us"], r["event_id"], r["value"])
+            )
+    per_run = {}
+    for key, evs in runs.items():
+        vals = [v for _, _, v in sorted(evs)]
+        n = len(vals)
+        filt = []
+        for i in range(n):
+            window = [
+                vals[i + d] if 0 <= i + d < n else 0.0 for d in range(-7, 8)
+            ]
+            filt.append(sorted(window)[7])
+        jerk = []
+        for i in range(n):
+            if n == 1:
+                jerk.append(0.0)
+            elif i == 0:
+                jerk.append(filt[1] - filt[0])
+            elif i == n - 1:
+                jerk.append(filt[i] - filt[i - 1])
+            else:
+                jerk.append((filt[i + 1] - filt[i - 1]) / 2.0)
+        stats = {}
+        for m, series in (("value", filt), ("jerk", jerk)):
+            stats[f"rms_{m}"] = math.sqrt(
+                sum(x * x for x in series) / len(series)
+            )
+            stats[f"min_{m}"] = min(series)
+            stats[f"max_{m}"] = max(series)
+        per_run[key] = stats
+
+    def group_stats(et):
+        members = [per_run[k] for k in per_run if k[1] == et]
+        out = {"n_runs": float(len(members))}
+        for c in members[0]:
+            xs = [s[c] for s in members]
+            mean = sum(xs) / len(xs)
+            var = sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
+            out[f"avg_{c}"] = mean
+            out[f"var_{c}"] = var
+        return out
+
+    on, off = group_stats(GROUPS[0]), group_stats(GROUPS[1])
+    want = {}
+    for m in ("value", "jerk"):
+        row = {
+            "n_runs_on": int(on["n_runs"]),
+            "n_runs_off": int(off["n_runs"]),
+        }
+        for stat in ("rms", "min", "max"):
+            c = f"{stat}_{m}"
+            q1 = on[f"var_{c}"] / on["n_runs"]
+            q2 = off[f"var_{c}"] / off["n_runs"]
+            se2 = q1 + q2
+            dof_den = q1 * q1 / (on["n_runs"] - 1) + q2 * q2 / (
+                off["n_runs"] - 1
+            )
+            row[f"avg_{stat}_on"] = on[f"avg_{c}"]
+            row[f"avg_{stat}_off"] = off[f"avg_{c}"]
+            row[f"t_{stat}"] = (on[f"avg_{c}"] - off[f"avg_{c}"]) / math.sqrt(
+                se2
+            )
+            row[f"dof_{stat}"] = se2 * se2 / dof_den
+        want[m] = row
+
+    got = {r["metric"]: r.asDict() for r in ts_e2e_report(spark, sf).collect()}
+    assert set(got) == set(want)
+    for m, wrow in want.items():
+        grow = got[m]
+        for c, wv in wrow.items():
+            gv = grow[c]
+            if isinstance(wv, int):
+                assert gv == wv, (m, c, gv, wv)
+            else:
+                assert gv == pytest.approx(wv, rel=1e-9), (m, c, gv, wv)

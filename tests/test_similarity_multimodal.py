@@ -362,3 +362,125 @@ def test_ann_recall_eval_sampled_mode_matches_replay(spark, tmp_path):
     assert row["n_truth"] == len(truth)
     assert row["n_retrieved"] == len(retrieved)
     assert row["recall"] == round(len(retrieved) / len(truth), 6)
+
+
+def test_ann_ivf_and_index_match_planted_structure_replay(spark, tmp_path):
+    """Planted-structure replay of the full IVF path, independent of Spark:
+    re-derive the seeded Lloyd's k-means (default_rng(42), argmax assign,
+    5 iters, mean-renormalize), cid assignment, per-query probe sets,
+    pruned-candidate exact rerank, and the round-6 exact top-k — all in
+    plain numpy from the written float32 values — then assert ivf_topk
+    emits exactly the replayed (query_id, neighbor_id, rank) rows, the
+    materialized-index path (ivf_query_index) emits the same, and the two
+    registry queries ann_ivf / ann_ivf_index emit exactly the replayed
+    per-query recall_ok decisions (not assumed all-true)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orc_spark.operators.similarity import ivf_query_index, ivf_topk
+    from orc_spark.plans.mm_q import (
+        ANN_N_Q,
+        IVF_RECALL_MIN,
+        ann_ivf,
+        ann_ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    n, dim, n_cent, nprobe, k = 500, 16, 16, 12, 5
+    centers = rng.normal(size=(20, dim)) * 3.0
+    member_of = rng.integers(0, 20, size=n)
+    vecs = (
+        centers[member_of] + rng.normal(scale=0.6, size=(n, dim))
+    ).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([int(i % 3) for i in range(n)], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    # --- numpy replay (same float64 path as _to_matrix: float32 -> float64)
+    m = vecs.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    # k-means exactly as ivf_build_centroids: seeded init over file order
+    krng = np.random.default_rng(42)
+    cent = m[krng.choice(n, size=n_cent, replace=False)].copy()
+    for _ in range(5):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(n_cent):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    assign = np.argmax(m @ cent.T, axis=1)
+    qm = m[:ANN_N_Q]
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+
+    def topk_from(cand_ids, q, qid):
+        sims = m[cand_ids] @ q
+        order = np.lexsort((cand_ids, -sims))
+        out = []
+        for j in order:
+            if int(cand_ids[j]) == qid:
+                continue
+            out.append(int(cand_ids[j]))
+            if len(out) == k:
+                break
+        return out
+
+    want_ivf, want_exact = {}, {}
+    all_ids = np.arange(n)
+    for qid in range(ANN_N_Q):
+        cand = all_ids[np.isin(assign, probes[qid])]
+        want_ivf[qid] = topk_from(cand, qm[qid], qid)
+        # exact side: round-6 sims, rank by (-sim, id) — brute_force_topk
+        es = np.round(m @ qm[qid], 6)
+        order = np.lexsort((all_ids, -es))
+        want_exact[qid] = [int(i) for i in order if i != qid][:k]
+    want_ok = {
+        qid: len(set(want_ivf[qid]) & set(want_exact[qid])) / k
+        >= IVF_RECALL_MIN
+        for qid in range(ANN_N_Q)
+    }
+    # the gate must not be vacuously decided by construction
+    assert any(want_ok.values())
+
+    queries_pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(ANN_N_Q, dtype=np.int64),
+            "embedding": [list(map(float, vecs[i])) for i in range(ANN_N_Q)],
+        }
+    )
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    got_ivf = {}
+    for r in ivf_topk(
+        spark, emb, queries_pdf, k=k, n_centroids=n_cent, nprobe=nprobe
+    ).collect():
+        got_ivf.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+    assert {
+        q: [ns[i] for i in sorted(ns)] for q, ns in got_ivf.items()
+    } == want_ivf
+
+    got_ann = {r["query_id"]: r["recall_ok"] for r in ann_ivf(spark, str(tmp_path)).collect()}
+    assert got_ann == want_ok
+
+    got_idx = {r["query_id"]: r["recall_ok"] for r in ann_ivf_index(spark, str(tmp_path)).collect()}
+    assert got_idx == want_ok
+
+    # the materialized index returns the same pruned top-k as the replay
+    from orc_spark.plans.mm_q import _ivf_index_path
+
+    got_q = {}
+    for r in ivf_query_index(
+        spark, _ivf_index_path(spark, str(tmp_path)), queries_pdf, k=k, nprobe=nprobe
+    ).collect():
+        got_q.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+    assert {
+        q: [ns[i] for i in sorted(ns)] for q, ns in got_q.items()
+    } == want_ivf
