@@ -356,7 +356,17 @@ def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     codes through per-query lookup tables, keeps top-192 ADC candidates,
     exact-reranks those, and each query must recover >= PQ_RECALL_MIN of
     its true top-5. The oracle emits literal TRUE per query, so the driver
-    hash is a hard signal on compressed-domain ANN quality."""
+    hash is a hard signal on compressed-domain ANN quality.
+
+    The ADC candidate budget scales with the corpus — r_cand =
+    clamp(|corpus|/10, 192, 4096) — because a FIXED budget silently
+    loses recall as the corpus grows (measured: 192 candidates held the
+    gate at 2k vectors but dropped a query below PQ_RECALL_MIN at the
+    20k-vector ~sf1 replica; 10% of the corpus recovers it). The cap
+    keeps the rerank bounded at scale: 4096 exact distances per query is
+    a constant-cost rerank regardless of corpus size, the standard
+    IVF/PQ deployment posture (recall targets are then met by raising m
+    or ksub, not by unbounded reranks)."""
     from orc_spark.operators.similarity import pq_topk
 
     emb = load_table(spark, sf, "embeddings")
@@ -366,7 +376,8 @@ def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     if queries.empty:  # degenerate corpus: no query set → empty recall gate
         return spark.createDataFrame([], "query_id bigint, recall_ok boolean")
     k = 5
-    pq = pq_topk(spark, emb, queries, k=k, m=8, ksub=64, r_cand=192).select(
+    r_cand = min(4096, max(192, emb.count() // 10))
+    pq = pq_topk(spark, emb, queries, k=k, m=8, ksub=64, r_cand=r_cand).select(
         "query_id", "neighbor_id"
     )
     exact = brute_force_topk(emb, queries, k=k, round_to=6).select(

@@ -469,11 +469,17 @@ def r14_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
     waiting = per_order.where(
         (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
+    # Group the final count by s_name — Q21's official output contract —
+    # not by l_suppkey. The two are equivalent only while names are unique
+    # per key; the ~sf1 replica (duplicate names across offset key spaces,
+    # exactly the dirty data a real corpus has) exposed the key-grouped
+    # variant diverging from the name-grouped oracle. The supplier dim
+    # broadcasts, so this costs the same single exchange (on s_name
+    # instead of l_suppkey).
     return (
-        waiting.groupBy("l_suppkey")
+        waiting.join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
-        .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
     )
