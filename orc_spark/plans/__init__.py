@@ -55,7 +55,11 @@ _PRIORITY_FIRST = [
     "dd_ngram_jaccard", "ann_recall_eval", "ann_srp_pairs", "dq_drift",
     # (b) the 19 r08-stale queries (scripts/freshness.py --stale-only at
     #     round start) — after this round no query's newest green row may
-    #     be older than r09:
+    #     be older than r09. Two of these (r14_waiting_supplier, ann_pq)
+    #     ALSO had code changes late in r12: the full-registry sf1 sweep
+    #     exposed r14's key-vs-name grouping divergence and ann_pq's fixed
+    #     ADC candidate budget; both fixed and re-verified at
+    #     sf0.001/0.01/0.1/sf1, and both already sit in this head:
     "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
     "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
     "ev_transitions",
