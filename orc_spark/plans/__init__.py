@@ -44,42 +44,12 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # r12 head, per VERDICT r11 directive 3 (exactly 50 slots):
-    # (a) the 4 queries whose CODE CHANGED this round — the
-    #     dd_ngram_jaccard diagonal-cell pair-orientation fix (the r11
-    #     judge-failing bug), ann_recall_eval's stratified sampled-truth
-    #     mode, the ann_srp_pairs probe-filter refactor it rides on, and
-    #     dq_drift's NULL-measurement filter (r11 advice). Changed code
-    #     outranks staleness; every one re-verified driver-style at
-    #     sf0.001/0.01/0.1 before commit:
-    "dd_ngram_jaccard", "ann_recall_eval", "ann_srp_pairs", "dq_drift",
-    # (b) the 19 r08-stale queries (scripts/freshness.py --stale-only at
+    # r13 head, per VERDICT r12 directive 1 (exactly 50 slots) — the
+    # mechanical prefix-take of the r12 deferred list, which was already
+    # staleness-ordered:
+    # (a) the 19 r09-stale queries (scripts/freshness.py --stale-only at
     #     round start) — after this round no query's newest green row may
-    #     be older than r09. Two of these (r14_waiting_supplier, ann_pq)
-    #     ALSO had code changes late in r12: the full-registry sf1 sweep
-    #     exposed r14's key-vs-name grouping divergence and ann_pq's fixed
-    #     ADC candidate budget; both fixed and re-verified at
-    #     sf0.001/0.01/0.1/sf1, and both already sit in this head:
-    "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
-    "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
-    "ev_transitions",
-    "gr_pagerank", "ann_pq", "ts_lttb", "dd_containment",
-    "io_zorder", "r13_top_supplier", "r14_waiting_supplier",
-    "ev_sessionize", "cu_split", "ev_rolling_uniques",
-    # (c) the 27 oldest r09-greens (prefix of the r11 deferred list's r09
-    #     section):
-    "io_orc_skipping",
-    "r15_idle_customers", "dq_benford", "ev_ab_test", "st_hysteresis",
-    "ts_crossings", "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv",
-    "ev_paths", "tx_ngram_lm", "dq_kanon", "ts_mannkendall",
-    "st_goertzel", "r16_big_orders", "r17_nation_volume",
-    "r18_returned_items", "r19_promo_share", "r20_bracket_revenue",
-    "st_holt", "ev_rfm", "dq_freshness", "ev_concurrency", "ts_seasonal",
-    "mb_rules", "ev_survival",
-]
-_DEFERRED_LAST = [
-    # Tier 2 proper, staleness-ordered so the r13 head is again a prefix:
-    # the 19 remaining r09 greens (oldest first):
+    #     be older than r10:
     "cdc_pit_lookup", "r21_null_semantics",
     "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
     "gr_kcore", "st_token_bucket", "st_bursts", "dd_embcos", "dd_cluster",
@@ -87,7 +57,8 @@ _DEFERRED_LAST = [
     "tx_gopher_quality", "ts_m4", "sk_theta_ops",
     "dd_minhash_quality",
     "cu_anneal_mixture",
-    # r10 head greens:
+    # (b) the 31 oldest r10-greens (prefix of the r12 deferred list's r10
+    #     section):
     "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
     "gr_bfs", "gr_linkpred", "ts_theilsen", "dd_semdedup", "io_compaction",
     "tx_zipf", "tx_hashclf", "gr_label_prop", "ev_feature_snapshot",
@@ -96,14 +67,19 @@ _DEFERRED_LAST = [
     "dd_simhash_pairs",
     "ann_topk", "ann_ivf", "ann_bruteforce_fast", "approx_sketches",
     "dp_sample", "dp_stratified", "mm_frame_sample", "r4b_cube",
-    "r5c_rank_battery", "rj_range_join", "sk_hll_merge", "sk_salted_agg",
+    "r5c_rank_battery", "rj_range_join", "sk_hll_merge",
+]
+_DEFERRED_LAST = [
+    # Tier 2 proper, staleness-ordered so the r14 head is again a prefix:
+    # the 16 remaining r10 greens (oldest first):
+    "sk_salted_agg",
     "aj_asof_join", "ts_medfilt", "ts_gradient", "ts_runstats",
     "ts_groupmeans", "ts_deadband",
     "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
     "ts_resample", "r8_tumbling", "r8b_sliding",
     "r8c_sessions", "tr_hier_rollup",
-    # r11 head greens (the freshest rows in the registry), in r11 head
-    # order minus the 4 promoted as changed code:
+    # r11 head greens, in r11 head order minus the 4 promoted into the
+    # r12 head as changed code:
     "ts_autocorr", "ev_funnel_windowed",
     "sk_histq", "r11_stats_agg", "ts_welch", "ts_welch_p",
     "ts_e2e_report", "tx_redact", "sk_countmin", "dq_expectations",
@@ -119,6 +95,23 @@ _DEFERRED_LAST = [
     "st_kalman",
     "mm_image_features", "sk_bloom", "cu_decontaminate", "cu_pack",
     "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
+    # r12 head greens (the freshest rows in the registry), in r12 head
+    # order:
+    "dd_ngram_jaccard", "ann_recall_eval", "ann_srp_pairs", "dq_drift",
+    "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
+    "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
+    "ev_transitions",
+    "gr_pagerank", "ann_pq", "ts_lttb", "dd_containment",
+    "io_zorder", "r13_top_supplier", "r14_waiting_supplier",
+    "ev_sessionize", "cu_split", "ev_rolling_uniques",
+    "io_orc_skipping",
+    "r15_idle_customers", "dq_benford", "ev_ab_test", "st_hysteresis",
+    "ts_crossings", "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv",
+    "ev_paths", "tx_ngram_lm", "dq_kanon", "ts_mannkendall",
+    "st_goertzel", "r16_big_orders", "r17_nation_volume",
+    "r18_returned_items", "r19_promo_share", "r20_bracket_revenue",
+    "st_holt", "ev_rfm", "dq_freshness", "ev_concurrency", "ts_seasonal",
+    "mb_rules", "ev_survival",
 ]
 
 

@@ -27,7 +27,7 @@ from orc_spark.functions.hashing import (
     minhash_sql,
 )
 from orc_spark.plans import Query
-from orc_spark.sources.tables import load_table
+from orc_spark.sources.tables import load_table, table_rowcount
 
 N_PERM = 16
 N_BANDS = 4
@@ -1160,7 +1160,8 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     graded exactly; variance falls as probes·n pairs accumulate, see
     tests/test_analytics_properties.py's sampled-mode replay). At or below
     the guard, probes = ALL vectors, which degenerates to the old exact
-    semantics. The mode switch costs one count() job.
+    semantics. The mode switch reads the corpus size from parquet
+    footer metadata (table_rowcount) — no Spark job during construction.
 
     Scale: probe matrix ≤ max({ANN_RECALL_EXACT_MAX}, Q·|labels|) rows —
     broadcast; truth is one narrow mapInPandas matmul pass + a distinct on
@@ -1171,7 +1172,7 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import types as T
 
     emb = load_table(spark, sf, "embeddings")
-    n = emb.count()
+    n = table_rowcount(sf, "embeddings")
     sampled = n > ANN_RECALL_EXACT_MAX
     if sampled:
         win = Window.partitionBy("label").orderBy(

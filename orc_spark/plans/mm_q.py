@@ -18,7 +18,7 @@ from orc_spark.operators.multimodal import (
 )
 from orc_spark.operators.similarity import brute_force_topk, ivf_topk
 from orc_spark.plans import Query
-from orc_spark.sources.tables import load_table
+from orc_spark.sources.tables import load_table, table_rowcount
 
 
 def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -376,7 +376,11 @@ def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     if queries.empty:  # degenerate corpus: no query set → empty recall gate
         return spark.createDataFrame([], "query_id bigint, recall_ok boolean")
     k = 5
-    r_cand = min(4096, max(192, emb.count() // 10))
+    # Corpus size from parquet footer metadata (memoized per sf dir) — an
+    # eager df.count() here ran a Spark job during plan CONSTRUCTION, so
+    # every build (bench, plan tests, harness build-then-collect) paid an
+    # extra AQE job round before the plan was even returned (r12 ADVICE).
+    r_cand = min(4096, max(192, table_rowcount(sf, "embeddings") // 10))
     pq = pq_topk(spark, emb, queries, k=k, m=8, ksub=64, r_cand=r_cand).select(
         "query_id", "neighbor_id"
     )

@@ -69,6 +69,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Corpus-size memo for plan parameters that scale with row count (e.g.
+# ann_pq's ADC candidate budget). Parquet footers carry exact row counts,
+# so this is a driver-side metadata read — NO Spark job — unlike df.count(),
+# which costs a full job round during plan CONSTRUCTION (r12 ADVICE). Same
+# staleness rules as _MEMO: cached for the immutable /root/testdata only;
+# temp-dir fixtures re-read footers every call (still ~ms). At 100 TB the
+# footer walk is one small read per file — proportional to file count, not
+# data volume, and still cheaper than a count() job over the same files.
+_COUNT_MEMO: dict[str, int] = {}
+
+
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact row count of a testdata table from parquet footer metadata."""
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    cacheable = path.startswith("/root/testdata")
+    if cacheable and path in _COUNT_MEMO:
+        return _COUNT_MEMO[path]
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        n = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.read_metadata(os.path.join(root, f)).num_rows
+    else:
+        n = pq.read_metadata(path).num_rows
+    if cacheable:
+        _COUNT_MEMO[path] = n
+    return n
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The contract every downstream plan relies on: events.ts is BIGINT

@@ -89,18 +89,25 @@ def main() -> None:
 
     got = got.sort_values("doc_id").reset_index(drop=True)
     bad = 0
+    # Row-count check FIRST (an assert after the loop crashed on an
+    # extra/unknown row instead of printing a MISMATCH — r12 ADVICE), and
+    # comp.get so a doc_id absent from documents.parquet is a counted
+    # failure rather than a KeyError traceback.
+    if len(got) != len(doc_ids):
+        bad += 1
+        print(f"ROW-COUNT MISMATCH: got {len(got)} rows, want {len(doc_ids)}")
     for doc_id, cid, csz in zip(
         got["doc_id"], got["cluster_id"], got["cluster_size"]
     ):
-        want_c = comp[int(doc_id)]
-        if int(cid) != want_c or int(csz) != sizes[want_c]:
+        want_c = comp.get(int(doc_id))
+        if want_c is None or int(cid) != want_c or int(csz) != sizes[want_c]:
             bad += 1
             if bad <= 5:
+                want_s = sizes.get(want_c) if want_c is not None else None
                 print(
                     f"MISMATCH doc {doc_id}: got ({cid},{csz}) "
-                    f"want ({want_c},{sizes[want_c]})"
+                    f"want ({want_c},{want_s})"
                 )
-    assert len(got) == len(doc_ids), (len(got), len(doc_ids))
     status = "OK" if bad == 0 else f"FAILED ({bad} mismatches)"
     print(
         f"dd_cluster @ {sf}: {status} — {len(got)} docs, "

@@ -102,7 +102,12 @@ def main() -> None:
     for da, db, j in zip(da_all[pick], db_all[pick], j_all[pick]):
         da, db = int(da), int(db)
         want = float("nan")
-        ok = da < db and bucket_of[da] == bucket_of[db]
+        # .get(): a Spark-emitted pair referencing a doc absent from
+        # bucket_of (e.g. NULL text, excluded at build) must COUNT as a
+        # precision mismatch, not crash the checker (r12 ADVICE).
+        ok = da < db and bucket_of.get(da) is not None and (
+            bucket_of.get(da) == bucket_of.get(db)
+        )
         if ok:
             a, b = grams_of(da), grams_of(db)
             inter = len(a & b)
@@ -117,7 +122,7 @@ def main() -> None:
     # --- both directions, exhaustive, on a deterministic bucket sample -------
     t2 = time.perf_counter()
     sample_buckets = sorted({b for b in bucket_of.values() if b % 5 == 2})
-    in_sample = np.array([bucket_of[int(d)] % 5 == 2 for d in da_all])
+    in_sample = np.array([bucket_of.get(int(d), -1) % 5 == 2 for d in da_all])
     got_pairs = {
         (int(a), int(b)): _round9(float(j))
         for a, b, j in zip(da_all[in_sample], db_all[in_sample], j_all[in_sample])

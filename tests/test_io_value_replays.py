@@ -24,7 +24,18 @@ SF = "/root/testdata/sf0.001"
 
 
 def _half_up(v: np.ndarray) -> np.ndarray:
-    return np.sign(v) * np.floor(np.abs(v) + 0.5)
+    # Mirror Spark F.round's HALF_UP exactly: BigDecimal.valueOf(double)
+    # rounds the SHORTEST-REPR decimal, so 0.49999999999999994 → 0, whereas
+    # sign*floor(|v|+0.5) would float-add it to exactly 1.0 and flag a false
+    # mismatch within one ulp of a .5 boundary (r12 ADVICE).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return np.array(
+        [
+            float(Decimal(repr(float(x))).quantize(Decimal("1"), ROUND_HALF_UP))
+            for x in np.asarray(v).ravel()
+        ]
+    ).reshape(np.shape(v))
 
 
 def test_io_zorder_values_match_bruteforce(spark):
