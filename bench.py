@@ -288,6 +288,14 @@ def main() -> None:
     # recurrence family, tx_tfidf the text/IR single-scan family,
     # ev_sessionize the shuffle-window events family — the slope now spans
     # every execution style, not just dedup/graph.)
+    # (VERDICT r12 directive 2: dd_containment + dd_ngram_jaccard — the two
+    # heaviest dedup kernels — join the anchor set Spark-side only; their
+    # DuckDB oracles are sf1-infeasible (CLAUDE.md), so values at scale come
+    # from scripts/sf1_ngram_check.py. Measured r13 isolated: containment
+    # 3.19→7.25 s and ngram 1.88→12.5 s across sf0.1→sf1, the ngram growth
+    # tracking a 100× larger TRUE pair set (631k→63.4M pairs — the replica
+    # preserves word multisets, so cross-replica near-dups are real), i.e.
+    # output-bound, not a super-linear kernel.)
     SCALE2 = [
         "dd_cluster",
         "ann_recall_eval",
@@ -297,6 +305,8 @@ def main() -> None:
         "st_pid_replay",
         "tx_tfidf",
         "ev_sessionize",
+        "dd_containment",
+        "dd_ngram_jaccard",
     ]
     sf2_dir = "/root/testdata/sf0.01"
     sf2_secs: dict[str, float] = {}

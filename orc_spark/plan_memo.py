@@ -40,6 +40,13 @@ from orc_spark.sources.tables import evict_dead_sessions
 # ids the builder created — empty for plain uncheckpointed plans)
 _MEMO: dict = {}
 
+# Dirs whose contents never change after creation — the ONLY paths the memo
+# may serve. /root/testdata is the driver's; scale-evidence scripts that
+# materialize their own immutable replicas (scripts/dense_graph_check.py)
+# append their dir EXPLICITLY. Never add a mutable/test-fixture path: a
+# cached checkpoint over a rewritten dir serves stale data silently.
+CACHEABLE_PREFIXES: list[str] = ["/root/testdata"]
+
 
 def _persistent_ids(spark: SparkSession) -> set:
     try:
@@ -58,7 +65,7 @@ def memo_subplan(
     """Return ``build()``, memoized per (session, sf_dir, tag) when sf_dir
     is immutable driver testdata; always rebuilt otherwise."""
     sf_abs = os.path.abspath(sf_dir)
-    if not sf_abs.startswith("/root/testdata"):
+    if not sf_abs.startswith(tuple(CACHEABLE_PREFIXES)):
         return build()
     key = (spark, sf_abs, tag)
     hit = _MEMO.get(key)

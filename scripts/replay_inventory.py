@@ -53,6 +53,30 @@ _NOT_EVIDENCE = {
 }
 PRIMARY = "tests/test_analytics_properties.py"
 
+# PERMANENT, JUSTIFIED residue (VERDICT r12 directive 6): queries whose
+# oracle-independent evidence exists but flows through a channel this
+# script's name-grep cannot attribute to the query. Each entry documents
+# that channel; the inventory reports them separately and they do NOT
+# count as actionable gaps. Remove an entry if its replay ever lands in
+# tests/test_analytics_properties.py under the registry name.
+_PERMANENT_JUSTIFIED = {
+    "ts_welch_p": (
+        "the no-scipy Student-t CDF (functions/stat_math.py) is validated "
+        "against direct numerical integration in tests/test_stat_math.py, "
+        "and "
+        "the p-value path is golden-anchored by test_orclog_golden.py "
+        "(published PDF p-values pinned exactly); the query is that CDF "
+        "applied to ts_welch's r11-green t statistics"
+    ),
+    "st_imu_pipeline": (
+        "golden-anchored end-to-end by test_orclog_golden.py on the real "
+        "129k-row HS-vibration log, with the firmware quirks (gyro-gates-"
+        "accel, swapped PID gains) pinned by dedicated quirk tests; a "
+        "second brute-force replay would re-derive the same f64 engine "
+        "the golden file already certifies"
+    ),
+}
+
 
 def _independent_tests() -> list[str]:
     import glob
@@ -89,18 +113,26 @@ def main() -> None:
     replayed = [n for n, h in hits.items() if PRIMARY in h]
     other = [n for n, h in hits.items() if h and PRIMARY not in h]
     gaps = [n for n, h in hits.items() if not h]
+    actionable = [n for n in gaps if n not in _PERMANENT_JUSTIFIED]
+    permanent = [n for n in gaps if n in _PERMANENT_JUSTIFIED]
     print(
         f"registry: {len(hits)} | property-replayed: {len(replayed)} | "
-        f"other independent evidence: {len(other)} | NO independent "
-        f"evidence: {len(gaps)}"
+        f"other independent evidence: {len(other)} | permanent justified: "
+        f"{len(permanent)} | ACTIONABLE gaps: {len(actionable)}"
     )
     if not gaps_only:
         print("\nevidence via other independent test files only:")
         for n in other:
             print(f"  {n}: {', '.join(os.path.basename(f) for f in hits[n])}")
+        print("\npermanent justified residue (channel documented in-script):")
+        for n in permanent:
+            print(f"  {n}: {_PERMANENT_JUSTIFIED[n]}")
     print("\nqueries with NO oracle-independent evidence (registry order):")
-    for n in gaps:
+    for n in actionable:
         print(f"  {n}")
+    if not actionable:
+        print("  (none)")
+    sys.exit(1 if actionable else 0)
 
 
 if __name__ == "__main__":

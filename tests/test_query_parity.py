@@ -16,6 +16,7 @@ def con(sf_small):
     c.close()
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("name", sorted(REG))
 def test_parity(name, spark, sf_small, con):
     q = REG[name]
@@ -36,6 +37,7 @@ def test_parity(name, spark, sf_small, con):
 _GRAPH_DISTRIBUTED = ["gr_kcore", "gr_bfs", "gr_linkpred", "gr_label_prop", "gr_pagerank", "dd_cluster"]
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("name", _GRAPH_DISTRIBUTED)
 def test_parity_distributed_graph(name, spark, sf_small, con, monkeypatch):
     import orc_spark.operators.graph as g
