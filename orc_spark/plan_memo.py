@@ -41,11 +41,13 @@ from orc_spark.sources.tables import evict_dead_sessions
 _MEMO: dict = {}
 
 # Dirs whose contents never change after creation — the ONLY paths the memo
-# may serve. /root/testdata is the driver's; scale-evidence scripts that
-# materialize their own immutable replicas (scripts/dense_graph_check.py)
-# append their dir EXPLICITLY. Never add a mutable/test-fixture path: a
-# cached checkpoint over a rewritten dir serves stale data silently.
-CACHEABLE_PREFIXES: list[str] = ["/root/testdata"]
+# may serve. Shared with load_table's plan memo (tables.CACHEABLE_PREFIXES
+# is the single source of truth — the SAME list object, so an opt-in there
+# enables both memos): scale-evidence scripts that materialize their own
+# immutable replicas (scripts/dense_graph_check.py) and write-once test
+# fixtures append their dir EXPLICITLY. Never add a mutable path: a cached
+# checkpoint over a rewritten dir serves stale data silently.
+from orc_spark.sources.tables import CACHEABLE_PREFIXES  # noqa: F401
 
 
 def _persistent_ids(spark: SparkSession) -> set:

@@ -38,6 +38,18 @@ BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 # object so a stopped/restarted session cannot serve stale plans.
 _MEMO: dict = {}
 
+# The single source of truth for "this dir is immutable, memoize over it".
+# /root/testdata is the driver's; a fixture or scale script that writes a
+# dir ONCE and only ever reads it afterwards may append its path EXPLICITLY
+# (tests/test_empty_inputs.py's module fixtures, scripts/dense_graph_check).
+# Never add a path that can be rewritten: a cached InMemoryFileIndex (or
+# plan_memo checkpoint) over a rewritten dir serves stale data silently.
+CACHEABLE_PREFIXES: list[str] = ["/root/testdata"]
+
+
+def _cacheable(path: str) -> bool:
+    return os.path.abspath(path).startswith(tuple(CACHEABLE_PREFIXES))
+
 
 def _session_stopped(spark: SparkSession) -> bool:
     """True once SparkContext.stop() ran (it nulls _jsc) — entries keyed on
@@ -58,7 +70,7 @@ def evict_dead_sessions(memo: dict) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    cacheable = os.path.abspath(sf_dir).startswith("/root/testdata")
+    cacheable = _cacheable(sf_dir)
     key = (spark, os.path.abspath(sf_dir), name)
     if cacheable and key in _MEMO:
         return _MEMO[key]
@@ -83,7 +95,7 @@ _COUNT_MEMO: dict[str, int] = {}
 def table_rowcount(sf_dir: str, name: str) -> int:
     """Exact row count of a testdata table from parquet footer metadata."""
     path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
-    cacheable = path.startswith("/root/testdata")
+    cacheable = _cacheable(path)
     if cacheable and path in _COUNT_MEMO:
         return _COUNT_MEMO[path]
     import pyarrow.parquet as pq

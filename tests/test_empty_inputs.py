@@ -29,6 +29,22 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+
+
+def _register_immutable(d: str):
+    """Opt a write-once fixture dir into load_table's plan memo for the
+    rest of the session (tables.CACHEABLE_PREFIXES contract): the sweeps
+    below build all 162 query plans against the dir, and the uncached path
+    re-lists + re-reads parquet footers on EVERY load_table call (~0.1 s
+    x several hundred calls per sweep — measured ~40% of sweep wall time).
+    The dir is never rewritten after the fixture returns, so the memo's
+    immutability contract holds."""
+    from orc_spark.sources.tables import CACHEABLE_PREFIXES
+
+    CACHEABLE_PREFIXES.append(d)
+    return d
+
+
 @pytest.fixture(scope="module")
 def empty_sf(spark, sf_small, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("empty_sf"))
@@ -37,7 +53,7 @@ def empty_sf(spark, sf_small, tmp_path_factory):
         df.limit(0).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(d, f"{t}.parquet")
         )
-    return d
+    return _register_immutable(d)
 
 
 def test_every_query_survives_empty_tables(spark, empty_sf):
@@ -58,7 +74,7 @@ def onerow_sf(spark, sf_small, tmp_path_factory):
         df.limit(1).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(d, f"{t}.parquet")
         )
-    return d
+    return _register_immutable(d)
 
 
 def test_every_query_survives_single_row_tables(spark, onerow_sf):
@@ -115,7 +131,7 @@ def constant_sf(spark, sf_small, tmp_path_factory):
         df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(d, f"{t}.parquet")
         )
-    return d
+    return _register_immutable(d)
 
 
 def test_every_query_survives_constant_values(spark, constant_sf):
