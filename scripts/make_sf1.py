@@ -15,10 +15,14 @@ counts are exactly 10× sf0.1 and whose JOIN integrity holds:
 - region/nation stay fixed (they are constant-size dimensions at every
   TPC-H scale factor);
 - documents.text is WORD-SHUFFLED per replica (numpy RandomState(rep)
-  permutation): length / vocabulary / language statistics are preserved
-  but character-shingle sets decorrelate, so the dedup family sees ~10×
-  independent docs rather than 10 exact copies of each (which would be a
-  semantic change — 45 candidate pairs per doc — not a scale-up);
+  permutation): length / vocabulary / language statistics are preserved.
+  Cross-replica similarity then depends on the gram size (measured r13):
+  5-char shingles span word boundaries, so cross-replica Jaccard falls
+  below the 0.5 minhash threshold and that family sees ~10x independent
+  docs (139k pairs at sf1 = 10 x sf0.1's); 3-char grams are mostly
+  intra-word and SURVIVE the shuffle, so dd_ngram_jaccard's true pair set
+  multiplies combinatorially (631,739 -> 63,418,724 pairs, ~100x) — its
+  sf1 timings measure ~100x the output work, not a 10x scale-up;
 - embeddings are DIMENSION-PERMUTED per replica (seeded permutation):
   norms and within-replica geometry are exactly preserved, cross-replica
   near-duplicates are destroyed;

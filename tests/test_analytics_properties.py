@@ -7,6 +7,8 @@ query's algebraic structure; these do not)."""
 import os
 import tempfile
 
+import pytest
+
 import numpy as np
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
@@ -58,6 +60,7 @@ times_strategy = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.sweep  # long-tail value check: full/nightly tier
 @given(user_times=st.lists(times_strategy, min_size=1, max_size=3))
 def test_ev_concurrency_matches_bruteforce(spark, user_times):
     from orc_spark.plans.cdc_q import ev_concurrency
@@ -114,6 +117,7 @@ def test_ev_concurrency_matches_bruteforce(spark, user_times):
     user_times=st.lists(times_strategy, min_size=2, max_size=4),
     purchase_mask=st.lists(st.booleans(), min_size=4, max_size=4),
 )
+@pytest.mark.sweep  # long-tail value check: full/nightly tier
 def test_ev_survival_matches_bruteforce(spark, user_times, purchase_mask):
     from orc_spark.plans.cdc_q import _KM_SCALE, ev_survival
 
@@ -2320,6 +2324,7 @@ def test_sk_bloom_matches_bruteforce(spark, user_times):
         max_size=45,
     )
 )
+@pytest.mark.sweep  # long-tail value check: full/nightly tier
 def test_sk_kmv_matches_bruteforce(spark, user_times):
     """KMV sketch vs a plain-Python replay over h60_py: per-type k-th mins,
     xor digests, estimates (exact fallback under K, the (K-1)·2^60/h_K
@@ -2397,6 +2402,7 @@ def test_sk_kmv_matches_bruteforce(spark, user_times):
         max_size=85,
     )
 )
+@pytest.mark.sweep  # long-tail value check: full/nightly tier
 def test_sk_theta_ops_matches_bruteforce(spark, user_times):
     """Theta-sketch set algebra vs a plain-Python replay over h60_py:
     per-type thetas (2^60 unsaturated, k-th min at K=64), fixed-theta
@@ -3411,6 +3417,7 @@ def test_tx_ngram_lm_matches_bruteforce(spark, texts):
         max_size=8,
     )
 )
+@pytest.mark.sweep  # long-tail value check: full/nightly tier
 def test_dd_containment_matches_bruteforce(spark, base):
     """Full-pipeline replay of dd_containment INCLUDING candidate
     generation: 5-char shingles → h60 → 16 affine perms → 4 band keys →
@@ -3619,6 +3626,7 @@ def test_ev_rfm_matches_bruteforce(spark, user_times):
         max_size=12,
     )
 )
+@pytest.mark.sweep  # long-tail value check: full/nightly tier
 def test_cdc_pit_lookup_matches_bruteforce(spark, orders):
     """AS-OF point-in-time join replay: SCD2 intervals, version ranks and
     cumulative spend recomputed with plain Python sorting; every 97th-key
@@ -4208,6 +4216,7 @@ def test_tx_gopher_quality_matches_bruteforce(spark, texts):
         max_size=8,
     )
 )
+@pytest.mark.sweep  # long-tail value check: full/nightly tier
 def test_cu_corpus_report_matches_bruteforce(spark, base):
     """Capstone replay: the one-row corpus health report recomputed from
     raw texts — exact-dup accounting, the full MinHash LSH pipeline for
@@ -8103,6 +8112,7 @@ def test_dd_ngram_jaccard_matches_bruteforce(spark, texts, dup_of):
     ),
     dups=st.lists(st.integers(0, 5), min_size=1, max_size=4),
 )
+@pytest.mark.sweep  # long-tail value check: full/nightly tier
 def test_dd_cluster_matches_bruteforce(spark, texts, dups):
     """Near-dup clustering re-derived end to end: MinHash signatures ->
     banded candidates -> est >= 0.5 edges -> plain-Python union-find;

@@ -56,6 +56,7 @@ def empty_sf(spark, sf_small, tmp_path_factory):
     return _register_immutable(d)
 
 
+@pytest.mark.sweep
 def test_every_query_survives_empty_tables(spark, empty_sf):
     fails = {}
     for name, q in registry().items():
@@ -77,6 +78,7 @@ def onerow_sf(spark, sf_small, tmp_path_factory):
     return _register_immutable(d)
 
 
+@pytest.mark.sweep
 def test_every_query_survives_single_row_tables(spark, onerow_sf):
     """Singleton inputs hit a different degenerate class than empty ones:
     one-point windows, n-1 denominators, spans shorter than a grid step
@@ -134,6 +136,7 @@ def constant_sf(spark, sf_small, tmp_path_factory):
     return _register_immutable(d)
 
 
+@pytest.mark.sweep
 def test_every_query_survives_constant_values(spark, constant_sf):
     """Zero-variance sweep: stddev/variance denominators, Pearson/Welch
     denominators, min==max ranges (histogram bin width 0, z-order and LTTB
