@@ -335,7 +335,15 @@ def audio_window_features(media: DataFrame, win_ms: int = 500) -> DataFrame:
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a MEDIA_SCHEMA table from the documents testdata (text bytes as
     payload) — lets the multimodal plumbing run against driver-provided
-    inputs without synthesizing external data."""
+    inputs without synthesizing external data.
+
+    A document with NULL text or NULL n_chars yields NO media row (a failed
+    upload/enrichment has no payload to decode) — found by the r13
+    NULL-heavy robustness sweep, where a NULL payload crashed the decode
+    kernel worker-side."""
+    docs = docs.where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")

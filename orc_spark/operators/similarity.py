@@ -42,6 +42,32 @@ def _to_matrix(pdf: pd.DataFrame, col: str) -> np.ndarray:
     return np.vstack(pdf[col].map(np.asarray).to_numpy()).astype(np.float64)
 
 
+def _drop_null_vectors(
+    corpus: DataFrame, queries_pdf: pd.DataFrame, vec_col: str
+) -> tuple[DataFrame, pd.DataFrame]:
+    """NULL embedding = NOT INDEXABLE: excluded from both the corpus scan
+    and the query set. A failed encoder emits exactly this shape (r13
+    NULL-heavy robustness sweep: np.vstack over a None crashed the driver
+    before any Spark job; a None inside an Arrow batch crashed the worker).
+    At /root/testdata embeddings are never NULL, so this is a no-op filter
+    there and oracle parity is unchanged."""
+    return (
+        corpus.where(F.col(vec_col).isNotNull()),
+        queries_pdf[queries_pdf[vec_col].notna()].reset_index(drop=True),
+    )
+
+
+def _empty_topk(spark_from: DataFrame, k: int) -> DataFrame:
+    w0 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        spark_from.sparkSession.createDataFrame([], TOPK_SCHEMA)
+        .withColumn("rank", F.row_number().over(w0))
+        .where(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries_pdf: pd.DataFrame,
@@ -61,15 +87,9 @@ def brute_force_topk(
     An empty query set (empty/degenerate corpus) short-circuits to an
     empty result — np.vstack of zero arrays would otherwise crash on the
     driver before any Spark job."""
+    corpus, queries_pdf = _drop_null_vectors(corpus, queries_pdf, vec_col)
     if len(queries_pdf) == 0:
-        w0 = Window.partitionBy("query_id").orderBy(
-            F.desc("cos_sim"), F.asc("neighbor_id")
-        )
-        return (
-            corpus.sparkSession.createDataFrame([], TOPK_SCHEMA)
-            .withColumn("rank", F.row_number().over(w0))
-            .where(F.col("rank") <= k)
-        )
+        return _empty_topk(corpus, k)
     qids = queries_pdf[id_col].to_numpy()
     qm = _to_matrix(queries_pdf, vec_col)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -119,7 +139,12 @@ def ivf_build_centroids(
 ) -> pd.DataFrame:
     """Lloyd's k-means on the driver over a sample (centroid table is tiny and
     broadcast everywhere; at scale the sample stays bounded)."""
-    sample = corpus.select(id_col, vec_col).limit(20000).toPandas()
+    sample = (
+        corpus.where(F.col(vec_col).isNotNull())  # NULL = not indexable
+        .select(id_col, vec_col)
+        .limit(20000)
+        .toPandas()
+    )
     m = _to_matrix(sample, vec_col)
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
@@ -142,7 +167,9 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Narrow map: nearest centroid per vector (broadcast centroid matrix)."""
+    """Narrow map: nearest centroid per vector (broadcast centroid matrix).
+    NULL vectors are not indexable and never enter the assignment table."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     cm = np.vstack(centroids["centroid"].to_numpy())
     schema = T.StructType(
         [
@@ -178,6 +205,9 @@ def ivf_topk(
     """IVF ANN: search only the `nprobe` nearest clusters per query.
     The candidate scan is a partition-pruned semi-join: assignment table
     filtered by the probed centroid ids (broadcast), then exact rerank."""
+    corpus, queries_pdf = _drop_null_vectors(corpus, queries_pdf, vec_col)
+    if len(queries_pdf) == 0:
+        return _empty_topk(corpus, k)
     centroids = ivf_build_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     cm = np.vstack(centroids["centroid"].to_numpy())
@@ -272,11 +302,23 @@ def ivf_query_index(
     assignment table (the isin predicate on the partition column prunes at
     the directory level), exact-rerank per query. Same result as the inline
     ivf_topk for the same centroids."""
+    queries_pdf = queries_pdf[queries_pdf[vec_col].notna()].reset_index(
+        drop=True
+    )  # NULL query vector = not searchable (r13 NULL-heavy sweep)
     cent = (
         spark.read.parquet(f"{path}/centroids")
         .orderBy("centroid_id")
         .toPandas()
     )
+    if len(queries_pdf) == 0:
+        w0 = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            spark.createDataFrame([], TOPK_SCHEMA)
+            .withColumn("rank", F.row_number().over(w0))
+            .where(F.col("rank") <= k)
+        )
     cm = np.vstack(cent["centroid"].map(np.asarray).to_numpy())
     qm = _to_matrix(queries_pdf, vec_col)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -339,7 +381,12 @@ def pq_train_codebooks(
     Jégou et al. product-quantization compressor. Returns (m, ksub, dsub).
     Training runs on a bounded driver-side sample (codebooks are tiny and
     broadcast); at 100 TB the sample stays 20k rows like the IVF trainer."""
-    sample = corpus.select(vec_col).limit(20000).toPandas()
+    sample = (
+        corpus.where(F.col(vec_col).isNotNull())  # NULL = not indexable
+        .select(vec_col)
+        .limit(20000)
+        .toPandas()
+    )
     mtx = _to_matrix(sample, vec_col)
     mtx = mtx / np.linalg.norm(mtx, axis=1, keepdims=True)
     d = mtx.shape[1]
@@ -373,7 +420,9 @@ def pq_encode(
 ) -> DataFrame:
     """Narrow map: 8-bit code per subspace (nearest codebook entry by L2 on
     the normalized vector). 64 floats -> 8 bytes: the 32x compression that
-    makes a 100 TB corpus scannable from memory."""
+    makes a 100 TB corpus scannable from memory. NULL vectors are not
+    indexable and are never encoded."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     m, ksub, dsub = codebooks.shape
     schema = T.StructType(
         [
@@ -417,6 +466,9 @@ def pq_topk(
     exact-rerank only those against the full vectors. At scale the codes
     table is ~1/32 the corpus bytes, the LUTs are broadcast, and the rerank
     touches r_cand rows per query — no all-pairs stage anywhere."""
+    corpus, queries_pdf = _drop_null_vectors(corpus, queries_pdf, vec_col)
+    if len(queries_pdf) == 0:
+        return _empty_topk(corpus, k)
     books = pq_train_codebooks(corpus, m=m, ksub=ksub, vec_col=vec_col)
     encoded = pq_encode(corpus, books, id_col, vec_col)
     qm = _to_matrix(queries_pdf, vec_col)

@@ -704,6 +704,10 @@ def dd_embcos(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = (
         load_table(spark, sf, "embeddings")
+        # NULL embedding = not comparable (failed encoder); excluded before
+        # the grid, where a None inside the Arrow cell batch crashed the
+        # matmul kernel (r13 NULL-heavy sweep). No-op on /root/testdata.
+        .where(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
         .withColumn("blk", (F.col("vec_id") % EMBCOS_N_BLOCKS).cast("int"))
     )
@@ -972,7 +976,13 @@ def _srp_pairs(
     import pandas as pd
     from pyspark.sql import types as T
 
-    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load_table(spark, sf, "embeddings")
+        # NULL embedding = not sketchable; a None in the Arrow batch crashed
+        # the vstack in _sketch (r13 NULL-heavy sweep). No-op on testdata.
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "vf")
     ).select("vec_id", "i", F.col("vf").cast("double").alias("v"))
@@ -1171,7 +1181,12 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    emb = load_table(spark, sf, "embeddings")
+    # NULL embedding = not indexable: excluded from probes AND the truth
+    # scan (r13 NULL-heavy sweep). table_rowcount counts raw file rows —
+    # fine, the mode switch only needs the order of magnitude.
+    emb = load_table(spark, sf, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     n = table_rowcount(sf, "embeddings")
     sampled = n > ANN_RECALL_EXACT_MAX
     if sampled:
@@ -1308,7 +1323,13 @@ def _query_matrix(spark: SparkSession, sf: str):
 
     pdf = (
         load_table(spark, sf, "embeddings")
-        .where(F.col("vec_id") < ANN_N_QUERIES)
+        # NULL embedding = not searchable (r13 NULL-heavy sweep); same
+        # no-rows-for-that-query semantics as the SQL oracles, whose
+        # per-element unnest yields nothing for a NULL array
+        .where(
+            (F.col("vec_id") < ANN_N_QUERIES)
+            & F.col("embedding").isNotNull()
+        )
         .select("vec_id", "embedding")
         .toPandas()
     )
@@ -1364,7 +1385,11 @@ def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
                     rows["cos_sim"].append(sims[a, j])
             yield pd.DataFrame(rows)
 
-    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load_table(spark, sf, "embeddings")
+        .where(F.col("embedding").isNotNull())  # NULL = not indexable
+        .select("vec_id", "embedding")
+    )
     partial = emb.mapInPandas(block, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

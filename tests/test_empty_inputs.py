@@ -151,3 +151,60 @@ def test_every_query_survives_constant_values(spark, constant_sf):
         except Exception as e:  # noqa: BLE001 — collect all, report once
             fails[name] = f"{type(e).__name__}: {str(e)[:120]}"
     assert not fails, fails
+
+
+@pytest.fixture(scope="module")
+def nullheavy_sf(spark, sf_small, tmp_path_factory):
+    """Fifth degenerate class (r13): NULL-HEAVY inputs. Every nullable
+    NON-KEY column is NULL on alternating rows (keys, join keys and event
+    timestamps stay intact so the data remains structurally joinable);
+    documents.text and embeddings.embedding go NULL too — the exact shape
+    behind two real r12 findings (dq_drift's NULL measurements skewing PSI
+    bins; sf1_ngram_check crashing on a NULL-text doc). Real pipelines see
+    this constantly: optional fields, failed enrichments, encoder
+    fallbacks. Queries must drop/guard NULLs, never throw."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("nullheavy_sf"))
+    keep = {"ts"}  # event time kept: NULL-ts handling is window-semantics
+    # territory, asserted by the dedicated window tests, not this sweep
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(sf_small, f"{t}.parquet"))
+        cols = []
+        for f_ in df.schema.fields:
+            name = f_.name
+            is_key = (
+                name in keep
+                or name.endswith("key")
+                or name.endswith("_id")
+                or name == "id"
+                or name.endswith("number")
+            )
+            if is_key:
+                cols.append(F.col(name))
+            else:
+                # deterministic alternating NULLs keyed on a stable hash of
+                # the whole row id space: xxhash64 of the first column
+                cols.append(
+                    F.when(
+                        F.abs(F.xxhash64(F.col(df.columns[0]))) % 2 == 0,
+                        F.col(name),
+                    )
+                    .otherwise(F.lit(None).cast(f_.dataType))
+                    .alias(name)
+                )
+        df.select(cols).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return _register_immutable(d)
+
+
+@pytest.mark.sweep
+def test_every_query_survives_nullheavy_tables(spark, nullheavy_sf):
+    fails = {}
+    for name, q in registry().items():
+        try:
+            _force(q.spark_fn(spark, nullheavy_sf))
+        except Exception as e:  # noqa: BLE001 — collect all, report once
+            fails[name] = f"{type(e).__name__}: {str(e)[:120]}"
+    assert not fails, fails
