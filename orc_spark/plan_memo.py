@@ -70,18 +70,22 @@ def memo_subplan(
     if not sf_abs.startswith(tuple(CACHEABLE_PREFIXES)):
         return build()
     key = (spark, sf_abs, tag)
-    hit = _MEMO.get(key)
-    if hit is not None:
-        df, ids = hit
-        if ids <= _persistent_ids(spark):
-            return df
-        # an external cleaner dropped the checkpoint blocks — the frame is
-        # unusable (truncated lineage), rebuild from scratch
-        del _MEMO[key]
-    evict_dead_sessions(_MEMO)
+    from orc_spark.sources.tables import _MEMO_LOCK
+
+    with _MEMO_LOCK:  # dict bookkeeping only; build() runs outside it
+        hit = _MEMO.get(key)
+        if hit is not None:
+            df, ids = hit
+            if ids <= _persistent_ids(spark):
+                return df
+            # an external cleaner dropped the checkpoint blocks — the frame
+            # is unusable (truncated lineage), rebuild from scratch
+            del _MEMO[key]
+        evict_dead_sessions(_MEMO)
     before = _persistent_ids(spark)
     df = build()
-    _MEMO[key] = (df, frozenset(_persistent_ids(spark) - before))
+    with _MEMO_LOCK:
+        _MEMO[key] = (df, frozenset(_persistent_ids(spark) - before))
     return df
 
 

@@ -61,9 +61,18 @@ def _session_stopped(spark: SparkSession) -> bool:
         return True
 
 
+# Concurrent plan builds (the robustness sweeps run registry queries
+# across a thread pool) mutate the memos from several threads; iterating
+# a dict while another thread inserts raises RuntimeError. One process-wide
+# lock over memo bookkeeping (the guarded section is dict ops only — the
+# actual spark.read never runs under it).
+_MEMO_LOCK = __import__("threading").Lock()
+
+
 def evict_dead_sessions(memo: dict) -> None:
     """Drop memo entries whose keying session has been stopped. Keys are
-    (session, ...) tuples; cheap (memo stays small: tables × sf dirs)."""
+    (session, ...) tuples; cheap (memo stays small: tables × sf dirs).
+    Caller must hold _MEMO_LOCK when other threads may touch the memo."""
     dead = [k for k in memo if _session_stopped(k[0])]
     for k in dead:
         del memo[k]
@@ -72,12 +81,15 @@ def evict_dead_sessions(memo: dict) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cacheable = _cacheable(sf_dir)
     key = (spark, os.path.abspath(sf_dir), name)
-    if cacheable and key in _MEMO:
-        return _MEMO[key]
+    if cacheable:
+        with _MEMO_LOCK:
+            if key in _MEMO:
+                return _MEMO[key]
     df = _load_table_uncached(spark, sf_dir, name)
     if cacheable:
-        evict_dead_sessions(_MEMO)
-        _MEMO[key] = df
+        with _MEMO_LOCK:
+            evict_dead_sessions(_MEMO)
+            _MEMO[key] = df
     return df
 
 
