@@ -40,6 +40,14 @@ from orc_spark.sources.tables import evict_dead_sessions
 # ids the builder created — empty for plain uncheckpointed plans)
 _MEMO: dict = {}
 
+# Per-key in-flight locks (r13 ADVICE): without them two sweep threads that
+# miss concurrently both run build(), and the `before` persistentRDDs
+# snapshot taken outside any lock can attribute the OTHER builder's
+# checkpoint ids to this entry — a later cleanup then spuriously fails the
+# id revalidation (silent duplicate 240M-row rebuilds; correctness was never
+# at risk). One lock per memo key serializes build + id attribution.
+_BUILD_LOCKS: dict = {}
+
 # Dirs whose contents never change after creation — the ONLY paths the memo
 # may serve. Shared with load_table's plan memo (tables.CACHEABLE_PREFIXES
 # is the single source of truth — the SAME list object, so an opt-in there
@@ -66,26 +74,46 @@ def memo_subplan(
 ) -> DataFrame:
     """Return ``build()``, memoized per (session, sf_dir, tag) when sf_dir
     is immutable driver testdata; always rebuilt otherwise."""
+    from orc_spark.sources.tables import _MEMO_LOCK, _cacheable
+
     sf_abs = os.path.abspath(sf_dir)
-    if not sf_abs.startswith(tuple(CACHEABLE_PREFIXES)):
+    if not _cacheable(sf_abs):
         return build()
     key = (spark, sf_abs, tag)
-    from orc_spark.sources.tables import _MEMO_LOCK
+
+    def _lookup():
+        """Return the memoized frame iff its checkpoint ids are still live.
+        Caller holds _MEMO_LOCK."""
+        hit = _MEMO.get(key)
+        if hit is None:
+            return None
+        df, ids = hit
+        if ids <= _persistent_ids(spark):
+            return df
+        # an external cleaner dropped the checkpoint blocks — the frame
+        # is unusable (truncated lineage), rebuild from scratch
+        del _MEMO[key]
+        return None
 
     with _MEMO_LOCK:  # dict bookkeeping only; build() runs outside it
-        hit = _MEMO.get(key)
-        if hit is not None:
-            df, ids = hit
-            if ids <= _persistent_ids(spark):
-                return df
-            # an external cleaner dropped the checkpoint blocks — the frame
-            # is unusable (truncated lineage), rebuild from scratch
-            del _MEMO[key]
+        df = _lookup()
+        if df is not None:
+            return df
         evict_dead_sessions(_MEMO)
-    before = _persistent_ids(spark)
-    df = build()
-    with _MEMO_LOCK:
-        _MEMO[key] = (df, frozenset(_persistent_ids(spark) - before))
+        evict_dead_sessions(_BUILD_LOCKS)  # same (session, ...) key shape
+        build_lock = _BUILD_LOCKS.setdefault(key, __import__("threading").Lock())
+    # Serialize the build per key: the thread that wins runs build() with an
+    # exact `before` snapshot (no concurrent builder for THIS key can leak
+    # its ids in); losers re-check the memo and return the winner's frame.
+    with build_lock:
+        with _MEMO_LOCK:
+            df = _lookup()
+            if df is not None:
+                return df
+            before = _persistent_ids(spark)
+        df = build()
+        with _MEMO_LOCK:
+            _MEMO[key] = (df, frozenset(_persistent_ids(spark) - before))
     return df
 
 

@@ -44,42 +44,20 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # r13 head, per VERDICT r12 directive 1 (exactly 50 slots) — the
-    # mechanical prefix-take of the r12 deferred list, which was already
+    # r14 head, per VERDICT r13 directive 1 (exactly 50 slots) — the
+    # mechanical prefix-take of the r13 deferred list, which was already
     # staleness-ordered:
-    # (a) the 19 r09-stale queries (scripts/freshness.py --stale-only at
+    # (a) the 16 r10-stale queries (scripts/freshness.py --stale-only at
     #     round start) — after this round no query's newest green row may
-    #     be older than r10:
-    "cdc_pit_lookup", "r21_null_semantics",
-    "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
-    "gr_kcore", "st_token_bucket", "st_bursts", "dd_embcos", "dd_cluster",
-    "dd_keepbest", "tx_fingerprint", "dp_profile",
-    "tx_gopher_quality", "ts_m4", "sk_theta_ops",
-    "dd_minhash_quality",
-    "cu_anneal_mixture",
-    # (b) the 31 oldest r10-greens (prefix of the r12 deferred list's r10
-    #     section):
-    "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
-    "gr_bfs", "gr_linkpred", "ts_theilsen", "dd_semdedup", "io_compaction",
-    "tx_zipf", "tx_hashclf", "gr_label_prop", "ev_feature_snapshot",
-    "dd_substring", "dq_referential", "cu_corpus_report",
-    "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
-    "dd_simhash_pairs",
-    "ann_topk", "ann_ivf", "ann_bruteforce_fast", "approx_sketches",
-    "dp_sample", "dp_stratified", "mm_frame_sample", "r4b_cube",
-    "r5c_rank_battery", "rj_range_join", "sk_hll_merge",
-]
-_DEFERRED_LAST = [
-    # Tier 2 proper, staleness-ordered so the r14 head is again a prefix:
-    # the 16 remaining r10 greens (oldest first):
+    #     be older than r11:
     "sk_salted_agg",
     "aj_asof_join", "ts_medfilt", "ts_gradient", "ts_runstats",
     "ts_groupmeans", "ts_deadband",
     "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
     "ts_resample", "r8_tumbling", "r8b_sliding",
     "r8c_sessions", "tr_hier_rollup",
-    # r11 head greens, in r11 head order minus the 4 promoted into the
-    # r12 head as changed code:
+    # (b) the 34 oldest r11-greens (prefix of the r13 deferred list's r11
+    #     section, r11 head order):
     "ts_autocorr", "ev_funnel_windowed",
     "sk_histq", "r11_stats_agg", "ts_welch", "ts_welch_p",
     "ts_e2e_report", "tx_redact", "sk_countmin", "dq_expectations",
@@ -91,12 +69,16 @@ _DEFERRED_LAST = [
     "r7b_dates", "r7c_json_map", "r9_scalar_subquery", "r10_outer_hist",
     "r12_unpivot", "r_pivot",
     "tx_langid", "tx_quality", "tx_tokens",
-    "st_ahrs_replay", "st_pid_replay", "st_imu_pipeline", "st_ewma",
+    "st_ahrs_replay",
+]
+_DEFERRED_LAST = [
+    # Tier 2 proper, staleness-ordered so the r15 head is again a prefix:
+    # the 12 remaining r11 greens (r11 head order):
+    "st_pid_replay", "st_imu_pipeline", "st_ewma",
     "st_kalman",
     "mm_image_features", "sk_bloom", "cu_decontaminate", "cu_pack",
     "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
-    # r12 head greens (the freshest rows in the registry), in r12 head
-    # order:
+    # r12 head greens, in r12 head order:
     "dd_ngram_jaccard", "ann_recall_eval", "ann_srp_pairs", "dq_drift",
     "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
     "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
@@ -112,6 +94,24 @@ _DEFERRED_LAST = [
     "r18_returned_items", "r19_promo_share", "r20_bracket_revenue",
     "st_holt", "ev_rfm", "dq_freshness", "ev_concurrency", "ts_seasonal",
     "mb_rules", "ev_survival",
+    # r13 head greens (the freshest rows in the registry), in r13 head
+    # order:
+    "cdc_pit_lookup", "r21_null_semantics",
+    "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
+    "gr_kcore", "st_token_bucket", "st_bursts", "dd_embcos", "dd_cluster",
+    "dd_keepbest", "tx_fingerprint", "dp_profile",
+    "tx_gopher_quality", "ts_m4", "sk_theta_ops",
+    "dd_minhash_quality",
+    "cu_anneal_mixture",
+    "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
+    "gr_bfs", "gr_linkpred", "ts_theilsen", "dd_semdedup", "io_compaction",
+    "tx_zipf", "tx_hashclf", "gr_label_prop", "ev_feature_snapshot",
+    "dd_substring", "dq_referential", "cu_corpus_report",
+    "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
+    "dd_simhash_pairs",
+    "ann_topk", "ann_ivf", "ann_bruteforce_fast", "approx_sketches",
+    "dp_sample", "dp_stratified", "mm_frame_sample", "r4b_cube",
+    "r5c_rank_battery", "rj_range_join", "sk_hll_merge",
 ]
 
 

@@ -48,7 +48,12 @@ CACHEABLE_PREFIXES: list[str] = ["/root/testdata"]
 
 
 def _cacheable(path: str) -> bool:
-    return os.path.abspath(path).startswith(tuple(CACHEABLE_PREFIXES))
+    # Prefix match on path-separator boundaries only: a sibling dir sharing
+    # a registered prefix (/tmp/orc_dense2 next to /tmp/orc_dense) must NOT
+    # inherit immutability — it may be rewritten between runs.
+    p = os.path.abspath(path)
+    return any(p == c or p.startswith(c.rstrip(os.sep) + os.sep)
+               for c in CACHEABLE_PREFIXES)
 
 
 def _session_stopped(spark: SparkSession) -> bool:
@@ -108,8 +113,10 @@ def table_rowcount(sf_dir: str, name: str) -> int:
     """Exact row count of a testdata table from parquet footer metadata."""
     path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
     cacheable = _cacheable(path)
-    if cacheable and path in _COUNT_MEMO:
-        return _COUNT_MEMO[path]
+    if cacheable:
+        with _MEMO_LOCK:  # match the file's locking discipline (r13 verdict)
+            if path in _COUNT_MEMO:
+                return _COUNT_MEMO[path]
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
@@ -121,7 +128,8 @@ def table_rowcount(sf_dir: str, name: str) -> int:
     else:
         n = pq.read_metadata(path).num_rows
     if cacheable:
-        _COUNT_MEMO[path] = n
+        with _MEMO_LOCK:
+            _COUNT_MEMO[path] = n
     return n
 
 

@@ -51,10 +51,13 @@ def _sorted_rows(df) -> list[tuple]:
 
 def main() -> None:
     dense = sys.argv[1] if len(sys.argv) > 1 else "/tmp/orc_dense"
-    if not os.path.isdir(dense):
-        from make_dense import make_dense
+    # Unconditional: make_dense self-skips when the expected row counts
+    # already match, and REGENERATES a partially-written dir left by an
+    # interrupted run (r13 ADVICE — an isdir() gate consumed such dirs
+    # as-is and opted them into the plan memo).
+    from make_dense import make_dense
 
-        make_dense(dense)
+    make_dense(dense)
     # the dense dir is immutable once generated — opt in to the subplan
     # memo so the 240M-row edge build runs ONCE per session, not once per
     # query per path (same contract as /root/testdata; plan_memo.py docs)

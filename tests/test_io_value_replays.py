@@ -30,9 +30,14 @@ def _half_up(v: np.ndarray) -> np.ndarray:
     # mismatch within one ulp of a .5 boundary (r12 ADVICE).
     from decimal import ROUND_HALF_UP, Decimal
 
+    # Non-finite values propagate unchanged (Decimal('nan').quantize raises
+    # InvalidOperation; a NaN input should surface as a value mismatch in
+    # the caller's assert, not a crash here — r13 ADVICE).
     return np.array(
         [
             float(Decimal(repr(float(x))).quantize(Decimal("1"), ROUND_HALF_UP))
+            if np.isfinite(x)
+            else float(x)
             for x in np.asarray(v).ravel()
         ]
     ).reshape(np.shape(v))
