@@ -42,18 +42,45 @@ def _to_matrix(pdf: pd.DataFrame, col: str) -> np.ndarray:
     return np.vstack(pdf[col].map(np.asarray).to_numpy()).astype(np.float64)
 
 
+def _indexable_rows(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(keep_mask, unit_rows): rows whose L2 norm is ZERO or NON-FINITE are
+    NOT INDEXABLE — they have no direction, so cosine against them is
+    undefined. Masking BEFORE the divide guarantees no NaN/inf ever enters
+    a kernel (r14, closing the r13 RuntimeWarning: zero-norm vectors used
+    to normalize to NaN and survive only by top-k tie-break accident).
+    A norm that is NaN/inf also covers NaN/inf ELEMENTS (the norm of any
+    non-finite vector is non-finite), so one check suffices."""
+    norms = np.linalg.norm(m, axis=1)
+    ok = np.isfinite(norms) & (norms > 0)
+    return ok, m[ok] / norms[ok, None]
+
+
+def _drop_unindexable_pdf(queries_pdf: pd.DataFrame, vec_col: str) -> pd.DataFrame:
+    """Driver-side query set: drop NULL, zero-norm and non-finite vectors
+    (NOT INDEXABLE / NOT SEARCHABLE — same contract as the corpus side)."""
+    qp = queries_pdf[queries_pdf[vec_col].notna()].reset_index(drop=True)
+    if len(qp) == 0:
+        return qp
+    ok, _ = _indexable_rows(_to_matrix(qp, vec_col))
+    return qp[ok].reset_index(drop=True)
+
+
 def _drop_null_vectors(
     corpus: DataFrame, queries_pdf: pd.DataFrame, vec_col: str
 ) -> tuple[DataFrame, pd.DataFrame]:
-    """NULL embedding = NOT INDEXABLE: excluded from both the corpus scan
-    and the query set. A failed encoder emits exactly this shape (r13
-    NULL-heavy robustness sweep: np.vstack over a None crashed the driver
-    before any Spark job; a None inside an Arrow batch crashed the worker).
-    At /root/testdata embeddings are never NULL, so this is a no-op filter
-    there and oracle parity is unchanged."""
+    """NULL / zero-norm / non-finite embedding = NOT INDEXABLE: excluded
+    from both the corpus and the query set. A failed encoder emits exactly
+    these shapes (r13 NULL-heavy sweep: np.vstack over a None crashed the
+    driver; r13 constant sweep: all-zero vectors normalized to NaN with a
+    RuntimeWarning). Corpus side: the NULL predicate is pushed to the scan
+    here; the zero/non-finite-norm mask is applied inside each Arrow kernel
+    via _indexable_rows — the norms are computed there anyway, so the mask
+    is free and needs no slow-path higher-order-function plan predicate.
+    At /root/testdata embeddings are never NULL/zero/non-finite, so all of
+    this is a no-op there and oracle parity is unchanged."""
     return (
         corpus.where(F.col(vec_col).isNotNull()),
-        queries_pdf[queries_pdf[vec_col].notna()].reset_index(drop=True),
+        _drop_unindexable_pdf(queries_pdf, vec_col),
     )
 
 
@@ -98,9 +125,10 @@ def brute_force_topk(
         for pdf in it:
             if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy()
-            m = _to_matrix(pdf, vec_col)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            ok, m = _indexable_rows(_to_matrix(pdf, vec_col))
+            if not ok.any():
+                continue
+            ids = pdf[id_col].to_numpy()[ok]
             sims = qm @ m.T  # (n_q, n_corpus_batch)
             if round_to is not None:
                 sims = np.round(sims, round_to)
@@ -145,8 +173,11 @@ def ivf_build_centroids(
         .limit(20000)
         .toPandas()
     )
-    m = _to_matrix(sample, vec_col)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    if len(sample) == 0:
+        return pd.DataFrame({"centroid_id": [], "centroid": []})
+    _, m = _indexable_rows(_to_matrix(sample, vec_col))
+    if m.shape[0] == 0:  # no indexable vectors (e.g. all-zero corpus)
+        return pd.DataFrame({"centroid_id": [], "centroid": []})
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(m.shape[0], size=min(n_centroids, m.shape[0]), replace=False)]
     for _ in range(n_iter):
@@ -155,7 +186,9 @@ def ivf_build_centroids(
             mask = assign == c
             if mask.any():
                 v = m[mask].mean(axis=0)
-                cent[c] = v / np.linalg.norm(v)
+                nv = np.linalg.norm(v)
+                if nv > 0:  # antipodal members can mean to zero: keep old
+                    cent[c] = v / nv
     return pd.DataFrame(
         {"centroid_id": np.arange(cent.shape[0]), "centroid": list(cent)}
     )
@@ -168,9 +201,9 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Narrow map: nearest centroid per vector (broadcast centroid matrix).
-    NULL vectors are not indexable and never enter the assignment table."""
+    NULL / zero-norm / non-finite vectors are not indexable and never enter
+    the assignment table."""
     corpus = corpus.where(F.col(vec_col).isNotNull())
-    cm = np.vstack(centroids["centroid"].to_numpy())
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -178,14 +211,18 @@ def ivf_assign(
             T.StructField("centroid_id", T.IntegerType()),
         ]
     )
+    if len(centroids) == 0:  # degenerate corpus: nothing was indexable
+        return corpus.sparkSession.createDataFrame([], schema)
+    cm = np.vstack(centroids["centroid"].to_numpy())
 
     def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if pdf.empty:
                 continue
-            m = _to_matrix(pdf, vec_col)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            pdf = pdf[[id_col, vec_col]].copy()
+            ok, m = _indexable_rows(_to_matrix(pdf, vec_col))
+            if not ok.any():
+                continue
+            pdf = pdf[[id_col, vec_col]][ok].copy()
             pdf["centroid_id"] = np.argmax(m @ cm.T, axis=1).astype(np.int32)
             yield pdf
 
@@ -209,6 +246,8 @@ def ivf_topk(
     if len(queries_pdf) == 0:
         return _empty_topk(corpus, k)
     centroids = ivf_build_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    if len(centroids) == 0:  # degenerate corpus: nothing was indexable
+        return _empty_topk(corpus, k)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     cm = np.vstack(centroids["centroid"].to_numpy())
     qm = _to_matrix(queries_pdf, vec_col)
@@ -302,15 +341,14 @@ def ivf_query_index(
     assignment table (the isin predicate on the partition column prunes at
     the directory level), exact-rerank per query. Same result as the inline
     ivf_topk for the same centroids."""
-    queries_pdf = queries_pdf[queries_pdf[vec_col].notna()].reset_index(
-        drop=True
-    )  # NULL query vector = not searchable (r13 NULL-heavy sweep)
+    # NULL / zero-norm / non-finite query vector = not searchable
+    queries_pdf = _drop_unindexable_pdf(queries_pdf, vec_col)
     cent = (
         spark.read.parquet(f"{path}/centroids")
         .orderBy("centroid_id")
         .toPandas()
     )
-    if len(queries_pdf) == 0:
+    if len(queries_pdf) == 0 or len(cent) == 0:
         w0 = Window.partitionBy("query_id").orderBy(
             F.desc("cos_sim"), F.asc("neighbor_id")
         )
@@ -378,7 +416,9 @@ def pq_train_codebooks(
 ) -> np.ndarray:
     """Train PQ codebooks: split the (normalized) vector into `m` subspaces
     and run Lloyd's k-means with `ksub` centroids in each — the classic
-    Jégou et al. product-quantization compressor. Returns (m, ksub, dsub).
+    Jégou et al. product-quantization compressor. Returns (m, ksub, dsub),
+    or None when the corpus has no indexable vectors (all NULL / zero-norm
+    / non-finite — a degenerate corpus cannot train codebooks).
     Training runs on a bounded driver-side sample (codebooks are tiny and
     broadcast); at 100 TB the sample stays 20k rows like the IVF trainer."""
     sample = (
@@ -387,8 +427,11 @@ def pq_train_codebooks(
         .limit(20000)
         .toPandas()
     )
-    mtx = _to_matrix(sample, vec_col)
-    mtx = mtx / np.linalg.norm(mtx, axis=1, keepdims=True)
+    if len(sample) == 0:
+        return None
+    _, mtx = _indexable_rows(_to_matrix(sample, vec_col))
+    if mtx.shape[0] == 0:  # no indexable vectors (e.g. all-zero corpus)
+        return None
     d = mtx.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     dsub = d // m
@@ -435,15 +478,16 @@ def pq_encode(
         for pdf in it:
             if pdf.empty:
                 continue
-            mtx = _to_matrix(pdf, vec_col)
-            mtx = mtx / np.linalg.norm(mtx, axis=1, keepdims=True)
+            ok, mtx = _indexable_rows(_to_matrix(pdf, vec_col))
+            if not ok.any():
+                continue
             codes = np.empty((mtx.shape[0], m), dtype=np.int32)
             for sub in range(m):
                 x = mtx[:, sub * dsub : (sub + 1) * dsub]
                 d2 = ((x[:, None, :] - codebooks[sub][None, :, :]) ** 2).sum(axis=2)
                 codes[:, sub] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+                {id_col: pdf[id_col].to_numpy()[ok], "codes": list(codes)}
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(part, schema)
@@ -470,6 +514,8 @@ def pq_topk(
     if len(queries_pdf) == 0:
         return _empty_topk(corpus, k)
     books = pq_train_codebooks(corpus, m=m, ksub=ksub, vec_col=vec_col)
+    if books is None:  # degenerate corpus: nothing was indexable
+        return _empty_topk(corpus, k)
     encoded = pq_encode(corpus, books, id_col, vec_col)
     qm = _to_matrix(queries_pdf, vec_col)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)

@@ -656,20 +656,37 @@ def _block_grid_tagged(emb: DataFrame, nb: int, keys: list[str]) -> DataFrame:
 def _cell_cos_pairs(pdf, tau: float):
     """One grid cell's qualifying cosine pairs: (va, vb, sims) arrays with
     sims rounded to 6, pairs canonical (va < vb), self-pairs excluded.
-    Returns None for an empty side."""
+    Returns None for an empty side.
+
+    NULL / zero-norm / non-finite embeddings are NOT COMPARABLE and are
+    masked here, inside the kernel where the norms are computed anyway
+    (r14; previously zero norms divided to NaN with a RuntimeWarning and
+    survived only because NaN fails the >= tau filter). The oracles agree
+    by construction: a NULL array unnests to no rows, and a zero/non-finite
+    norm row is excluded by the norms-CTE indexability predicate."""
     import numpy as np
+
+    def _side(rows):
+        rows = rows[rows["embedding"].notna()]
+        if rows.empty:
+            return rows["vec_id"].to_numpy(), np.zeros((0, 0))
+        ids = rows["vec_id"].to_numpy()
+        m = np.vstack(rows["embedding"].map(np.asarray).to_numpy()).astype(
+            np.float64
+        )
+        norms = np.linalg.norm(m, axis=1)
+        ok = np.isfinite(norms) & (norms > 0)
+        return ids[ok], m[ok] / norms[ok, None]
 
     a = pdf[pdf["side"] == "a"]
     diagonal = bool(pdf["ba"].iloc[0] == pdf["bb"].iloc[0])
     b = a if diagonal else pdf[pdf["side"] == "b"]
     if a.empty or b.empty:
         return None
-    aid = a["vec_id"].to_numpy()
-    bid = b["vec_id"].to_numpy()
-    am = np.vstack(a["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
-    bm = np.vstack(b["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
-    am = am / np.linalg.norm(am, axis=1, keepdims=True)
-    bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+    aid, am = _side(a)
+    bid, bm = (aid, am) if diagonal else _side(b)
+    if aid.size == 0 or bid.size == 0:
+        return None
     sims = np.round(am @ bm.T, 6)
     ri, ci = np.where(sims >= tau)
     if diagonal:
@@ -742,8 +759,15 @@ flat AS (
                unnest(range(1, len(embedding) + 1)) AS i
         FROM embeddings)
 ),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id)
+norms AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id
+  HAVING isfinite(sum(v * v)) AND sum(v * v) > 0
+)
 """
+# norms carries the indexability predicate (r14): zero-norm / non-finite
+# vectors are NOT COMPARABLE, so every consumer's inner join on norms drops
+# pairs touching them — mirroring the Spark kernels' _indexable mask.
+# No-op on real testdata (embeddings there are finite and non-zero).
 
 DD_EMBCOS_SQL = f"""
 WITH {_COS_CORE_SQL},
@@ -873,6 +897,7 @@ WITH flat AS (
 norms AS (
   SELECT vec_id, any_value(label) AS label, sqrt(sum(v * v)) AS nrm
   FROM flat GROUP BY vec_id
+  HAVING isfinite(sum(v * v)) AND sum(v * v) > 0
 ),
 dots AS (
   SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS dot
@@ -994,10 +1019,21 @@ def _srp_pairs(
         for pdf in it:
             if pdf.empty:
                 continue
-            n = len(pdf)
             m = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(
                 np.float64
             )
+            # zero-norm / non-finite vectors are NOT SKETCHABLE (r14): they
+            # have no direction, their sign bits are meaningless, and on a
+            # degenerate corpus they all collapse into ONE band bucket whose
+            # self-join is O(n²). Mirrored in the oracle's norms-CTE
+            # indexability predicate. Norms computed here, so the mask is
+            # free; np.isfinite(norm) covers NaN/inf elements too.
+            norms = np.linalg.norm(m, axis=1)
+            ok = np.isfinite(norms) & (norms > 0)
+            if not ok.any():
+                continue
+            m = m[ok]
+            n = int(ok.sum())
             # floor(v·1000) in float64 == the oracle's floor(CAST … * 1000)
             qm = np.floor(m * SRP_QUANT).astype(np.int64)
             bits = (qm @ signs.T >= 0).astype(np.int64)  # (n, planes)
@@ -1005,7 +1041,7 @@ def _srp_pairs(
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(
-                        pdf["vec_id"].to_numpy(), SRP_N_BANDS
+                        pdf["vec_id"].to_numpy()[ok], SRP_N_BANDS
                     ),
                     "band_idx": np.tile(
                         np.arange(SRP_N_BANDS, dtype=np.int32), n
@@ -1105,9 +1141,16 @@ signs AS (
   FROM (SELECT unnest(range(0, {SRP_PLANES})) AS p),
        (SELECT unnest(range(0, {SRP_EMB_DIM})) AS i)
 ),
+-- indexability predicate (r14): zero-norm / non-finite vectors are not
+-- sketchable, mirroring the Spark kernel's mask; no-op on real testdata
+norms AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id
+  HAVING isfinite(sum(v * v)) AND sum(v * v) > 0
+),
 dots AS (
   SELECT f.vec_id, g.p, sum(f.qv * g.s) AS d
   FROM flat f JOIN signs g ON g.i = f.i
+  WHERE f.vec_id IN (SELECT vec_id FROM norms)
   GROUP BY 1, 2
 ),
 bands AS (
@@ -1124,7 +1167,6 @@ cand AS (
    AND a.vec_id < b.vec_id
   {cand_probe_filter}
 ),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
 pair_dots AS (
   SELECT c.vec_a, c.vec_b, sum(fa.v * fb.v) AS dot
   FROM cand c
@@ -1337,7 +1379,12 @@ def _query_matrix(spark: SparkSession, sf: str):
         return np.array([], dtype=np.int64), np.zeros((0, 0))
     ids = pdf["vec_id"].to_numpy()
     m = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    # zero-norm / non-finite query vectors are NOT SEARCHABLE (r14): masked
+    # before the divide so no NaN enters the broadcast matrix. The oracle
+    # agrees: its scored CTE inner-joins the indexability-filtered norms.
+    norms = np.linalg.norm(m, axis=1)
+    ok = np.isfinite(norms) & (norms > 0)
+    ids, m = ids[ok], m[ok] / norms[ok, None]
     order = np.argsort(ids)
     return ids[order], m[order]
 
@@ -1367,9 +1414,14 @@ def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in it:
             if pdf.empty or qm.shape[0] == 0:
                 continue
-            rid = pdf["vec_id"].to_numpy()
             rm = np.vstack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
-            rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+            # zero-norm / non-finite corpus rows are NOT INDEXABLE (r14)
+            rnorm = np.linalg.norm(rm, axis=1)
+            rok = np.isfinite(rnorm) & (rnorm > 0)
+            if not rok.any():
+                continue
+            rid = pdf["vec_id"].to_numpy()[rok]
+            rm = rm[rok] / rnorm[rok, None]
             sims = np.round(qm @ rm.T, 6)  # (n_q, block)
             rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
             # +8 headroom so rounded-value ties at the k-th place survive the

@@ -189,6 +189,14 @@ ANN_FAST_K = 10
 ANN_N_Q = 8
 IVF_RECALL_MIN = 0.6  # measured ≥ 0.8 at nprobe=12 across all sf; 0.2 margin
 
+# Indexability predicate (r14), mirroring the Spark-side NOT-INDEXABLE
+# contract (operators/similarity.py): NULL, zero-norm and non-finite
+# vectors are excluded from query sets and corpora. No-op on real testdata.
+_EMB_SSQ = "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))"
+EMB_INDEXABLE_SQL = (
+    f"embedding IS NOT NULL AND isfinite({_EMB_SSQ}) AND {_EMB_SSQ} > 0"
+)
+
 
 def ann_bruteforce_fast(spark: SparkSession, sf: str) -> DataFrame:
     """Exact top-k through the production streamed-matmul path — now
@@ -208,7 +216,10 @@ WITH flat AS (
                unnest(range(1, len(embedding) + 1)) AS i
         FROM embeddings)
 ),
-norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id),
+norms AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY vec_id
+  HAVING isfinite(sum(v * v)) AND sum(v * v) > 0
+),
 dots AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
   FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
@@ -269,7 +280,7 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 ANN_IVF_SQL = f"""
 SELECT vec_id AS query_id, TRUE AS recall_ok
-FROM embeddings WHERE vec_id < {ANN_N_Q}
+FROM embeddings WHERE vec_id < {ANN_N_Q} AND {EMB_INDEXABLE_SQL}
 """
 
 
@@ -342,7 +353,7 @@ def ann_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
 
 ANN_IVF_INDEX_SQL = f"""
 SELECT vec_id AS query_id, TRUE AS recall_ok
-FROM embeddings WHERE vec_id < {ANN_N_Q}
+FROM embeddings WHERE vec_id < {ANN_N_Q} AND {EMB_INDEXABLE_SQL}
 """
 
 
@@ -405,7 +416,7 @@ def ann_pq(spark: SparkSession, sf: str) -> DataFrame:
 
 ANN_PQ_SQL = f"""
 SELECT vec_id AS query_id, TRUE AS recall_ok
-FROM embeddings WHERE vec_id < {ANN_N_Q}
+FROM embeddings WHERE vec_id < {ANN_N_Q} AND {EMB_INDEXABLE_SQL}
 """
 
 

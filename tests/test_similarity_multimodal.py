@@ -484,3 +484,71 @@ def test_ann_ivf_and_index_match_planted_structure_replay(spark, tmp_path):
     assert {
         q: [ns[i] for i in sorted(ns)] for q, ns in got_q.items()
     } == want_ivf
+
+
+def test_zero_norm_and_nonfinite_vectors_not_indexable(spark, tmp_path):
+    """r14 contract (r13 VERDICT directive 4): NULL, zero-norm and
+    non-finite vectors are NOT INDEXABLE — dropped at every similarity/ANN
+    entry point BEFORE any normalization, so no NaN ever enters a kernel
+    and no RuntimeWarning is emitted driver-side (zero-norm queries used to
+    normalize to NaN and survive only by top-k tie-break accident)."""
+    import os
+    import warnings
+
+    rng = np.random.default_rng(7)
+    n, dim = 20, 64
+    vecs = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(n)]
+    bad = {
+        100: [0.0] * dim,                       # zero norm
+        101: [float("nan")] * 2 + [1.0] * (dim - 2),  # NaN elements
+        102: [float("inf")] + [1.0] * (dim - 1),      # inf element
+    }
+    rows += [(vid, v, 0) for vid, v in bad.items()]
+    rows.append((103, None, 0))                  # NULL embedding
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "embeddings.parquet")
+    )
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    queries = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 100, 101, 103],
+            "embedding": [
+                [float(x) for x in vecs[0]],
+                [float(x) for x in vecs[1]],
+                bad[100],
+                bad[101],
+                None,
+            ],
+        }
+    )
+
+    from orc_spark.operators.similarity import pq_topk
+    from orc_spark.plans.dedup_q import ann_topk, dd_embcos
+
+    with warnings.catch_warnings():
+        # driver-side guarantee: masking happens BEFORE the divide
+        warnings.simplefilter("error", RuntimeWarning)
+        results = {
+            "brute": brute_force_topk(emb, queries, k=5).toPandas(),
+            "ivf": ivf_topk(
+                spark, emb, queries, k=5, n_centroids=4, nprobe=4
+            ).toPandas(),
+            "pq": pq_topk(
+                spark, emb, queries, k=5, m=8, ksub=4, r_cand=16
+            ).toPandas(),
+            "plan_topk": ann_topk(spark, str(tmp_path)).toPandas(),
+        }
+    unindexable = {100, 101, 102, 103}
+    for name, pdf in results.items():
+        assert not pdf.empty, name  # the healthy queries still answer
+        assert not (set(pdf["query_id"]) & unindexable), name
+        assert not (set(pdf["neighbor_id"]) & unindexable), name
+        assert np.isfinite(pdf["cos_sim"].to_numpy()).all(), name
+
+    pairs = dd_embcos(spark, str(tmp_path)).toPandas()
+    touched = set(pairs["vec_a"]) | set(pairs["vec_b"])
+    assert not (touched & unindexable)
+    assert np.isfinite(pairs["cos_sim"].to_numpy()).all()
