@@ -27,6 +27,27 @@ from orc_spark.plans import registry
 HEADLINE: list[str] | None = None  # None → all registry queries, sorted
 
 
+def infer_round() -> int:
+    """Current build round for artifact naming: $SPARK_GRAFT_ROUND if set,
+    else 1 + the highest BENCH_r{N}.json already recorded (the driver writes
+    BENCH_r{N} at round END, so during round N the max on disk is N-1).
+    Round-stamped artifacts exist because r13's sf1-anchor detail survived
+    only in git history after the driver's bench run overwrote
+    BENCH_DETAIL.json (VERDICT r13 "What's missing" #1)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def _warm_jvm(spark) -> None:
     """Compile the common physical paths once (whole-stage codegen for
     join/agg/window, the Arrow serializer for pandas stages) so per-query
@@ -437,6 +458,18 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(f"# full detail written to {detail_path}", file=sys.stderr)
+    if sf3_dir:
+        # three-anchor runs also write a ROUND-STAMPED copy of the full
+        # detail: BENCH_DETAIL.json is overwritten by the driver's own
+        # per-round bench run, which is how r13's sf1 slopes became
+        # recoverable only from git history (VERDICT r13 directive 2).
+        scale3_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_SCALE3_r{infer_round()}.json",
+        )
+        with open(scale3_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        print(f"# 3-anchor detail written to {scale3_path}", file=sys.stderr)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
     compact = {
         "metric": "headline_queries_total",

@@ -59,9 +59,13 @@ def tx_quality(spark: SparkSession, sf: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("double")
     n_punct = F.size(F.expr(r"regexp_extract_all(text, '[.,!?;:]', 0)")).cast("double")
     n_space = F.size(F.expr(r"regexp_extract_all(text, ' ', 0)")).cast("double")
-    mean_tok_len = (n_chars - n_space) / n_toks
-    stop_ratio = n_stop / n_toks
-    punct_ratio = n_punct / n_chars
+    # degenerate-text guards (r14 sweep): an EMPTY document has n_chars 0
+    # (punct_ratio would throw ANSI DIVIDE_BY_ZERO) — its ratios are
+    # undefined, NULL on both engines. n_toks is ≥ 1 by construction
+    # (split('') = ['']) but gets the same guard for symmetry.
+    mean_tok_len = (n_chars - n_space) / F.nullif(n_toks, F.lit(0.0))
+    stop_ratio = n_stop / F.nullif(n_toks, F.lit(0.0))
+    punct_ratio = n_punct / F.nullif(n_chars, F.lit(0.0))
     # simple composite score: longer docs with natural stopword density and
     # moderate token length score higher
     score = (
@@ -91,14 +95,14 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id,
-       round((n_chars - n_space) / n_toks, 6) AS mean_tok_len,
-       round(n_stop / n_toks, 6)              AS stop_ratio,
-       round(n_punct / n_chars, 6)            AS punct_ratio,
+       round((n_chars - n_space) / NULLIF(n_toks, 0), 6) AS mean_tok_len,
+       round(n_stop / NULLIF(n_toks, 0), 6)              AS stop_ratio,
+       round(n_punct / NULLIF(n_chars, 0), 6)            AS punct_ratio,
        round(
          least(n_toks / 100.0, 1.0) * 0.4
-         + least(n_stop / n_toks * 5.0, 1.0) * 0.4
-         + CASE WHEN (n_chars - n_space) / n_toks >= 3.0
-                 AND (n_chars - n_space) / n_toks <= 10.0
+         + least(n_stop / NULLIF(n_toks, 0) * 5.0, 1.0) * 0.4
+         + CASE WHEN (n_chars - n_space) / NULLIF(n_toks, 0) >= 3.0
+                 AND (n_chars - n_space) / NULLIF(n_toks, 0) <= 10.0
                 THEN 0.2 ELSE 0.0 END, 6)     AS quality_score
 FROM base
 """

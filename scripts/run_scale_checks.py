@@ -18,17 +18,23 @@ budget and the judge's "1 documented skip" narrative both stay intact.
 Run it whenever a graph/cluster/dedup kernel or a local-finish cap changes.
 
 Usage: python scripts/run_scale_checks.py [--skip-dense]
-Exits non-zero if ANY checker fails; prints a one-line verdict per step.
+Exits non-zero if ANY checker fails; prints a one-line verdict per step AND
+writes a round-stamped machine-readable artifact SCALE_CHECKS_r{N}.json
+(per-step status, wall time, output tail with the edge counts / slopes) so
+the evidence survives in-tree instead of only on a terminal (VERDICT r13
+directive 2).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
 
 STEPS = [
     ("make_sf1", ["make_sf1.py"]),
@@ -40,28 +46,70 @@ STEPS = [
 ]
 
 
+def _run_step(cmd: list[str]) -> tuple[int, str]:
+    """Run a checker, streaming its output live while capturing it for the
+    artifact (a 25-min dense check with silent capture would look hung)."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(HERE, cmd[0])] + cmd[1:],
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    lines: list[str] = []
+    assert proc.stdout is not None
+    for line in proc.stdout:
+        print(line, end="", flush=True)
+        lines.append(line)
+    proc.wait()
+    return proc.returncode, "".join(lines)
+
+
 def main() -> None:
     skip_dense = "--skip-dense" in sys.argv
-    results: dict[str, str] = {}
+    results: dict[str, dict] = {}
     for name, cmd in STEPS:
         if skip_dense and "dense" in name:
-            results[name] = "SKIPPED (--skip-dense)"
+            results[name] = {"status": "SKIPPED (--skip-dense)"}
             continue
         t0 = time.perf_counter()
-        proc = subprocess.run(
-            [sys.executable, os.path.join(HERE, cmd[0])] + cmd[1:],
-            cwd=os.path.dirname(HERE),
-        )
+        rc, out = _run_step(cmd)
         dt = time.perf_counter() - t0
-        results[name] = f"{'OK' if proc.returncode == 0 else 'FAILED'} ({dt:.0f}s)"
-        print(f"== {name}: {results[name]}", flush=True)
-        if proc.returncode != 0 and name.startswith("make_"):
+        results[name] = {
+            "status": "OK" if rc == 0 else "FAILED",
+            "returncode": rc,
+            "secs": round(dt, 1),
+            # the checkers print their evidence (edge counts, slopes,
+            # per-query equalities) at the END of their output — keep the
+            # tail so the artifact is self-contained
+            "output_tail": out[-3000:],
+        }
+        print(f"== {name}: {results[name]['status']} ({dt:.0f}s)", flush=True)
+        if rc != 0 and name.startswith("make_"):
             print("replica generation failed; aborting dependent checks")
             break
-    print("\nSCALE CHECKS SUMMARY")
+    sys.path.insert(0, REPO)
+    from bench import infer_round
+
+    artifact = os.path.join(REPO, f"SCALE_CHECKS_r{infer_round()}.json")
+    with open(artifact, "w") as f:
+        json.dump(
+            {
+                "ran_at_unix": int(time.time()),
+                "skip_dense": skip_dense,
+                "steps": results,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"\nartifact written to {artifact}")
+    print("SCALE CHECKS SUMMARY")
     for name, r in results.items():
-        print(f"  {name}: {r}")
-    sys.exit(1 if any("FAILED" in r for r in results.values()) else 0)
+        print(f"  {name}: {r['status']} ({r.get('secs', 0)}s)")
+    sys.exit(
+        1 if any(r["status"] == "FAILED" for r in results.values()) else 0
+    )
 
 
 if __name__ == "__main__":

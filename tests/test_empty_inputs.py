@@ -216,3 +216,108 @@ def nullheavy_sf(spark, sf_small, tmp_path_factory):
 def test_every_query_survives_nullheavy_tables(spark, nullheavy_sf):
     fails = _sweep(spark, nullheavy_sf)
     assert not fails, fails
+
+
+@pytest.fixture(scope="module")
+def skew_sf(spark, sf_small, tmp_path_factory):
+    """Sixth degenerate class, part A (r14): EXTREME KEY SKEW. 99% of
+    lineitem rows land on ONE (orderkey, partkey, suppkey), 99% of orders
+    on one customer, 99% of events on one user with one event_type — the
+    hot-key shape behind every real-world skew incident (a default/test
+    account, a crawler, a null-ish sentinel key). Hot values are EXISTING
+    keys (min of each domain) so referential joins stay valid; the 1%
+    remainder keeps its original keys so group-cardinality > 1. Queries
+    must complete (a straggler is acceptable on 60k rows; a crash or an
+    ANSI overflow in a count/sum against a 10k-row group is not)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("skew_sf"))
+
+    def hot(df, col):
+        return df.agg(F.min(col)).collect()[0][0]
+
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(sf_small, f"{t}.parquet"))
+        if t == "lineitem":
+            sel = F.abs(F.xxhash64("l_orderkey", "l_linenumber", "l_partkey")) % 100 < 99
+            df = (
+                df.withColumn(
+                    "l_orderkey",
+                    F.when(sel, F.lit(hot(df, "l_orderkey"))).otherwise(F.col("l_orderkey")),
+                )
+                .withColumn(
+                    "l_partkey",
+                    F.when(sel, F.lit(hot(df, "l_partkey"))).otherwise(F.col("l_partkey")),
+                )
+                .withColumn(
+                    "l_suppkey",
+                    F.when(sel, F.lit(hot(df, "l_suppkey"))).otherwise(F.col("l_suppkey")),
+                )
+            )
+        elif t == "orders":
+            sel = F.abs(F.xxhash64("o_orderkey")) % 100 < 99
+            df = df.withColumn(
+                "o_custkey",
+                F.when(sel, F.lit(hot(df, "o_custkey"))).otherwise(F.col("o_custkey")),
+            )
+        elif t == "events":
+            sel = F.abs(F.xxhash64("event_id")) % 100 < 99
+            df = df.withColumn(
+                "user_id",
+                F.when(sel, F.lit(hot(df, "user_id"))).otherwise(F.col("user_id")),
+            ).withColumn(
+                "event_type",
+                F.when(sel, F.lit("click")).otherwise(F.col("event_type")),
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return _register_immutable(d)
+
+
+@pytest.mark.sweep
+def test_every_query_survives_extreme_key_skew(spark, skew_sf):
+    fails = _sweep(spark, skew_sf)
+    assert not fails, fails
+
+
+@pytest.fixture(scope="module")
+def degentext_sf(spark, sf_small, tmp_path_factory):
+    """Sixth degenerate class, part B (r14): DEGENERATE TEXT. Documents
+    cycle through empty string, whitespace-only, a single repeated char,
+    4-byte-unicode (astral emoji), and mixed multi-byte scripts — the
+    shapes that break gram builders (no grams / one gram repeated),
+    winnowing windows (shorter than K), langid stopword ratios (no words),
+    tokenizers (codepoint vs byte counting) and packers (zero-length
+    docs). n_chars is kept CONSISTENT with the new text (several plans
+    derive grids from it). Other tables untouched."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("degentext_sf"))
+    variants = [
+        "",
+        "   \t   \n   ",
+        "a" * 200,
+        "\U0001f600\U0001f680" * 40,
+        "é世界 café naïve " * 12,
+    ]
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(sf_small, f"{t}.parquet"))
+        if t == "documents":
+            txt = F.element_at(
+                F.array(*[F.lit(v) for v in variants]),
+                (F.col("doc_id") % len(variants) + 1).cast("int"),
+            )
+            df = df.withColumn("text", txt).withColumn(
+                "n_chars", F.length("text").cast("bigint")
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return _register_immutable(d)
+
+
+@pytest.mark.sweep
+def test_every_query_survives_degenerate_text(spark, degentext_sf):
+    fails = _sweep(spark, degentext_sf)
+    assert not fails, fails
