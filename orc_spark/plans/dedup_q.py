@@ -1320,6 +1320,7 @@ ranked AS (
            PARTITION BY label
            ORDER BY {h60_sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
   FROM embeddings
+  WHERE embedding IS NOT NULL  -- mirror the Spark probe set (r13 NULL sweep)
 ),
 probes AS (
   SELECT vec_id FROM ranked

@@ -363,8 +363,19 @@ def ev_funnel(spark: SparkSession, sf: str) -> DataFrame:
             F.count("t1").alias("n_viewed"),
             F.count("_t2").alias("n_clicked_after"),
             F.count("_t3").alias("n_purchased_after"),
-            F.round(
-                F.avg((F.col("_t3") - F.col("_t1")) / 1000000.0), 6
+            # Cross-engine-exact mean latency (r14, found by hypothesis): a
+            # float avg + round(.,6) lands on an exact half-microsecond
+            # whenever sum_us/count hits x.5 (e.g. 28745/2), and there
+            # Spark's HALF_UP(shortest-repr) disagrees with binary rounding.
+            # Instead: integer µs sum → one exactly-rounded double division
+            # → +0.5, floor (all IEEE-identical on both engines) → /1e6.
+            (
+                F.floor(
+                    F.sum(F.col("_t3") - F.col("_t1")).cast("double")
+                    / F.nullif(F.count("_t3").cast("double"), F.lit(0.0))
+                    + F.lit(0.5)
+                )
+                / 1000000.0
             ).alias("avg_view_to_purchase_s"),
         )
     )
@@ -390,7 +401,9 @@ t3 AS (
 SELECT count(t1.t1)                            AS n_viewed,
        count(t2.t2)                            AS n_clicked_after,
        count(t3.t3)                            AS n_purchased_after,
-       round(avg((t3.t3 - t3.t1) / CAST(1000000 AS DOUBLE)), 6) AS avg_view_to_purchase_s
+       CAST(floor(CAST(sum(t3.t3 - t3.t1) AS DOUBLE)
+                  / NULLIF(CAST(count(t3.t3) AS DOUBLE), 0) + 0.5) AS BIGINT)
+         / CAST(1000000 AS DOUBLE)             AS avg_view_to_purchase_s
 FROM t1
 LEFT JOIN t2 ON t2.user_id = t1.user_id
 LEFT JOIN t3 ON t3.user_id = t1.user_id
@@ -448,23 +461,35 @@ def ev_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
         # NULLIF guards (r11 degenerate sweep): an empty / viewless events
         # table makes both counts 0 — rates and mean latency are undefined
         # (NULL), never an ANSI DIVIDE_BY_ZERO.
-        F.round(
-            F.count("_t2").cast("double")
-            / F.nullif(F.count("t1").cast("double"), F.lit(0.0)),
-            6,
+        # Cross-engine-exact rounding to 6 decimals (r14, hypothesis found
+        # the boundary in the sibling ev_funnel): round(x, 6) is engine-
+        # dependent when x lands on an exact half at the 7th digit (a/b
+        # with b | 2e6, or sum_us/count on x.5); instead scale the exact
+        # integers, do ONE exactly-rounded double division, +0.5, floor —
+        # identical IEEE ops on both engines.
+        (
+            F.floor(
+                F.count("_t2").cast("double") * 1000000.0
+                / F.nullif(F.count("t1").cast("double"), F.lit(0.0))
+                + F.lit(0.5)
+            )
+            / 1000000.0
         ).alias("click_rate"),
-        F.round(
-            F.count("_t3").cast("double")
-            / F.nullif(F.count("t1").cast("double"), F.lit(0.0)),
-            6,
+        (
+            F.floor(
+                F.count("_t3").cast("double") * 1000000.0
+                / F.nullif(F.count("t1").cast("double"), F.lit(0.0))
+                + F.lit(0.5)
+            )
+            / 1000000.0
         ).alias("purchase_rate"),
-        F.round(
-            (
+        (
+            F.floor(
                 F.sum(F.col("_t3") - F.col("_t1")).cast("double")
                 / F.nullif(F.count("_t3").cast("double"), F.lit(0.0))
+                + F.lit(0.5)
             )
-            / 1000000.0,
-            6,
+            / 1000000.0
         ).alias("avg_view_to_purchase_s"),
     )
 
@@ -491,15 +516,15 @@ t3 AS (
 SELECT count(t1.t1)                          AS n_viewed,
        count(t2.t2)                          AS n_clicked_3d,
        count(t3.t3)                          AS n_purchased_3d,
-       round(CAST(count(t2.t2) AS DOUBLE)
-             / NULLIF(CAST(count(t1.t1) AS DOUBLE), 0), 6)
-         AS click_rate,
-       round(CAST(count(t3.t3) AS DOUBLE)
-             / NULLIF(CAST(count(t1.t1) AS DOUBLE), 0), 6)
-         AS purchase_rate,
-       round((CAST(sum(t3.t3 - t3.t1) AS DOUBLE)
-              / NULLIF(CAST(count(t3.t3) AS DOUBLE), 0)) / 1000000.0, 6)
-         AS avg_view_to_purchase_s
+       CAST(floor(CAST(count(t2.t2) AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                  / NULLIF(CAST(count(t1.t1) AS DOUBLE), 0) + 0.5) AS BIGINT)
+         / CAST(1000000 AS DOUBLE)           AS click_rate,
+       CAST(floor(CAST(count(t3.t3) AS DOUBLE) * CAST(1000000 AS DOUBLE)
+                  / NULLIF(CAST(count(t1.t1) AS DOUBLE), 0) + 0.5) AS BIGINT)
+         / CAST(1000000 AS DOUBLE)           AS purchase_rate,
+       CAST(floor(CAST(sum(t3.t3 - t3.t1) AS DOUBLE)
+                  / NULLIF(CAST(count(t3.t3) AS DOUBLE), 0) + 0.5) AS BIGINT)
+         / CAST(1000000 AS DOUBLE)           AS avg_view_to_purchase_s
 FROM t1
 LEFT JOIN t2 ON t2.user_id = t1.user_id
 LEFT JOIN t3 ON t3.user_id = t1.user_id

@@ -1373,17 +1373,17 @@ def test_ev_funnel_matches_bruteforce(spark, user_times, kind_bits):
         if not purchases:
             continue
         n3 += 1
-        lats.append((min(purchases) - t1) / 1000000.0)
+        lats.append(min(purchases) - t1)  # integer µs, like the engines
     assert g["n_viewed"] == n1
     assert g["n_clicked_after"] == n2
     assert g["n_purchased_after"] == n3
     if lats:
-        assert math.isclose(
-            g["avg_view_to_purchase_s"],
-            round(sum(lats) / len(lats), 6),
-            rel_tol=1e-9,
-            abs_tol=5.1e-7,
-        )
+        # the engines' cross-engine-exact half-up (r14): exact µs sum → one
+        # double division → +0.5, floor → /1e6. Identical IEEE ops here, so
+        # the comparison is exact equality, not isclose (hypothesis found
+        # the old round(avg, 6) disagreeing on an exact half-microsecond).
+        want = math.floor(sum(lats) / len(lats) + 0.5) / 1000000.0
+        assert g["avg_view_to_purchase_s"] == want
     else:
         assert g["avg_view_to_purchase_s"] is None
 
@@ -3850,13 +3850,21 @@ def test_ev_funnel_windowed_matches_bruteforce(spark, user_times):
             continue
         n3 += 1
         lat_sum += min(purch) - t1
+    # the engines' cross-engine-exact half-up (r14): scale the exact
+    # integers, ONE double division, +0.5, floor, /1e6 — identical IEEE
+    # ops here, so the tuple comparison stays exact equality
+    import math
+
+    def _hu6(num, den):
+        return math.floor(num / den + 0.5) / 1000000.0
+
     want = (
         n1,
         n2,
         n3,
-        _r6(n2 / n1) if n1 else None,
-        _r6(n3 / n1) if n1 else None,
-        _r6((lat_sum / n3) / 1000000.0) if n3 else None,
+        _hu6(n2 * 1000000.0, n1) if n1 else None,
+        _hu6(n3 * 1000000.0, n1) if n1 else None,
+        _hu6(lat_sum, n3) if n3 else None,
     )
     # every global eid cycle starts with a view for user 1, so n1 >= 1
     assert got[0] == want
