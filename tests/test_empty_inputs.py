@@ -321,3 +321,38 @@ def degentext_sf(spark, sf_small, tmp_path_factory):
 def test_every_query_survives_degenerate_text(spark, degentext_sf):
     fails = _sweep(spark, degentext_sf)
     assert not fails, fails
+
+
+@pytest.fixture(scope="module")
+def replay_instant_sf(spark, sf_small, tmp_path_factory):
+    """Seventh degenerate class (r14): a REPLAYED SAME-INSTANT FEED —
+    every row delivered 3× (at-least-once delivery / CDC replay, so no
+    primary key is unique) AND every event at ONE timestamp with all
+    ship/order dates equal (a same-day export: every duration, session
+    gap, grid span and freshness lag is exactly zero). Probed clean on
+    first run (the earlier classes already hardened the denominators);
+    kept as the regression pin for both invariants — dedup/window/upsert
+    plans must tolerate duplicate keys, and no time-math may assume a
+    positive span."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("replay_instant_sf"))
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(sf_small, f"{t}.parquet"))
+        for col in ("ts", "l_shipdate", "o_orderdate"):
+            if col in df.columns:
+                mn = df.agg(F.min(col)).collect()[0][0]
+                df = df.withColumn(col, F.lit(mn).cast(dict(df.dtypes)[col]))
+        df = df.withColumn(
+            "_r", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+        ).drop("_r")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return _register_immutable(d)
+
+
+@pytest.mark.sweep
+def test_every_query_survives_replayed_same_instant_feed(spark, replay_instant_sf):
+    fails = _sweep(spark, replay_instant_sf)
+    assert not fails, fails
