@@ -314,9 +314,12 @@ def test_mb_rules_matches_bruteforce(spark, baskets):
         a, b = r["pa"], r["pb"]
         assert pair[(a, b)] == r["c_ab"] >= MB_MIN_SUPPORT
         assert item[a] == r["c_a"] and item[b] == r["c_b"]
+        # _r6, not bare round(): integer ratios DO land on exact decimal
+        # halves at the 7th digit, where Python's binary half-even rounding
+        # disagrees with both engines' decimal HALF_UP (r14 funnel finding)
         assert abs(
             r["lift"]
-            - round(pair[(a, b)] * n_baskets / (item[a] * item[b]), 6)
+            - _r6(pair[(a, b)] * n_baskets / (item[a] * item[b]))
         ) < 1e-9
 
 
@@ -606,7 +609,8 @@ def test_ev_bot_detect_matches_bruteforce(spark, user_times, seed):
         assert g["n_events"] == len(rs)
         assert g["max_epm"] == max(minutes.values())
         assert g["n_dup_consec"] == n_dup
-        want_ratio = 0.0 if len(rs) == 1 else round(n_dup / (len(rs) - 1), 6)
+        # _r6: integer-ratio halves round like the engines (r14 finding)
+        want_ratio = 0.0 if len(rs) == 1 else _r6(n_dup / (len(rs) - 1))
         assert abs(g["dup_ratio"] - want_ratio) < 1e-12
         want_bot = g["max_epm"] > BOT_MAX_EPM or want_ratio >= 0.5
         assert g["is_bot"] == want_bot
@@ -907,7 +911,8 @@ def test_dd_substring_flags_planted_repeat(spark):
     assert got[1]["shared_xor"] == got[2]["shared_xor"] != 0
     assert got[3]["n_shared_fp"] == 0 and got[3]["shared_xor"] == 0
     for doc in (1, 2, 3):
-        want = round(got[doc]["n_shared_fp"] / got[doc]["n_fp"], 6)
+        # _r6: integer-ratio halves round like the engines (r14 finding)
+        want = _r6(got[doc]["n_shared_fp"] / got[doc]["n_fp"])
         assert abs(got[doc]["shared_ratio"] - want) < 1e-12
 
 
