@@ -46,7 +46,12 @@ class Query:
 _PRIORITY_FIRST = [
     # r14 head, per VERDICT r13 directive 1 (exactly 50 slots) — the
     # mechanical prefix-take of the r13 deferred list, which was already
-    # staleness-ordered:
+    # staleness-ordered, with ONE tier-1 exception:
+    # (0) dd_cdc_chunks is NEW this round (no driver row ever) — tier-1
+    #     policy puts first-ever oracles at the front; st_ahrs_replay
+    #     (r11-green, the last prefix slot) moves to the deferred front
+    #     to make room and leads the r15 head instead:
+    "dd_cdc_chunks",
     # (a) the 16 r10-stale queries (scripts/freshness.py --stale-only at
     #     round start) — after this round no query's newest green row may
     #     be older than r11:
@@ -69,11 +74,12 @@ _PRIORITY_FIRST = [
     "r7b_dates", "r7c_json_map", "r9_scalar_subquery", "r10_outer_hist",
     "r12_unpivot", "r_pivot",
     "tx_langid", "tx_quality", "tx_tokens",
-    "st_ahrs_replay",
 ]
 _DEFERRED_LAST = [
     # Tier 2 proper, staleness-ordered so the r15 head is again a prefix:
-    # the 12 remaining r11 greens (r11 head order):
+    # the 13 remaining r11 greens (r11 head order; st_ahrs_replay leads —
+    # it ceded its r14 head slot to the new dd_cdc_chunks):
+    "st_ahrs_replay",
     "st_pid_replay", "st_imu_pipeline", "st_ewma",
     "st_kalman",
     "mm_image_features", "sk_bloom", "cu_decontaminate", "cu_pack",

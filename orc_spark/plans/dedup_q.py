@@ -1774,8 +1774,165 @@ ORDER BY doc_id
 """
 
 
+# --- content-defined chunking dedup (rolling-hash boundaries) ---------------
+
+CDC_K = 5    # boundary gram size (same K as the shingler/winnower families)
+CDC_MOD = 64  # boundary condition h(gram) % MOD == 0 → expected chunk ≈ 64
+
+
+def dd_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS recipe, public): cut
+    each document where the rolling gram hash satisfies h % {CDC_MOD} == 0,
+    digest every chunk, and flag chunks whose digest appears in MORE THAN
+    ONE distinct document. Because boundaries are content-derived, an
+    insertion or deletion only re-chunks its local neighborhood — shared
+    chunks survive shifts that break fixed-width chunking (cu_chunk), which
+    makes this the sub-document dedup signal robust to edits.
+
+    Within-doc repeats do NOT count as shared (count(DISTINCT doc_id) > 1),
+    and a doc with no qualifying boundary is one whole-text chunk.
+
+    Scale contract (100 TB): the gram scan is one narrow explode whose
+    OUTPUT is (doc_id, start) ints only — the text column never rides a
+    shuffle (a first cut carried `t` through the boundary union + lead
+    window and measured 11 s at sf0.1 vs 0.9 s for this shape); cut lists
+    fold per doc (ints), join back to the one-row-per-doc base, and chunk
+    substrings + digests are computed stage-locally in that join's
+    projection. Shared-chunk counting is the dd_substring pattern —
+    digest-partition windows over the (doc_id, digest) int stream, no
+    join-back, so the expensive scan is never recomputed. Everything
+    downstream of the scan shuffles ≈ corpus_chars/{CDC_MOD} small rows;
+    nothing is quadratic and no driver transfer exists."""
+    docs = (
+        load_table(spark, sf, "documents")
+        # NULL text = no chunks (mirrors the oracle's WHERE; the other gram
+        # builders share this contract)
+        .where(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    t = F.lower(F.col("text"))
+    base = docs.select(
+        "doc_id", t.alias("t"), F.length(t).alias("n")
+    )
+    n_pos = F.greatest(F.col("n") - (CDC_K - 1), F.lit(1))
+    # boundary candidates start at 2 (a cut at 1 is vacuous). Guarded
+    # sequence: Spark's sequence(2, 1) would count DOWN, so empty-array it.
+    # h60 is projected in the same stage as the explode, so `t` stays
+    # stage-local; only (doc_id, start) ints leave the scan.
+    bnd = (
+        base.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.when(
+                    n_pos >= 2, F.sequence(F.lit(2), n_pos)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("start"),
+        )
+        .where(
+            h60(F.expr(f"substring(t, start, {CDC_K})")) % CDC_MOD == 0
+        )
+        .select("doc_id", "start")
+    )
+    cuts = bnd.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("start")).alias("cuts")
+    )
+    empty_cuts = F.array().cast("array<int>")
+    spans = base.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.arrays_zip(
+                F.concat(
+                    F.array(F.lit(1)), F.coalesce(F.col("cuts"), empty_cuts)
+                ).alias("s"),
+                F.concat(
+                    F.coalesce(F.col("cuts"), empty_cuts),
+                    F.array(F.col("n") + 1),
+                ).alias("e"),
+            )
+        ).alias("sp"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        h60(F.expr("substring(t, sp.s, sp.e - sp.s)")).alias("digest"),
+    )
+    # dd_substring's no-join-back audit shape: first-occurrence flag per
+    # (digest, doc), then distinct-doc count per digest — two digest-keyed
+    # windows over the int stream, the scan runs exactly once.
+    w_pair = Window.partitionBy("digest", "doc_id").orderBy("doc_id")
+    w_dig = Window.partitionBy("digest")
+    flagged = chunks.withColumn(
+        "first_in_doc", (F.row_number().over(w_pair) == 1).cast("int")
+    ).withColumn("nd", F.sum("first_in_doc").over(w_dig))
+    shared = F.col("nd") > 1
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(shared.cast("int")).cast("bigint").alias(
+                "n_shared_chunks"
+            ),
+            # n_chunks >= 1 always (every non-NULL doc is >= 1 chunk), so
+            # the ratio denominator can't be 0; round(int ratio, 6) is
+            # cross-engine safe (Spark and DuckDB agree at decimal halves —
+            # probed r14, CLAUDE.md)
+            F.round(
+                F.sum(shared.cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("shared_ratio"),
+            F.expr("bit_xor(digest)").alias("chunks_xor"),
+        )
+    )
+
+
+DD_CDC_CHUNKS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS t, length(text) AS n,
+         greatest(length(text) - {CDC_K - 1}, 1) AS n_pos
+  FROM documents WHERE text IS NOT NULL
+),
+bnd AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, t, unnest(range(2, n_pos + 1)) AS start FROM base
+  )
+  WHERE {h60_sql(f"substr(t, start, {CDC_K})")} % {CDC_MOD} = 0
+),
+starts AS (
+  SELECT doc_id, 1 AS start FROM base
+  UNION ALL
+  SELECT doc_id, start FROM bnd
+),
+spans AS (
+  SELECT doc_id, start,
+         lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+  FROM starts
+),
+chunks AS (
+  SELECT sp.doc_id,
+         {h60_sql("substr(b.t, sp.start, coalesce(sp.nxt, b.n + 1) - sp.start)")}
+           AS digest
+  FROM spans sp JOIN base b ON b.doc_id = sp.doc_id
+),
+freq AS (
+  SELECT digest, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY digest
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       round(CAST(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS shared_ratio,
+       CAST(bit_xor(c.digest) AS BIGINT) AS chunks_xor
+FROM chunks c JOIN freq f ON f.digest = c.digest
+GROUP BY c.doc_id
+"""
+
+
 QUERIES = [
     Query("dd_exact", dd_exact, DD_EXACT_SQL, "exact dedup via content digest group-by"),
+    Query("dd_cdc_chunks", dd_cdc_chunks, DD_CDC_CHUNKS_SQL, "content-defined chunking dedup: rolling-hash boundaries, cross-doc shared-chunk audit"),
     Query("dd_minhash_sig", dd_minhash_sig, _minhash_sig_sql(), "MinHash signatures (16 perms, 5-shingles)"),
     Query("dd_minhash_pairs", dd_minhash_pairs, _minhash_pairs_sql(), "LSH banded candidate pairs + estimated jaccard"),
     Query("dd_minhash_quality", dd_minhash_quality, _minhash_quality_sql(), "MinHash estimator calibration: est vs exact jaccard per quartile, fixed-point means"),

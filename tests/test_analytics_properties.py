@@ -8879,3 +8879,87 @@ def test_ts_e2e_report_matches_composition_replay(spark):
                 assert gv == wv, (m, c, gv, wv)
             else:
                 assert gv == pytest.approx(wv, rel=1e-9), (m, c, gv, wv)
+
+
+def test_dd_cdc_chunks_matches_replay_and_survives_insertion(spark):
+    """dd_cdc_chunks exact-value replay (h60_py boundaries + chunk digests,
+    the same math as the engines) AND the operator's reason to exist:
+    content-defined boundaries re-synchronize after an insertion, so a doc
+    and its edited copy still share downstream chunks — where fixed-width
+    chunking (cu_chunk) would shift every subsequent chunk."""
+    import random
+
+    from orc_spark.functions.hashing import h60_py
+    from orc_spark.plans.dedup_q import CDC_K, CDC_MOD, dd_cdc_chunks
+
+    rng = random.Random(97)
+    body = "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(600)
+    )
+    texts = {
+        1: body,
+        2: body[:50] + "INSERTED EDIT " + body[50:],  # shifted copy
+        3: "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(300)
+        ),
+        4: "xy",  # shorter than one gram: single whole-text chunk
+    }
+
+    def replay():
+        per_doc = {}
+        for doc, text in texts.items():
+            t = text.lower()
+            n = len(t)
+            n_pos = max(n - (CDC_K - 1), 1)
+            cuts = [
+                p
+                for p in range(2, n_pos + 1)
+                if h60_py(t[p - 1 : p - 1 + CDC_K]) % CDC_MOD == 0
+            ]
+            starts, ends = [1] + cuts, cuts + [n + 1]
+            per_doc[doc] = [
+                h60_py(t[s - 1 : e - 1]) for s, e in zip(starts, ends)
+            ]
+        docs_of = {}
+        for doc, digs in per_doc.items():
+            for dg in set(digs):
+                docs_of.setdefault(dg, set()).add(doc)
+        out = {}
+        for doc, digs in per_doc.items():
+            shared = [dg for dg in digs if len(docs_of[dg]) > 1]
+            x = 0
+            for dg in digs:
+                x ^= dg
+            out[doc] = (
+                len(digs),
+                len(shared),
+                _r6(len(shared) / len(digs)),
+                x,
+            )
+        return out
+
+    d = tempfile.mkdtemp(prefix="orc_props_cdc_")
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: (
+            r["n_chunks"],
+            r["n_shared_chunks"],
+            r["shared_ratio"],
+            r["chunks_xor"],
+        )
+        for r in dd_cdc_chunks(spark, d).collect()
+    }
+    want = replay()
+    assert got == want
+    # the CDC property: the edited copy still shares chunks with the
+    # original (re-synchronized boundaries), the unrelated docs share none
+    assert want[1][1] > 0 and want[2][1] > 0
+    assert want[3][1] == 0 and want[4][1] == 0
