@@ -1793,9 +1793,12 @@ def dd_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     and a doc with no qualifying boundary is one whole-text chunk.
 
     Scale contract (100 TB): the gram scan is one narrow explode whose
-    OUTPUT is (doc_id, start) ints only — the text column never rides a
-    shuffle (a first cut carried `t` through the boundary union + lead
-    window and measured 11 s at sf0.1 vs 0.9 s for this shape); cut lists
+    OUTPUT is (doc_id, start) ints only — text never enters an ANALYTIC
+    shuffle (hashpartitioning exchange; pinned by a plan test — a first
+    cut carried `t` through the boundary union + lead window and measured
+    11 s at sf0.1 vs ~1.4 s warm for this shape). Text does ride the
+    cores-not-bytes RoundRobin repartition, same as the whole
+    winnow/substring gram family; cut lists
     fold per doc (ints), join back to the one-row-per-doc base, and chunk
     substrings + digests are computed stage-locally in that join's
     projection. Shared-chunk counting is the dd_substring pattern —

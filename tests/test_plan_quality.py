@@ -704,3 +704,26 @@ def test_sk_countmin_probe_shape(spark, sf_small):
     assert "Range (0, 1" in plan, plan
     # the true_n scan carries the IN-list predicate down to parquet
     assert "user_id IN" in plan or "In(user_id" in plan, plan
+
+
+def test_dd_cdc_chunks_text_stays_out_of_analytic_shuffles(spark, sf_small):
+    """dd_cdc_chunks' scale contract: every hashpartitioning exchange (the
+    cut-list fold, the digest windows, the per-doc rollup) carries ints
+    only — a first cut shipped the full text column through the lead
+    window's exchange and measured 8x slower at sf0.1. Text may ride only
+    the cores-not-bytes RoundRobin repartition (the shared gram-family
+    pattern)."""
+    import re
+
+    from orc_spark.plans.dedup_q import dd_cdc_chunks
+    from orc_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(dd_cdc_chunks(spark, sf_small))
+    analytic = [
+        b
+        for b in re.split(r"\n\n", plan)
+        if re.match(r"\(\d+\) Exchange", b) and "hashpartitioning" in b
+    ]
+    assert len(analytic) >= 3  # cut fold + ≥1 digest window + doc rollup
+    for b in analytic:
+        assert not re.search(r"\b(text|t)#\d+", b), b
