@@ -27,7 +27,7 @@ from orc_spark.functions.hashing import (
     minhash_sql,
 )
 from orc_spark.plans import Query
-from orc_spark.sources.tables import load_table, table_rowcount
+from orc_spark.sources.tables import load_table, spread_small_scan, table_rowcount
 
 N_PERM = 16
 N_BANDS = 4
@@ -84,9 +84,7 @@ def dd_minhash_sig(spark: SparkSession, sf: str) -> DataFrame:
     one shuffle (the groupBy), map-side partial mins, nothing else."""
     # pre-explode repartition: the documents file is one scan split, and the
     # ~300× shingle fan-out + md5 would otherwise run in a single task
-    docs = load_table(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_small_scan(load_table(spark, sf, "documents"))
     t = F.lower(F.col("text"))
     pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (SHINGLE_K - 1), F.lit(1)))
     sh = docs.select("doc_id", F.explode(pos).alias("pos"), t.alias("t")).select(
@@ -360,9 +358,7 @@ _TOKENS_SQL = """
 def dd_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """60-bit SimHash: per bit b, sign of Σ_tokens (bit_b(h(token)) ? +1 : -1),
     weighted by token multiplicity."""
-    docs = load_table(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_small_scan(load_table(spark, sf, "documents"))
     toks = _tokens(docs).select("doc_id", h60(F.col("tok")).alias("h"))
     # integer division, not `/`: h is up to 2^60 and float division would lose
     # low bits. 2^b is exact in double, so the cast is exact in both engines.
@@ -1538,10 +1534,10 @@ def dd_containment(spark: SparkSession, sf: str) -> DataFrame:
     # repartition spreads the per-doc Python pass across cores — the
     # documents file is one scan split at these sizes (same reason
     # dd_minhash_sig repartitions before its shingle fan-out).
-    gram_sets = load_table(spark, sf, "documents").select(
-        "doc_id", "text"
-    ).where(F.col("text").isNotNull()).repartition(
-        spark.sparkContext.defaultParallelism
+    gram_sets = spread_small_scan(
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
     ).mapInPandas(
         _gram_sets,
         T.StructType(
@@ -1811,8 +1807,8 @@ def dd_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
         # NULL text = no chunks (mirrors the oracle's WHERE; the other gram
         # builders share this contract)
         .where(F.col("text").isNotNull())
-        .repartition(spark.sparkContext.defaultParallelism)
     )
+    docs = spread_small_scan(docs)
     t = F.lower(F.col("text"))
     base = docs.select(
         "doc_id", t.alias("t"), F.length(t).alias("n")

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from orc_spark.functions.hashing import h60, h60_sql
 from orc_spark.plans import Query
-from orc_spark.sources.tables import load_table
+from orc_spark.sources.tables import load_table, spread_small_scan
 
 # small fixed english stopword list for the heuristics (public knowledge)
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
@@ -319,9 +319,7 @@ def tx_winnow(spark: SparkSession, sf: str) -> DataFrame:
     Output is the per-doc fingerprint-set summary (count + xor-fold), which
     hash-checks without exploding the set. One narrow explode + one window
     min + one groupBy; linear at any corpus size."""
-    docs = load_table(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_small_scan(load_table(spark, sf, "documents"))
     from pyspark.sql import Window
 
     t = F.lower(F.col("text"))

@@ -176,6 +176,23 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Cores-not-bytes pre-explode repartition, SCALE-AWARE (r14): a tiny
+    corpus arrives as one or two scan splits, and a ~300× gram fan-out +
+    md5 downstream would run in a single task — but at production volume
+    the scan already has ≥ parallelism splits and an unconditional
+    RoundRobin repartition would shuffle the ENTIRE corpus for nothing.
+    Repartition only when the planned scan has fewer partitions than the
+    session's parallelism. The partition count comes from the plan's file
+    index (driver-side metadata, no Spark job) — same cost class as
+    table_rowcount's footer reads."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view; returns the DataFrames."""
     out = {}

@@ -727,3 +727,30 @@ def test_dd_cdc_chunks_text_stays_out_of_analytic_shuffles(spark, sf_small):
     assert len(analytic) >= 3  # cut fold + ≥1 digest window + doc rollup
     for b in analytic:
         assert not re.search(r"\b(text|t)#\d+", b), b
+
+
+def test_spread_small_scan_is_scale_aware(spark, sf_small, tmp_path):
+    """spread_small_scan (r14): the gram family's cores-not-bytes
+    pre-explode repartition must fire for a single-split tiny corpus but
+    become an IDENTITY at production volume (a corpus that already scans
+    as >= parallelism splits) — an unconditional RoundRobin there would
+    shuffle the entire corpus for nothing."""
+    import os
+
+    from orc_spark.plans.dedup_q import dd_minhash_sig
+    from orc_spark.plans.explain import formatted_plan
+    from orc_spark.sources.tables import load_table, spread_small_scan
+
+    # tiny: one scan split -> the repartition appears in the plan
+    assert "RoundRobinPartitioning" in formatted_plan(
+        dd_minhash_sig(spark, sf_small)
+    )
+    # many-split corpus: identity (no shuffle added)
+    d = str(tmp_path)
+    load_table(spark, sf_small, "documents").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    df = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:  # file split count is size-dependent
+        assert spread_small_scan(df) is df
