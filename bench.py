@@ -69,6 +69,13 @@ def _warm_jvm(spark) -> None:
 
 
 def main() -> None:
+    # round computed ONCE at process start and pinned to the environment so
+    # every artifact this run (and any child process) writes carries the
+    # same round number — infer_round() re-scans the disk, and the driver
+    # writing BENCH_r{N}.json mid-run would otherwise split one run's
+    # artifacts across two rounds (ADVICE r14)
+    round_no = infer_round()
+    os.environ.setdefault("SPARK_GRAFT_ROUND", str(round_no))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("orc_spark_bench")
     # ERROR-only logging: WARN spam (localCheckpoint MapPartitionsRDD lines)
@@ -317,7 +324,11 @@ def main() -> None:
     # tracking a 100× larger TRUE pair set (631k→63.4M pairs — the replica
     # preserves word multisets, so cross-replica near-dups are real), i.e.
     # output-bound, not a super-linear kernel.)
+    # (VERDICT r14 directive 3: dd_cdc_chunks joins the anchor set — its
+    # boundary scan is the per-position-md5 CPU shape whose slope decides
+    # whether the Arrow/numpy kernel escape hatch is needed.)
     SCALE2 = [
+        "dd_cdc_chunks",
         "dd_cluster",
         "ann_recall_eval",
         "dd_embcos",
@@ -465,7 +476,7 @@ def main() -> None:
         # recoverable only from git history (VERDICT r13 directive 2).
         scale3_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            f"BENCH_SCALE3_r{infer_round()}.json",
+            f"BENCH_SCALE3_r{round_no}.json",
         )
         with open(scale3_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

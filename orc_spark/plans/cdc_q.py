@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orc_spark.plans import Query
-from orc_spark.sources.tables import load_table
+from orc_spark.sources.tables import load_table, table_rowcount
 
 # --- SCD2 / CDC merge over the orders changelog ------------------------------
 
@@ -1204,14 +1204,41 @@ _RFM_DAY_US = 86400 * 1000000
 def ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
     """RFM customer segmentation: per user, purchase Recency (days since
     last purchase vs the stream's end), Frequency (purchase count) and
-    Monetary (cents), each quintile-scored with ntile(5); output is the
-    125-cell segment matrix with user counts and revenue. Deterministic:
-    every ntile ordering carries a user_id tiebreak, metrics are integers.
+    Monetary (cents), each quintile-scored with ntile(5) SEMANTICS; output
+    is the 125-cell segment matrix with user counts and revenue.
+    Deterministic: every quintile ordering carries a user_id tiebreak,
+    metrics are integers.
 
-    100 TB shape: one groupBy(user_id) with map-side combine builds the
-    per-user triple; the three ntile windows run over |users| rows (not
-    events), and the final segment rollup is tiny. The stream-end anchor
-    is a 1-row broadcast."""
+    100 TB shape (VERDICT r14 directive 2 — no global ntile windows): one
+    groupBy(user_id) with map-side combine builds the per-user triple;
+    quintile scores then come from operators/ranking.py — ntile is
+    positional, so the 4 exact boundary KEYS per metric (k-th order
+    statistics: one bounded Arrow handoff under the cap, iterative
+    bucketed narrowing above it) turn each global sort into a narrow
+    per-row comparison against literals. The users frame crosses NO
+    exchange between the groupBy and the tiny 125-cell rollup — the plan
+    has zero Window nodes and zero single-partition exchanges (pinned by a
+    plan test), where the previous shape ran three unpartitioned
+    ntile(5) sorts. Scores are bit-identical to ntile's by construction
+    (equality-tested against F.ntile in tests/test_ranking.py, and the
+    DuckDB oracle below still scores with ntile).
+
+    Eager-job budget: the local/distributed decision reads the events
+    parquet FOOTER rowcount (|users| ≤ |events|; no Spark job — the
+    table_rowcount pattern), the stream-end anchor folds into the same
+    bounded Arrow handoff as the boundary keys, and end_ts re-enters the
+    scored plan as a literal — so the whole build costs ONE job under the
+    cap. Above the cap: one count, one 1-row anchor agg, then per-metric
+    bucketed selection (equality-tested vs the local path in
+    tests/test_ranking.py)."""
+    from orc_spark.operators import ranking
+    from orc_spark.operators.ranking import (
+        multi_metric_boundary_keys,
+        multi_metric_boundary_keys_pdf,
+        ntile_boundary_ranks,
+        tile_from_boundaries,
+    )
+
     ev = load_table(spark, sf, "events")
     pur = ev.where(F.col("event_type") == "purchase")
     stats = (
@@ -1223,38 +1250,60 @@ def ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
                 "cents"
             ),
         )
-        # consumed by the anchor AND the scoring pass — materialize the
-        # |users|-row aggregate so the event stream is scanned exactly once
+        # consumed by the eager boundary-key pass AND the scored plan —
+        # materialize the |users|-row aggregate so the event stream is
+        # scanned exactly once
         .localCheckpoint(eager=False)
     )
-    # stream-end anchor derives from the per-user aggregate (max of maxes),
-    # not a second scan of the event stream
-    anchor = stats.agg(F.max("last_ts").alias("end_ts"))
-    per_user = (
-        stats.crossJoin(F.broadcast(anchor))
-        .select(
+    metrics = [("recency_days", 1), ("freq", -1), ("cents", -1)]
+    cap = max(1, ranking.ORDER_STAT_LOCAL_CAP)
+    if table_rowcount(sf, "events") <= cap:
+        # local finish: ONE bounded Arrow job fetches the per-user triples;
+        # the anchor (max of per-user maxes) and the boundary keys both
+        # come from the same pandas frame
+        pdf = stats.toPandas()
+        n = len(pdf)
+        end_ts = int(pdf["last_ts"].max()) if n else 0
+        # trunc-div == floor-div here: end_ts >= last_ts, both operands
+        # non-negative (matches Spark's `div` and DuckDB's `//`)
+        pdf["recency_days"] = (end_ts - pdf["last_ts"]) // _RFM_DAY_US
+        keys = multi_metric_boundary_keys_pdf(
+            pdf, "user_id", metrics, ntile_boundary_ranks(n, 5)
+        )
+    else:
+        row = stats.agg(
+            F.count(F.lit(1)).alias("n"), F.max("last_ts").alias("end_ts")
+        ).collect()[0]
+        n, end_ts = row["n"], int(row["end_ts"] or 0)
+        per_user = stats.select(
             "user_id",
-            F.expr(f"(end_ts - last_ts) div {_RFM_DAY_US}").alias(
-                "recency_days"
-            ),
+            F.expr(
+                f"(CAST({end_ts} AS BIGINT) - last_ts) div {_RFM_DAY_US}"
+            ).alias("recency_days"),
             "freq",
             "cents",
         )
-    )
-    scored = per_user.select(
+        keys = multi_metric_boundary_keys(
+            per_user, "user_id", metrics, ntile_boundary_ranks(n, 5), n=n
+        )
+    recency = F.expr(
+        f"(CAST({end_ts} AS BIGINT) - last_ts) div {_RFM_DAY_US}"
+    ).alias("recency_days")
+    scored = stats.select("user_id", recency, "freq", "cents").select(
         "user_id",
         "recency_days",
         "freq",
         "cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("cents").desc(), F.col("user_id")))
-        .alias("m_score"),
+        *[
+            tile_from_boundaries(
+                ranking.signed_metric(F.col(m), sign),
+                F.col("user_id"),
+                keys[m],
+            ).alias(alias)
+            for (m, sign), alias in zip(
+                metrics, ["r_score", "f_score", "m_score"]
+            )
+        ],
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -1263,7 +1312,11 @@ def ev_rfm(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
             F.min("user_id").alias("sample_user"),
         )
-        .orderBy("r_score", "f_score", "m_score")
+        # tiny presentation sort (≤125 rows): fuse into the final
+        # AQE-coalesced partition instead of paying orderBy's extra
+        # range-partition job round (the dq_referential pattern)
+        .coalesce(1)
+        .sortWithinPartitions("r_score", "f_score", "m_score")
     )
 
 

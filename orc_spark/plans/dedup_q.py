@@ -1788,20 +1788,30 @@ def dd_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     Within-doc repeats do NOT count as shared (count(DISTINCT doc_id) > 1),
     and a doc with no qualifying boundary is one whole-text chunk.
 
-    Scale contract (100 TB): the gram scan is one narrow explode whose
-    OUTPUT is (doc_id, start) ints only — text never enters an ANALYTIC
-    shuffle (hashpartitioning exchange; pinned by a plan test — a first
-    cut carried `t` through the boundary union + lead window and measured
-    11 s at sf0.1 vs ~1.4 s warm for this shape). Text does ride the
-    cores-not-bytes RoundRobin repartition, same as the whole
-    winnow/substring gram family; cut lists
-    fold per doc (ints), join back to the one-row-per-doc base, and chunk
-    substrings + digests are computed stage-locally in that join's
-    projection. Shared-chunk counting is the dd_substring pattern —
-    digest-partition windows over the (doc_id, digest) int stream, no
-    join-back, so the expensive scan is never recomputed. Everything
-    downstream of the scan shuffles ≈ corpus_chars/{CDC_MOD} small rows;
-    nothing is quadratic and no driver transfer exists."""
+    Scale contract (100 TB), by shuffle: the gram scan is one narrow
+    explode whose OUTPUT is (doc_id, start) ints only — the cut-list fold,
+    the digest windows, and the per-doc rollup never carry text (pinned by
+    a plan test — a first cut carried `t` through the boundary union +
+    lead window and measured 11 s at sf0.1 vs ~1.4 s warm for this shape).
+    Text rides (a) the cores-not-bytes RoundRobin repartition, same as the
+    whole winnow/substring gram family, and (b) the cuts join-back, whose
+    regime is size-dependent: while the folded cut lists fit the broadcast
+    threshold the join is broadcast and text stays stage-local; at
+    production volume cuts is |docs| rows, AQE falls back to a shuffle
+    join, and text rides exactly ONE doc_id-keyed exchange — linear, the
+    same cost class as the RoundRobin, not a scale hazard (both regimes
+    are pinned by tests/test_plan_quality.py, broadcast at tiny sf and
+    forced-shuffle). Chunk substrings + digests are computed stage-locally
+    in that join's projection. Shared-chunk counting is the dd_substring
+    pattern — digest-partition windows over the (doc_id, digest) int
+    stream, no join-back, so the expensive scan is never recomputed.
+    Everything downstream of the scan shuffles ≈ corpus_chars/{CDC_MOD}
+    small rows; nothing is quadratic and no driver transfer exists.
+    CPU note: the boundary scan computes md5-based h60 per character
+    position (~100× a true rolling hash) — cross-engine-justified (the
+    oracle must reproduce boundaries bit-identically); the sf0.01→sf0.1→sf1
+    bench anchors track it, and the dd_containment Arrow/numpy kernel
+    (above) is the escape hatch if it ever dominates a slope."""
     docs = (
         load_table(spark, sf, "documents")
         # NULL text = no chunks (mirrors the oracle's WHERE; the other gram
@@ -1888,8 +1898,12 @@ def dd_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
 
 DD_CDC_CHUNKS_SQL = f"""
 WITH base AS (
-  SELECT doc_id, lower(text) AS t, length(text) AS n,
-         greatest(length(text) - {CDC_K - 1}, 1) AS n_pos
+  -- n / n_pos measure the LOWERED string, matching the Spark plan's
+  -- length(lower(text)): for characters where lowercasing changes string
+  -- length (e.g. U+0130) measuring the raw text would shift chunk spans
+  -- between engines (ADVICE r14)
+  SELECT doc_id, lower(text) AS t, length(lower(text)) AS n,
+         greatest(length(lower(text)) - {CDC_K - 1}, 1) AS n_pos
   FROM documents WHERE text IS NOT NULL
 ),
 bnd AS (

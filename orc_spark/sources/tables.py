@@ -176,6 +176,81 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _parse_size_bytes(v: str) -> int:
+    """Spark size-string → bytes ('128MB', '4194304b', bare int; binary
+    units, matching JavaUtils.byteStringAsBytes)."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?i?b?)\s*", str(v).lower())
+    if not m:
+        raise ValueError(f"unparseable size string {v!r}")
+    unit = m.group(2).rstrip("b").rstrip("i")
+    return int(m.group(1)) * 1024 ** {"": 0, "k": 1, "m": 2, "g": 3,
+                                      "t": 4, "p": 5}[unit]
+
+
+def _estimate_scan_splits(df: DataFrame) -> int | None:
+    """Planned split count of a frame's parquet SCAN, from driver-side
+    metadata only — df.inputFiles() (the plan's file index) + local file
+    sizes — mirroring Spark's own FilePartition packing (chop each file at
+    maxSplitBytes, sort chunks by size desc, greedy-pack with openCost
+    padding). Unlike df.rdd.getNumPartitions() this never forces physical
+    planning, so it cannot run jobs on a frame that contains an exchange
+    (the ADVICE r14 footgun). Returns None when a file size is unreadable
+    (non-local filesystem) — callers should treat None as production
+    volume. On a multi-source frame (joins) it sums all inputs, which
+    over-counts splits — acceptable: the helper's only decision is
+    'fewer splits than cores?'."""
+    try:
+        from urllib.parse import unquote, urlparse
+
+        files = df.inputFiles()
+        if not files:
+            return None
+        sizes = []
+        for uri in files:
+            p = urlparse(uri)
+            if p.scheme not in ("", "file"):
+                return None
+            s = os.path.getsize(unquote(p.path))
+            if s > 0:  # Spark drops zero-length files at split time
+                sizes.append(s)
+        if not sizes:
+            return 1
+        conf = df.sparkSession.conf
+        max_pb = _parse_size_bytes(
+            conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+        open_cost = _parse_size_bytes(
+            conf.get("spark.sql.files.openCostInBytes", "4MB")
+        )
+        min_parts = int(
+            conf.get(
+                "spark.sql.files.minPartitionNum",
+                str(df.sparkSession.sparkContext.defaultParallelism),
+            )
+        )
+        total = sum(sizes) + open_cost * len(sizes)
+        max_split = int(min(max_pb, max(open_cost, total / max(1, min_parts))))
+        chunks: list[int] = []
+        for s in sizes:
+            while s > max_split:
+                chunks.append(max_split)
+                s -= max_split
+            if s:
+                chunks.append(s)
+        chunks.sort(reverse=True)
+        parts, cur = 0, 0
+        for c in chunks:
+            if cur + c > max_split and cur > 0:
+                parts += 1
+                cur = 0
+            cur += c + open_cost
+        return parts + (1 if cur > 0 else 0)
+    except Exception:  # noqa: BLE001 — estimation must never fail a plan build
+        return None
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Cores-not-bytes pre-explode repartition, SCALE-AWARE (r14): a tiny
     corpus arrives as one or two scan splits, and a ~300× gram fan-out +
@@ -183,12 +258,15 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     the scan already has ≥ parallelism splits and an unconditional
     RoundRobin repartition would shuffle the ENTIRE corpus for nothing.
     Repartition only when the planned scan has fewer partitions than the
-    session's parallelism. The partition count comes from the plan's file
-    index (driver-side metadata, no Spark job) — same cost class as
-    table_rowcount's footer reads."""
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    session's parallelism. The split count is ESTIMATED from the plan's
+    file index + file sizes (driver-side metadata, no physical planning,
+    no Spark job — ADVICE r14 replaced an rdd.getNumPartitions() call that
+    would materialize AQE stages on an exchange-bearing frame); when the
+    estimate is unavailable (remote filesystem) the scan is assumed big
+    and left alone."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    est = _estimate_scan_splits(df)
+    if est is None or est >= n:
         return df
     return df.repartition(n)
 

@@ -67,6 +67,15 @@ def _run_step(cmd: list[str]) -> tuple[int, str]:
 
 def main() -> None:
     skip_dense = "--skip-dense" in sys.argv
+    # pin the round number at PROCESS START (ADVICE r14): the checkers run
+    # for ~an hour, and if the driver writes BENCH_r{N}.json mid-run a late
+    # infer_round() call would stamp this run's artifact with a different
+    # round than a bench started alongside it; children inherit the pin.
+    sys.path.insert(0, REPO)
+    from bench import infer_round
+
+    round_no = infer_round()
+    os.environ.setdefault("SPARK_GRAFT_ROUND", str(round_no))
     results: dict[str, dict] = {}
     for name, cmd in STEPS:
         if skip_dense and "dense" in name:
@@ -88,10 +97,7 @@ def main() -> None:
         if rc != 0 and name.startswith("make_"):
             print("replica generation failed; aborting dependent checks")
             break
-    sys.path.insert(0, REPO)
-    from bench import infer_round
-
-    artifact = os.path.join(REPO, f"SCALE_CHECKS_r{infer_round()}.json")
+    artifact = os.path.join(REPO, f"SCALE_CHECKS_r{round_no}.json")
     with open(artifact, "w") as f:
         json.dump(
             {

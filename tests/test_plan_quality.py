@@ -347,12 +347,15 @@ def test_ev_paths_single_session_pass(spark, sf_small):
 
 
 def test_ev_rfm_single_stream_pass(spark, sf_small):
-    """ev_rfm: anchor = max over the checkpointed per-user aggregate; the
-    ntile windows and segment rollup add at most 3 exchanges."""
+    """ev_rfm: the scored plan reads the checkpointed per-user aggregate
+    (zero parquet scans — the event stream was scanned once at checkpoint
+    time) and adds only the segment-rollup exchange + the coalesced
+    presentation sort; quintile scoring is literal comparisons (r15)."""
     from orc_spark.plans.cdc_q import ev_rfm
 
     scans, ex, plan = _plan_stats(ev_rfm(spark, sf_small))
-    assert ex <= 3, plan
+    assert scans == 0, plan
+    assert ex <= 2, plan
 
 
 def test_gr_triangles_edges_materialized_once(spark, sf_small):
@@ -706,13 +709,9 @@ def test_sk_countmin_probe_shape(spark, sf_small):
     assert "user_id IN" in plan or "In(user_id" in plan, plan
 
 
-def test_dd_cdc_chunks_text_stays_out_of_analytic_shuffles(spark, sf_small):
-    """dd_cdc_chunks' scale contract: every hashpartitioning exchange (the
-    cut-list fold, the digest windows, the per-doc rollup) carries ints
-    only — a first cut shipped the full text column through the lead
-    window's exchange and measured 8x slower at sf0.1. Text may ride only
-    the cores-not-bytes RoundRobin repartition (the shared gram-family
-    pattern)."""
+def _cdc_text_exchanges(spark, sf_small):
+    """hashpartitioning exchange blocks of dd_cdc_chunks' plan, split into
+    (carrying text, ints only)."""
     import re
 
     from orc_spark.plans.dedup_q import dd_cdc_chunks
@@ -724,9 +723,56 @@ def test_dd_cdc_chunks_text_stays_out_of_analytic_shuffles(spark, sf_small):
         for b in re.split(r"\n\n", plan)
         if re.match(r"\(\d+\) Exchange", b) and "hashpartitioning" in b
     ]
-    assert len(analytic) >= 3  # cut fold + ≥1 digest window + doc rollup
-    for b in analytic:
-        assert not re.search(r"\b(text|t)#\d+", b), b
+    texty = [b for b in analytic if re.search(r"\b(text|t)#\d+", b)]
+    return texty, [b for b in analytic if b not in texty]
+
+
+def test_ev_rfm_has_no_global_sort(spark, sf_small):
+    """ev_rfm scale contract (VERDICT r14 directive 2): quintile scoring
+    must not run ntile over an unpartitioned window — the users frame may
+    cross NO single-partition exchange and no Window at all; the only
+    analytic exchange is the per-user groupBy, and the 125-row
+    presentation sort must fuse into the coalesced final partition (no
+    rangepartitioning)."""
+    from orc_spark.plans.cdc_q import ev_rfm
+    from orc_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(ev_rfm(spark, sf_small))
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_dd_cdc_chunks_text_stays_out_of_analytic_shuffles(spark, sf_small):
+    """dd_cdc_chunks' scale contract, BROADCAST regime (cuts fits the
+    threshold — the tiny-sf / early-production shape): every
+    hashpartitioning exchange (the cut-list fold, the digest windows, the
+    per-doc rollup) carries ints only — a first cut shipped the full text
+    column through the lead window's exchange and measured 8x slower at
+    sf0.1. Text may ride only the cores-not-bytes RoundRobin repartition
+    (the shared gram-family pattern)."""
+    texty, ints_only = _cdc_text_exchanges(spark, sf_small)
+    assert len(ints_only) >= 3  # cut fold + ≥1 digest window + doc rollup
+    assert not texty, texty[0] if texty else None
+
+
+def test_dd_cdc_chunks_shuffle_regime_at_volume(spark, sf_small):
+    """dd_cdc_chunks' scale contract, SHUFFLE regime (ADVICE r14): when the
+    folded cut lists outgrow the broadcast threshold (production volume —
+    forced here via autoBroadcastJoinThreshold=-1), the cuts join-back
+    falls to a shuffle join and text rides exactly ONE doc_id-keyed
+    exchange (linear, the same cost class as the RoundRobin). Every OTHER
+    analytic exchange must still be ints-only."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        texty, ints_only = _cdc_text_exchanges(spark, sf_small)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    assert len(texty) == 1, texty
+    assert "doc_id" in texty[0], texty[0]
+    assert len(ints_only) >= 3
 
 
 def test_spread_small_scan_is_scale_aware(spark, sf_small, tmp_path):
