@@ -383,7 +383,275 @@ FROM fps GROUP BY doc_id
 """
 
 
+# --- within-document repetition removal (Gopher repetition filters) ---------
+#
+# Rae et al. 2021 (Gopher), appendix A1.1 — the published repetition rules
+# LLM corpora are cleaned with. Thresholds below are the published ones;
+# the verdicts are evaluated as EXACT integer cross-multiplications
+# (10*dup > 3*n instead of dup/n > 0.30) so keep/drop never touches a
+# float literal — DuckDB parses float literals as DECIMAL (CLAUDE.md),
+# which makes float threshold comparisons the one cross-engine hazard a
+# filter like this has.
+
+REP_DUP_FRAC = (3, 10)     # duplicate line / paragraph fraction > 0.30
+REP_DUP_CHAR = (1, 5)      # duplicate line / paragraph char fraction > 0.20
+REP_TOP_SHARE = {2: (1, 5), 3: (9, 50), 4: (4, 25)}  # 0.20 / 0.18 / 0.16
+
+
+def tx_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition removal (the Gopher/Rae et al. 2021
+    repetition filters, public knowledge): per doc, duplicate line and
+    paragraph fractions (occurrence and character weighted) plus the
+    character share of the single most frequent word 2/3/4-gram; emits
+    every signal and the composite keep flag — the within-doc sibling of
+    the cross-doc dedup family and of tx_gopher_quality's quality rules.
+
+    Definitions (stated exactly, both engines): a segment occurrence is a
+    DUPLICATE if an identical segment occurred earlier in the doc, so
+    dup_frac = (n - n_distinct) / n and dup_char_frac counts the repeated
+    occurrences' characters over all segment characters; lines split on
+    \\n, paragraphs on \\n\\n (split semantics probed identical
+    Spark/DuckDB incl. trailing empties); the top n-gram tiebreak is
+    (count DESC, h60 ASC) — hash order is engine-identical where raw
+    string order would need collation care. Empty docs: char-fraction and
+    share denominators go NULL (never ANSI DIVIDE_BY_ZERO); NULL signals
+    count as non-violations in `keep`.
+
+    100 TB shape: segments and grams are narrow explodes whose projections
+    hash to ints IN THE SCAN STAGE (the dd_cdc_chunks contract — text
+    never enters an analytic shuffle; pinned by a plan test); per-doc
+    rollups are map-side-combinable int groupBys; the top-gram pick is a
+    (doc_id, n)-partitioned window (never global); the final assembly
+    joins int frames on doc_id. Word arrays stay stage-local in the gram
+    explode. Everything is linear in corpus characters."""
+    from pyspark.sql import Window
+
+    docs = spread_small_scan(
+        load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    )
+    base = docs.select(
+        "doc_id", "source", F.col("text").alias("t"),
+        F.length("text").cast("bigint").alias("tlen"),
+    )
+
+    def seg_agg(delim: str, p: str) -> DataFrame:
+        occ = base.select(
+            "doc_id", F.explode(F.split(F.col("t"), delim)).alias("seg")
+        ).select(
+            "doc_id",
+            h60(F.col("seg")).alias("h"),
+            F.length("seg").cast("bigint").alias("len"),
+        )
+        grp = occ.groupBy("doc_id", "h").agg(
+            F.count(F.lit(1)).alias("c"),
+            # min, not first: deterministic even under a 60-bit collision
+            F.min("len").alias("len"),
+        )
+        return grp.groupBy("doc_id").agg(
+            F.sum("c").cast("bigint").alias(f"{p}_n"),
+            (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias(f"{p}_dup"),
+            F.sum(F.col("c") * F.col("len")).cast("bigint").alias(f"{p}_chars"),
+            F.sum((F.col("c") - 1) * F.col("len"))
+            .cast("bigint")
+            .alias(f"{p}_dup_chars"),
+        )
+
+    lines = seg_agg("\n", "line")
+    paras = seg_agg("\n\n", "para")
+
+    gram = F.expr("array_join(slice(w, i, n), ' ')")
+    gocc = (
+        base.select(
+            "doc_id", F.split(F.col("t"), r"\s+").alias("w")
+        )
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(2), F.lit(3), F.lit(4))).alias("n"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.when(
+                    F.size("w") >= F.col("n"),
+                    F.sequence(F.lit(1), F.size("w") - F.col("n") + 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "n",
+            h60(gram).alias("h"),
+            F.length(gram).cast("bigint").alias("glen"),
+        )
+    )
+    gcnt = gocc.groupBy("doc_id", "n", "h").agg(
+        F.count(F.lit(1)).alias("c"), F.min("glen").alias("glen")
+    )
+    wtop = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("c").desc(), F.col("h").asc()
+    )
+    grams = (
+        gcnt.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("n") == n, F.col("c") * F.col("glen"))
+                )
+                .cast("bigint")
+                .alias(f"top{n}_num")
+                for n in (2, 3, 4)
+            ]
+        )
+    )
+
+    out = (
+        base.select("doc_id", "source", "tlen")
+        .join(lines, "doc_id")
+        .join(paras, "doc_id")
+        .join(grams, "doc_id", "left")
+    )
+    fa, fb = REP_DUP_FRAC
+    ca, cb = REP_DUP_CHAR
+    viol = F.lit(False)
+    for term in (
+        F.col("line_dup") * fb > F.col("line_n") * fa,
+        F.col("para_dup") * fb > F.col("para_n") * fa,
+        F.col("line_dup_chars") * cb > F.col("line_chars") * ca,
+        F.col("para_dup_chars") * cb > F.col("para_chars") * ca,
+        *[
+            F.col(f"top{n}_num") * REP_TOP_SHARE[n][1]
+            > F.col("tlen") * REP_TOP_SHARE[n][0]
+            for n in (2, 3, 4)
+        ],
+    ):
+        viol = viol | F.coalesce(term, F.lit(False))
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("line_n").alias("n_lines"),
+        r6(dbl("line_dup") / F.col("line_n")).alias("dup_line_frac"),
+        r6(dbl("line_dup_chars") / F.nullif(F.col("line_chars"), F.lit(0))).alias(
+            "dup_line_char_frac"
+        ),
+        F.col("para_n").alias("n_paras"),
+        r6(dbl("para_dup") / F.col("para_n")).alias("dup_para_frac"),
+        r6(dbl("para_dup_chars") / F.nullif(F.col("para_chars"), F.lit(0))).alias(
+            "dup_para_char_frac"
+        ),
+        *[
+            r6(dbl(f"top{n}_num") / F.nullif(F.col("tlen"), F.lit(0))).alias(
+                f"top{n}_share"
+            )
+            for n in (2, 3, 4)
+        ],
+        (~viol).alias("keep"),
+    )
+
+
+def _rep_seg_sql(split_expr: str, p: str) -> str:
+    """Per-doc duplicate-segment aggregate CTEs (DuckDB side)."""
+    return f"""
+{p}_occ AS (
+  SELECT doc_id, {h60_sql('seg')} AS h, length(seg) AS len
+  FROM (SELECT doc_id, unnest({split_expr}) AS seg FROM rep_base)
+),
+{p}_grp AS (
+  SELECT doc_id, h, count(*) AS c, min(len) AS len
+  FROM {p}_occ GROUP BY doc_id, h
+),
+{p}_agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT)              AS {p}_n,
+         CAST(sum(c) - count(*) AS BIGINT)   AS {p}_dup,
+         CAST(sum(c * len) AS BIGINT)        AS {p}_chars,
+         CAST(sum((c - 1) * len) AS BIGINT)  AS {p}_dup_chars
+  FROM {p}_grp GROUP BY doc_id
+)"""
+
+
+_REP_GRAM_SQL = f"""
+rep_gpos AS (
+  SELECT doc_id, n, ws,
+         unnest(range(1, greatest(len(ws) - n + 2, 1))) AS i
+  FROM (SELECT doc_id, string_split_regex(t, '\\s+') AS ws,
+               unnest([2, 3, 4]) AS n
+        FROM rep_base)
+),
+rep_gocc AS (
+  SELECT doc_id, n,
+         {h60_sql("array_to_string(list_slice(ws, i, i + n - 1), ' ')")} AS h,
+         length(array_to_string(list_slice(ws, i, i + n - 1), ' ')) AS glen
+  FROM rep_gpos
+),
+rep_gcnt AS (
+  SELECT doc_id, n, h, count(*) AS c, min(glen) AS glen
+  FROM rep_gocc GROUP BY doc_id, n, h
+),
+rep_gtop AS (
+  SELECT doc_id, n, c, glen,
+         row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, h ASC)
+           AS rn
+  FROM rep_gcnt
+),
+rep_gagg AS (
+  SELECT doc_id,
+         CAST(max(CASE WHEN n = 2 THEN c * glen END) AS BIGINT) AS top2_num,
+         CAST(max(CASE WHEN n = 3 THEN c * glen END) AS BIGINT) AS top3_num,
+         CAST(max(CASE WHEN n = 4 THEN c * glen END) AS BIGINT) AS top4_num
+  FROM rep_gtop WHERE rn = 1 GROUP BY doc_id
+)"""
+
+_REP_VIOL_SQL = " OR ".join(
+    f"coalesce({t}, false)"
+    for t in [
+        f"l.line_dup * {REP_DUP_FRAC[1]} > l.line_n * {REP_DUP_FRAC[0]}",
+        f"p.para_dup * {REP_DUP_FRAC[1]} > p.para_n * {REP_DUP_FRAC[0]}",
+        f"l.line_dup_chars * {REP_DUP_CHAR[1]} > l.line_chars * {REP_DUP_CHAR[0]}",
+        f"p.para_dup_chars * {REP_DUP_CHAR[1]} > p.para_chars * {REP_DUP_CHAR[0]}",
+        *[
+            f"g.top{n}_num * {REP_TOP_SHARE[n][1]} > b.tlen * {REP_TOP_SHARE[n][0]}"
+            for n in (2, 3, 4)
+        ],
+    ]
+)
+
+TX_REPETITION_SQL = f"""
+WITH rep_base AS (
+  SELECT doc_id, source, text AS t, CAST(length(text) AS BIGINT) AS tlen
+  FROM documents WHERE text IS NOT NULL
+),
+{_rep_seg_sql("string_split(t, chr(10))", "line").lstrip()},
+{_rep_seg_sql("string_split(t, chr(10) || chr(10))", "para").lstrip()},
+{_REP_GRAM_SQL.lstrip()}
+SELECT b.doc_id, b.source,
+       l.line_n AS n_lines,
+       round(CAST(l.line_dup AS DOUBLE) / l.line_n, 6) AS dup_line_frac,
+       round(CAST(l.line_dup_chars AS DOUBLE) / NULLIF(l.line_chars, 0), 6)
+         AS dup_line_char_frac,
+       p.para_n AS n_paras,
+       round(CAST(p.para_dup AS DOUBLE) / p.para_n, 6) AS dup_para_frac,
+       round(CAST(p.para_dup_chars AS DOUBLE) / NULLIF(p.para_chars, 0), 6)
+         AS dup_para_char_frac,
+       round(CAST(g.top2_num AS DOUBLE) / NULLIF(b.tlen, 0), 6) AS top2_share,
+       round(CAST(g.top3_num AS DOUBLE) / NULLIF(b.tlen, 0), 6) AS top3_share,
+       round(CAST(g.top4_num AS DOUBLE) / NULLIF(b.tlen, 0), 6) AS top4_share,
+       NOT ({_REP_VIOL_SQL}) AS keep
+FROM rep_base b
+JOIN line_agg l USING (doc_id)
+JOIN para_agg p USING (doc_id)
+LEFT JOIN rep_gagg g USING (doc_id)
+"""
+
+
 QUERIES = [
+    Query("tx_repetition", tx_repetition, TX_REPETITION_SQL, "within-document repetition removal (Gopher dup-line/paragraph fractions + top n-gram char share)"),
     Query("tx_tokens", tx_tokens, TX_TOKENS_SQL, "token/word/subtoken counting"),
     Query("tx_quality", tx_quality, TX_QUALITY_SQL, "document quality scoring"),
     Query("tx_gopher_quality", tx_gopher_quality, TX_GOPHER_QUALITY_SQL, "Gopher-rule quality filter battery (published thresholds)"),
