@@ -455,18 +455,16 @@ def cu_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         docs = docs.repartition(
             docs.sparkSession.sparkContext.defaultParallelism
         )
-        t = F.lower(F.col("text"))
-        n_pos = F.greatest(F.length(t) - (DECON_K - 1), F.lit(1))
-        grams = docs.select(
-            "doc_id",
-            n_pos.alias("n_pos"),
-            F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
-            t.alias("t"),
-        ).select(
+        # BYTE-domain k-grams (operators/gramscan.py, r15): positional
+        # STRING substring is O(doc_len) per call — a giant doc made this
+        # scan an O(doc_len²) single-task straggler
+        from orc_spark.operators.gramscan import byte_pos_stream, gram
+
+        grams = byte_pos_stream(docs, DECON_K).select(
             "doc_id",
             "n_pos",
             "pos",
-            h60(F.expr(f"substring(t, pos, {DECON_K})")).alias("h"),
+            h60(gram(DECON_K)).alias("h"),
         )
         w = (
             Window.partitionBy("doc_id")
@@ -517,7 +515,7 @@ def _cu_decon_sql() -> str:
 WITH grams AS (
   SELECT doc_id, pos,
          greatest(length(text) - {k - 1}, 1) AS n_pos,
-         {h60_sql(f'substr(lower(text), pos, {k})')} AS h
+         {h60_sql(f'lower(substr(text, pos, {k}))')} AS h
   FROM (SELECT doc_id, text,
                unnest(range(1, greatest(length(text) - {k - 1}, 1) + 1)) AS pos
         FROM documents)
@@ -876,19 +874,27 @@ def cu_chunk(spark: SparkSession, sf: str) -> DataFrame:
     on both engines, so a NULL doc emitted one phantom chunk row; review
     finding)."""
     from orc_spark.functions.hashing import h60
+    from orc_spark.operators.gramscan import once_per_row
 
     docs = (
         load_table(spark, sf, "documents")
         .select("doc_id", "text")
         .where(F.col("text").isNotNull())
     )
+    # BYTE-domain chunk extraction (gramscan.py contract, r15): positional
+    # STRING substring walks codepoints from byte 0 — O(doc_len) per chunk
+    # made one giant doc quadratic; binary slices are O(chunk). The barrier
+    # keeps the cast from collapsing into the per-chunk loop.
+    prep = docs.select(
+        "doc_id", once_per_row(F.col("text").cast("binary")).alias("tb")
+    )
     starts = F.sequence(
-        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+        F.lit(1), F.greatest(F.length("tb"), F.lit(1)), F.lit(CHUNK_STRIDE)
     )
-    chunks = docs.select(
-        "doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start")
+    chunks = prep.select(
+        "doc_id", "tb", F.posexplode(starts).alias("chunk_idx", "start")
     )
-    chunk = F.expr(f"substring(text, start, {CHUNK_LEN})")
+    chunk = F.expr(f"cast(substring(tb, start, {CHUNK_LEN}) as string)")
     return chunks.select(
         "doc_id",
         "chunk_idx",

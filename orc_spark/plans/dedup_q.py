@@ -27,6 +27,7 @@ from orc_spark.functions.hashing import (
     minhash_sql,
 )
 from orc_spark.plans import Query
+from orc_spark.operators.gramscan import byte_pos_stream, gram, once_per_row
 from orc_spark.sources.tables import load_table, spread_small_scan, table_rowcount
 
 N_PERM = 16
@@ -59,19 +60,21 @@ SHINGLE_K = 5
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct k-char shingles of lowercased text per doc (narrow map)."""
-    t = F.lower(F.col("text"))
-    pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (SHINGLE_K - 1), F.lit(1)))
-    return (
-        docs.select("doc_id", F.explode(pos).alias("pos"), t.alias("t"))
-        .select("doc_id", F.expr(f"substring(t, pos, {SHINGLE_K})").alias("sh"))
-        .distinct()
-    )
+    """Distinct k-BYTE shingles of lowercased text per doc (narrow map).
+
+    Byte-domain extraction (operators/gramscan.py): Spark's positional
+    substring on a STRING walks codepoints from byte 0 — O(doc_len) per
+    call, O(doc_len²) per exploded doc — which one 10 MB document turns
+    into an unbounded single-task straggler (r15 length-skew sweep).
+    Binary slices are O(k); for ASCII corpora the byte shingles equal the
+    char shingles the DuckDB oracle computes (contract in gramscan.py)."""
+    s = byte_pos_stream(docs, SHINGLE_K)
+    return s.select("doc_id", gram(SHINGLE_K).alias("sh")).distinct()
 
 
 _SHINGLES_SQL = f"""
-  SELECT DISTINCT doc_id, substr(lower(text), pos, {SHINGLE_K}) AS sh
-  FROM (SELECT doc_id, lower(text) AS lt,
+  SELECT DISTINCT doc_id, lower(substr(text, pos, {SHINGLE_K})) AS sh
+  FROM (SELECT doc_id,
                unnest(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1)) AS pos,
                text
         FROM documents)
@@ -85,10 +88,11 @@ def dd_minhash_sig(spark: SparkSession, sf: str) -> DataFrame:
     # pre-explode repartition: the documents file is one scan split, and the
     # ~300× shingle fan-out + md5 would otherwise run in a single task
     docs = spread_small_scan(load_table(spark, sf, "documents"))
-    t = F.lower(F.col("text"))
-    pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (SHINGLE_K - 1), F.lit(1)))
-    sh = docs.select("doc_id", F.explode(pos).alias("pos"), t.alias("t")).select(
-        "doc_id", h60(F.expr(f"substring(t, pos, {SHINGLE_K})")).alias("h")
+    # byte-domain shingles (gramscan.py): O(k) per position — positional
+    # STRING substring is O(doc_len) per call and a giant doc made this
+    # scan a quadratic single-task straggler (r15)
+    sh = byte_pos_stream(docs, SHINGLE_K).select(
+        "doc_id", h60(gram(SHINGLE_K)).alias("h")
     )
     aggs = [
         F.min(minhash_col(F.col("h"), a, b)).alias(f"m{i}")
@@ -105,7 +109,7 @@ def _minhash_sig_sql() -> str:
     return f"""
 WITH hashed AS (
   SELECT DISTINCT doc_id,
-         {h60_sql(f'substr(lower(text), pos, {SHINGLE_K})')} AS h
+         {h60_sql(f'lower(substr(text, pos, {SHINGLE_K}))')} AS h
   FROM (SELECT doc_id, text,
                unnest(range(1, greatest(length(text) - {SHINGLE_K - 1}, 1) + 1)) AS pos
         FROM documents)
@@ -497,20 +501,20 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             F.pmod(F.col("doc_id"), F.lit(nb)).cast("int").alias("blk"),
         )
     )
-    t = F.lower(F.col("text"))
-    pos = F.sequence(F.lit(1), F.greatest(F.length(t) - (NGRAM_N - 1), F.lit(1)))
+    # byte-domain trigrams (gramscan.py, r15): positional STRING substring
+    # is O(doc_len) per call — a giant doc made this scan quadratic.
     # explode → hash → collect_set: the explode is a narrow map feeding a
     # partial-aggregated groupBy, so the only exploded-size exchange is the
     # map-side-combined set aggregation (distinct grams per doc ≈ ~250)
     gram_sets = (
-        docs.select(
-            "doc_id", "bucket", "blk", F.explode(pos).alias("pos"), t.alias("t")
+        byte_pos_stream(
+            docs, NGRAM_N, extra_cols=("doc_id", "bucket", "blk")
         )
         .select(
             "doc_id",
             "bucket",
             "blk",
-            F.xxhash64(F.expr(f"substring(t, pos, {NGRAM_N})")).alias("gh"),
+            F.xxhash64(gram(NGRAM_N)).alias("gh"),
         )
         .groupBy("doc_id", "bucket", "blk")
         .agg(F.collect_set("gh").alias("grams"))
@@ -599,7 +603,7 @@ WITH d AS (
   FROM documents
 ),
 grams AS (
-  SELECT DISTINCT doc_id, bucket, substr(lower(text), pos, {NGRAM_N}) AS g
+  SELECT DISTINCT doc_id, bucket, lower(substr(text, pos, {NGRAM_N})) AS g
   FROM (SELECT doc_id, bucket, text,
                unnest(range(1, greatest(length(text) - {NGRAM_N - 1}, 1) + 1)) AS pos
         FROM d)
@@ -1615,7 +1619,7 @@ def _containment_sql() -> str:
     return f"""
 WITH cand AS (SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()})),
 grams AS (
-  SELECT DISTINCT doc_id, substr(lower(text), pos, {NGRAM_N}) AS g
+  SELECT DISTINCT doc_id, lower(substr(text, pos, {NGRAM_N})) AS g
   FROM (SELECT doc_id, text,
                unnest(range(1, greatest(length(text) - {NGRAM_N - 1}, 1) + 1))
                  AS pos
@@ -1680,18 +1684,16 @@ def dd_substring(spark: SparkSession, sf: str) -> DataFrame:
         # cores-not-bytes: keep post-explode parallelism (cu_decontaminate)
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    t = F.col("text")
-    n_pos = F.greatest(F.length(t) - (DD_SUB_K - 1), F.lit(1))
-    grams = docs.select(
-        "doc_id",
-        n_pos.alias("n_pos"),
-        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
-        t.alias("t"),
+    # byte-domain grams on the RAW text (gramscan.py, r15): positional
+    # STRING substring walks codepoints — O(doc_len²) per exploded doc
+    grams = byte_pos_stream(
+        docs, DD_SUB_K, lowered=False,
+        extra_cols=("doc_id",),
     ).select(
         "doc_id",
         "n_pos",
         "pos",
-        h60(F.expr(f"substring(t, pos, {DD_SUB_K})")).alias("h"),
+        h60(gram(DD_SUB_K)).alias("h"),
     )
     w = (
         Window.partitionBy("doc_id")
@@ -1819,19 +1821,25 @@ def dd_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("text").isNotNull())
     )
     docs = spread_small_scan(docs)
-    t = F.lower(F.col("text"))
+    # BYTE-domain boundaries/spans (operators/gramscan.py, r15): the
+    # lowered UTF-8 bytes are prepared once per doc; boundary grams and
+    # chunk digests are O(k)/O(chunk) binary slices — positional STRING
+    # substring walks codepoints from byte 0 and made both the boundary
+    # scan and the chunk extraction O(doc_len²) on a giant document.
+    # ASCII oracle-equivalence contract: gramscan.py module docstring.
     base = docs.select(
-        "doc_id", t.alias("t"), F.length(t).alias("n")
-    )
+        "doc_id",
+        once_per_row(F.lower(F.col("text")).cast("binary")).alias("tb"),
+    ).select("doc_id", "tb", F.length("tb").alias("n"))
     n_pos = F.greatest(F.col("n") - (CDC_K - 1), F.lit(1))
     # boundary candidates start at 2 (a cut at 1 is vacuous). Guarded
     # sequence: Spark's sequence(2, 1) would count DOWN, so empty-array it.
-    # h60 is projected in the same stage as the explode, so `t` stays
+    # h60 is projected in the same stage as the explode, so `tb` stays
     # stage-local; only (doc_id, start) ints leave the scan.
     bnd = (
         base.select(
             "doc_id",
-            "t",
+            "tb",
             F.explode(
                 F.when(
                     n_pos >= 2, F.sequence(F.lit(2), n_pos)
@@ -1839,7 +1847,7 @@ def dd_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("start"),
         )
         .where(
-            h60(F.expr(f"substring(t, start, {CDC_K})")) % CDC_MOD == 0
+            h60(F.expr(f"substring(tb, start, {CDC_K})")) % CDC_MOD == 0
         )
         .select("doc_id", "start")
     )
@@ -1849,7 +1857,7 @@ def dd_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     empty_cuts = F.array().cast("array<int>")
     spans = base.join(cuts, "doc_id", "left").select(
         "doc_id",
-        "t",
+        "tb",
         F.explode(
             F.arrays_zip(
                 F.concat(
@@ -1864,7 +1872,7 @@ def dd_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
     chunks = spans.select(
         "doc_id",
-        h60(F.expr("substring(t, sp.s, sp.e - sp.s)")).alias("digest"),
+        h60(F.expr("substring(tb, sp.s, sp.e - sp.s)")).alias("digest"),
     )
     # dd_substring's no-join-back audit shape: first-occurrence flag per
     # (digest, doc), then distinct-doc count per digest — two digest-keyed
@@ -1898,19 +1906,19 @@ def dd_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
 
 DD_CDC_CHUNKS_SQL = f"""
 WITH base AS (
-  -- n / n_pos measure the LOWERED string, matching the Spark plan's
-  -- length(lower(text)): for characters where lowercasing changes string
-  -- length (e.g. U+0130) measuring the raw text would shift chunk spans
-  -- between engines (ADVICE r14)
-  SELECT doc_id, lower(text) AS t, length(lower(text)) AS n,
-         greatest(length(lower(text)) - {CDC_K - 1}, 1) AS n_pos
+  -- char-domain mirror of the Spark plan's BYTE-domain scan (DuckDB has
+  -- no BLOB substring/md5): positions on length(text), lower() at
+  -- extraction — identical for ASCII corpora, the certified regime
+  -- (contract: orc_spark/operators/gramscan.py)
+  SELECT doc_id, text AS t, length(text) AS n,
+         greatest(length(text) - {CDC_K - 1}, 1) AS n_pos
   FROM documents WHERE text IS NOT NULL
 ),
 bnd AS (
   SELECT doc_id, start FROM (
     SELECT doc_id, t, unnest(range(2, n_pos + 1)) AS start FROM base
   )
-  WHERE {h60_sql(f"substr(t, start, {CDC_K})")} % {CDC_MOD} = 0
+  WHERE {h60_sql(f"lower(substr(t, start, {CDC_K}))")} % {CDC_MOD} = 0
 ),
 starts AS (
   SELECT doc_id, 1 AS start FROM base
@@ -1924,7 +1932,7 @@ spans AS (
 ),
 chunks AS (
   SELECT sp.doc_id,
-         {h60_sql("substr(b.t, sp.start, coalesce(sp.nxt, b.n + 1) - sp.start)")}
+         {h60_sql("lower(substr(b.t, sp.start, coalesce(sp.nxt, b.n + 1) - sp.start))")}
            AS digest
   FROM spans sp JOIN base b ON b.doc_id = sp.doc_id
 ),

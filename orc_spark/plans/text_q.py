@@ -322,18 +322,16 @@ def tx_winnow(spark: SparkSession, sf: str) -> DataFrame:
     docs = spread_small_scan(load_table(spark, sf, "documents"))
     from pyspark.sql import Window
 
-    t = F.lower(F.col("text"))
-    n_pos = F.greatest(F.length(t) - (WINNOW_K - 1), F.lit(1))
-    grams = docs.select(
-        "doc_id",
-        n_pos.alias("n_pos"),
-        F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
-        t.alias("t"),
-    ).select(
+    from orc_spark.operators.gramscan import byte_pos_stream, gram
+
+    # BYTE-domain k-grams (gramscan.py, r15): positional STRING substring
+    # walks codepoints from byte 0 — O(doc_len²) per exploded doc — which
+    # one giant document turns into an unbounded straggler task
+    grams = byte_pos_stream(docs, WINNOW_K).select(
         "doc_id",
         "n_pos",
         "pos",
-        h60(F.expr(f"substring(t, pos, {WINNOW_K})")).alias("h"),
+        h60(gram(WINNOW_K)).alias("h"),
     )
     w = (
         Window.partitionBy("doc_id")
@@ -359,7 +357,7 @@ WITH grams AS (
   SELECT doc_id,
          greatest(length(text) - {WINNOW_K - 1}, 1) AS n_pos,
          pos,
-         {h60_sql(f'substr(lower(text), pos, {WINNOW_K})')} AS h
+         {h60_sql(f'lower(substr(text, pos, {WINNOW_K}))')} AS h
   FROM (SELECT doc_id, text,
                unnest(range(1, greatest(length(text) - {WINNOW_K - 1}, 1) + 1))
                  AS pos

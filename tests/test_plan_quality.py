@@ -723,7 +723,7 @@ def _cdc_text_exchanges(spark, sf_small):
         for b in re.split(r"\n\n", plan)
         if re.match(r"\(\d+\) Exchange", b) and "hashpartitioning" in b
     ]
-    texty = [b for b in analytic if re.search(r"\b(text|t)#\d+", b)]
+    texty = [b for b in analytic if re.search(r"\b(text|tb|t)#\d+", b)]
     return texty, [b for b in analytic if b not in texty]
 
 
