@@ -238,14 +238,23 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: pd.DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: search only the `nprobe` nearest clusters per query.
     The candidate scan is a partition-pruned semi-join: assignment table
-    filtered by the probed centroid ids (broadcast), then exact rerank."""
+    filtered by the probed centroid ids (broadcast), then exact rerank.
+
+    ``centroids``: a pre-trained centroid table (as returned by
+    ``ivf_build_centroids`` on the same corpus/params) skips the in-call
+    training — the build-once/query-many production shape; None trains
+    inline as before."""
     corpus, queries_pdf = _drop_null_vectors(corpus, queries_pdf, vec_col)
     if len(queries_pdf) == 0:
         return _empty_topk(corpus, k)
-    centroids = ivf_build_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    if centroids is None:
+        centroids = ivf_build_centroids(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col
+        )
     if len(centroids) == 0:  # degenerate corpus: nothing was indexable
         return _empty_topk(corpus, k)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
@@ -503,17 +512,23 @@ def pq_topk(
     r_cand: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: np.ndarray | None = None,
 ) -> DataFrame:
     """PQ-ADC ANN: scan the 8-byte codes with per-query lookup tables
     (LUT[sub][code] = q_sub . centroid — the asymmetric distance
     computation), keep the top `r_cand` ADC candidates per query, then
     exact-rerank only those against the full vectors. At scale the codes
     table is ~1/32 the corpus bytes, the LUTs are broadcast, and the rerank
-    touches r_cand rows per query — no all-pairs stage anywhere."""
+    touches r_cand rows per query — no all-pairs stage anywhere.
+
+    ``books``: pre-trained codebooks (as returned by ``pq_train_codebooks``
+    on the same corpus/params) skip the in-call training — the
+    build-once/query-many production shape; None trains inline as before."""
     corpus, queries_pdf = _drop_null_vectors(corpus, queries_pdf, vec_col)
     if len(queries_pdf) == 0:
         return _empty_topk(corpus, k)
-    books = pq_train_codebooks(corpus, m=m, ksub=ksub, vec_col=vec_col)
+    if books is None:
+        books = pq_train_codebooks(corpus, m=m, ksub=ksub, vec_col=vec_col)
     if books is None:  # degenerate corpus: nothing was indexable
         return _empty_topk(corpus, k)
     encoded = pq_encode(corpus, books, id_col, vec_col)

@@ -40,6 +40,9 @@ from orc_spark.sources.tables import evict_dead_sessions
 # ids the builder created — empty for plain uncheckpointed plans)
 _MEMO: dict = {}
 
+# (session, abspath(sf_dir), "value:"+tag) -> plain Python value (memo_value)
+_VALUE_MEMO: dict = {}
+
 # Per-key in-flight locks (r13 ADVICE): without them two sweep threads that
 # miss concurrently both run build(), and the `before` persistentRDDs
 # snapshot taken outside any lock can attribute the OTHER builder's
@@ -115,6 +118,39 @@ def memo_subplan(
         with _MEMO_LOCK:
             _MEMO[key] = (df, frozenset(_persistent_ids(spark) - before))
     return df
+
+
+def memo_value(spark: SparkSession, sf_dir: str, tag: str, compute: Callable):
+    """Like ``memo_subplan`` but for a plain Python value (a scalar count,
+    a small collected pandas frame) derived deterministically from the
+    immutable driver testdata — e.g. the shared edge-frame row count that
+    gates the graph local finishes, or the ANN probe set four mm_q queries
+    collect identically. Same cacheability rules: only `/root/testdata`
+    (and explicitly opted-in immutable replicas) are served from the memo;
+    test fixtures always recompute. Values hold no RDDs, so there is no
+    checkpoint-id revalidation; the first consumer per (session, sf) runs
+    ``compute()`` (the Spark job still happens once per session — this is
+    within-session sharing of a deterministic subresult, NOT cross-run
+    result caching)."""
+    from orc_spark.sources.tables import _MEMO_LOCK, _cacheable
+
+    sf_abs = os.path.abspath(sf_dir)
+    if not _cacheable(sf_abs):
+        return compute()
+    key = (spark, sf_abs, "value:" + tag)
+    with _MEMO_LOCK:
+        if key in _VALUE_MEMO:
+            return _VALUE_MEMO[key]
+        evict_dead_sessions(_VALUE_MEMO)
+        lock = _BUILD_LOCKS.setdefault(key, __import__("threading").Lock())
+    with lock:
+        with _MEMO_LOCK:
+            if key in _VALUE_MEMO:
+                return _VALUE_MEMO[key]
+        val = compute()
+        with _MEMO_LOCK:
+            _VALUE_MEMO[key] = val
+    return val
 
 
 def pinned_rdd_ids(spark: SparkSession) -> set:

@@ -24,9 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from orc_spark.plan_memo import memo_subplan
+from orc_spark.plan_memo import memo_subplan, memo_value
 from orc_spark.plans import Query
-from orc_spark.sources.tables import load_table
+from orc_spark.sources.tables import load_table, table_rowcount
 
 PR_SCALE = 1_000_000_000  # fixed-point rank scale
 PR_ITERS = 4
@@ -124,12 +124,14 @@ def gr_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
     # cap gate on a conservative METADATA-ONLY bound: |edges| = 2·|distinct
-    # (cust,supp)| <= 2·|lineitem|, and a parquet count() is a stats-only
-    # job. The shared builder localCheckpoints the edge list (plan_memo
-    # keeps the blocks pinned for cross-query reuse), so this toPandas
-    # materializes THROUGH the checkpoint: first graph query per (session,
-    # sf) pays the build once, every later one reads the pinned blocks.
-    li_rows = load_table(spark, sf, "lineitem").count()
+    # (cust,supp)| <= 2·|lineitem|, read from the parquet FOOTER (no Spark
+    # job at plan build — the stats-only count() still cost an AQE job
+    # round per build; r15). The shared builder localCheckpoints the edge
+    # list (plan_memo keeps the blocks pinned for cross-query reuse), so
+    # the toPandas below materializes THROUGH the checkpoint: first graph
+    # query per (session, sf) pays the build once, every later one reads
+    # the pinned blocks.
+    li_rows = table_rowcount(sf, "lineitem")
     if 2 * li_rows <= PR_LOCAL_FINISH_EDGES:
         epdf = _edges(spark, sf).toPandas()
         nodes_a, r_a = local_pagerank(
@@ -374,6 +376,22 @@ def _mutual_knn_edges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _mutual_knn_edge_count(spark: SparkSession, sf: str) -> int:
+    """|edges| of the shared mutual-kNN frame, memoized per (session, sf)
+    alongside the frame itself: four queries gate their bounded local
+    finish on this exact count, and each paid a full count() job per BUILD
+    (an extra AQE job round before the plan was even returned). The first
+    consumer per session still runs the count — which also materializes
+    the builder's pending checkpoint — and later consumers reuse the
+    scalar, exactly like the frame memo they already share."""
+    return memo_value(
+        spark,
+        sf,
+        "mutual_knn_edge_count",
+        lambda: _mutual_knn_edges(spark, sf).count(),
+    )
+
+
 def _mutual_knn_edges_build(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     # shuffle_hash, not broadcast: the fact side is LARGE on both sides of
@@ -439,7 +457,14 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
     local_edges: list[tuple[int, int]] | None = None
     peels = 0
     while peels < KCORE_MAX_ROUNDS:
-        n = edges.count()  # materializes the round's pending checkpoint
+        # first round reads the memoized shared count (no per-build job);
+        # later rounds count the freshly peeled frame, which also
+        # materializes that round's pending checkpoint
+        n = (
+            _mutual_knn_edge_count(spark, sf)
+            if prev_edges is None and peels == 0
+            else edges.count()
+        )
         if prev_edges is not None and n == prev_edges:
             converged = True
             peels -= 1  # the confirming round removed nothing
@@ -822,7 +847,7 @@ def gr_bfs(spark: SparkSession, sf: str) -> DataFrame:
     from orc_spark.functions.hashing import xor_digest
 
     edges_df = _mutual_knn_edges(spark, sf)
-    if edges_df.count() <= GRAPH_LOCAL_FINISH_EDGES:
+    if _mutual_knn_edge_count(spark, sf) <= GRAPH_LOCAL_FINISH_EDGES:
         rows = local_bfs_hops(
             [(r[0], r[1]) for r in edges_df.collect()],
             BFS_SOURCE_MOD,
@@ -945,7 +970,7 @@ def gr_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     from orc_spark.functions.hashing import xor_digest
 
     edges_df = _mutual_knn_edges(spark, sf)
-    if edges_df.count() <= GRAPH_LOCAL_FINISH_EDGES:
+    if _mutual_knn_edge_count(spark, sf) <= GRAPH_LOCAL_FINISH_EDGES:
         rows = local_lpa_communities(
             [(r[0], r[1]) for r in edges_df.collect()], LP_ROUNDS
         )
@@ -1052,7 +1077,7 @@ def gr_linkpred(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB libm agree bit-for-bit, proven by the distributed path's own
     parity row)."""
     edges_df = _mutual_knn_edges(spark, sf)
-    if edges_df.count() <= GRAPH_LOCAL_FINISH_EDGES:
+    if _mutual_knn_edge_count(spark, sf) <= GRAPH_LOCAL_FINISH_EDGES:
         rows = local_linkpred(
             [(r[0], r[1]) for r in edges_df.collect()], LP_AA_SCALE, LP_TOP
         )
