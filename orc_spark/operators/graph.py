@@ -71,18 +71,29 @@ def connected_components(
     cluster each action is a scheduling round-trip; fusing them roughly
     halves wall time at identical shuffle volume).
     """
-    both = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
     # symmetric closure + one self-loop per endpoint (so each step's min-agg
     # sees the node's own label without a union/extra join), materialized
-    # once; every round re-reads this, not the upstream LSH plan
+    # once; every round re-reads this, not the upstream LSH plan.
+    # ONE explode pass, not nested unions: union branches re-evaluate their
+    # shared lineage per branch (the documented multi-consumer recompute
+    # trap), so the old both=(e ∪ e.rev); sym=(both ∪ both.self) shape ran
+    # the entire upstream LSH pipeline FOUR times inside the materializing
+    # job. The checkpoint is lazy: the gate count below materializes it, so
+    # closure-build + count is one job round instead of two.
     sym = (
-        both.unionByName(
-            both.select("src", F.col("src").alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                    F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+                    F.struct(F.col("src").alias("s"), F.col("src").alias("d")),
+                    F.struct(F.col("dst").alias("s"), F.col("dst").alias("d")),
+                )
+            ).alias("e")
         )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # iterate ONLY over nodes that have at least one edge: in a dedup corpus
     # the overwhelming majority of docs are singletons, so the iterated
@@ -107,8 +118,14 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in sym.collect():
-            a, b = row[0], row[1]
+        # Arrow handoff, not collect(): two int64 columns move at ~16 B/edge
+        # vs ~100 B/edge of Row objects (CLAUDE.md transfer-format budgets;
+        # measured 0.47 s vs 5.0 s at 1.17M edges) — the cap stays sized for
+        # the pessimistic Row budget, so this only widens the safety margin
+        spdf = sym.toPandas()
+        for a, b in zip(
+            spdf["src"].to_numpy().tolist(), spdf["dst"].to_numpy().tolist()
+        ):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
