@@ -974,10 +974,15 @@ def sk_kmv(spark: SparkSession, sf: str) -> DataFrame:
     # distinct AFTER hashing too: the oracle's du is DISTINCT (type, h), so
     # a 60-bit collision between two user_ids of one type must collapse on
     # the Spark side as well (review finding — latent cross-engine skew)
-    du = pairs.select(
-        "event_type",
-        h60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias("h"),
-    ).distinct()
+    du = (
+        pairs.select(
+            "event_type",
+            h60(
+                F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
     win = Window.partitionBy("event_type").orderBy(F.col("h").asc())
     kept = (
         du.withColumn("rn", F.row_number().over(win))
@@ -1014,13 +1019,16 @@ def sk_kmv(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(True).alias("merge_ok"),
         )
     )
-    # merged ALL sketch: k smallest distinct values across the retained sets
-    gwin = Window.orderBy(F.col("h").asc())
+    # merged ALL sketch: k smallest distinct values across the retained
+    # sets. orderBy().limit(K) plans as TakeOrderedAndProject — no
+    # single-partition exchange + sort the old global row_number window
+    # paid (h is distinct here, so "rows with rn <= K" == "the K smallest
+    # values" exactly)
     merged = (
         kept.select("h")
         .distinct()
-        .withColumn("rn", F.row_number().over(gwin))
-        .where(F.col("rn") <= KMV_K)
+        .orderBy(F.col("h").asc())
+        .limit(KMV_K)
         .agg(F.max("h").alias("m_kth"), F.bit_xor("h").alias("m_digest"))
     )
     # the direct-from-stream sketch exists to PROVE merge exactness; its
@@ -1033,8 +1041,8 @@ def sk_kmv(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .crossJoin(F.broadcast(bound))
         .where(F.col("h") <= F.col("hmax"))
-        .withColumn("rn", F.row_number().over(gwin))
-        .where(F.col("rn") <= KMV_K)
+        .orderBy(F.col("h").asc())
+        .limit(KMV_K)
         .agg(F.max("h").alias("d_kth"), F.bit_xor("h").alias("d_digest"))
     )
     all_exact = pairs.agg(
@@ -1059,7 +1067,14 @@ def sk_kmv(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("merge_ok"),
         )
     )
-    return per_type.unionByName(all_row).orderBy("event_type")
+    # tiny presentation sort (≤ |event_types|+1 rows): fuse into the final
+    # coalesced partition instead of paying a range-partitioning job round
+    # (CLAUDE.md dq_referential pattern)
+    return (
+        per_type.unionByName(all_row)
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )
 
 
 def _kmv_sql() -> str:
