@@ -186,9 +186,19 @@ def cu_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     ranked = base.withColumn("digest", F.md5(F.col("text"))).withColumn(
         "rn", F.row_number().over(w)
     )
-    keepers = ranked.where(
-        (F.col("quality_score") >= CU_QUALITY_MIN) & (F.col("rn") == 1)
-    ).select("doc_id")
+    # keepers is consumed by TWO semi-joins below, and each branch would
+    # re-evaluate the whole docs+quality+digest-window chain (multi-consumer
+    # recompute, CLAUDE.md) — checkpoint the small id-frame so the chain
+    # runs once for both probes (status re-derives it once more for the
+    # audit rows; only the bounded id list is ever checkpointed, never the
+    # text-carrying stream)
+    keepers = (
+        ranked.where(
+            (F.col("quality_score") >= CU_QUALITY_MIN) & (F.col("rn") == 1)
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
     near_pairs = (
         dd_minhash_pairs(spark, sf)
         .where(F.col("est_jaccard") >= CU_JACCARD_MIN)
