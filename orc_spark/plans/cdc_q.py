@@ -795,8 +795,6 @@ def ev_survival(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    from orc_spark.operators.recurrence import partitioned_group_scan
-
     ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
     per_user = (
         ev.groupBy("user_id")
@@ -872,9 +870,18 @@ def ev_survival(spark: SparkSession, sf: str) -> DataFrame:
             T.StructField("surv_fp", T.LongType()),
         ]
     )
-    curve = partitioned_group_scan(
-        ladder.withColumn("g", F.lit(0)), ["g"], "t", kernel, schema
-    )
+    # ONE logical group: the generic partitioned_group_scan would hash-spread
+    # this tiny step table over defaultParallelism partitions (31 empty
+    # tasks + an exchange) to run a single kernel call. The ladder window is
+    # already single-partition; buffer its batches and run the kernel once.
+    def run_single(it):
+        pdfs = [p for p in it if not p.empty]
+        if pdfs:
+            yield kernel(pd.concat(pdfs, ignore_index=True))
+
+    curve = ladder.coalesce(1).mapInPandas(run_single, schema)
+    # tiny presentation sort: fuse into the single output partition instead
+    # of paying a range-partitioning job round
     return curve.select(
         "t",
         "d",
@@ -884,7 +891,7 @@ def ev_survival(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("surv_fp").cast("double") / 1000000000.0, 6).alias(
             "survival"
         ),
-    ).orderBy("t")
+    ).coalesce(1).sortWithinPartitions("t")
 
 
 EV_SURVIVAL_SQL = f"""
