@@ -1041,7 +1041,8 @@ def ev_concurrency(spark: SparkSession, sf: str) -> DataFrame:
                 "eod_concurrency"
             ),
         )
-        .orderBy("day")
+        .coalesce(1)
+        .sortWithinPartitions("day")
     )
 
 
@@ -1166,7 +1167,8 @@ def ev_ltv(spark: SparkSession, sf: str) -> DataFrame:
             "cum_rev_cents",
             F.expr("cum_rev_cents div cohort_users").alias("ltv_per_user_cents"),
         )
-        .orderBy("cohort_week", "age_week")
+        .coalesce(1)
+        .sortWithinPartitions("cohort_week", "age_week")
     )
 
 

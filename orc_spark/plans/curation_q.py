@@ -777,7 +777,8 @@ def cu_repetition(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("realized_factor"),
             "copies_digest",
         )
-        .orderBy("lang")
+        .coalesce(1)
+        .sortWithinPartitions("lang")
     )
 
 
@@ -860,7 +861,8 @@ def cu_anneal_mixture(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("upsample_factor"),
         )
-        .orderBy("lang")
+        .coalesce(1)
+        .sortWithinPartitions("lang")
     )
 
 

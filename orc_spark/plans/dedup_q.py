@@ -308,7 +308,7 @@ def dd_minhash_quality(spark: SparkSession, sf: str) -> DataFrame:
         mean6(F.col("_sx"), F.col("n_pairs")).alias("mean_exact"),
         mean6(F.col("_serr"), F.col("n_pairs")).alias("mean_abs_err"),
         "max_abs_err",
-    ).orderBy("est_quartile")
+    ).coalesce(1).sortWithinPartitions("est_quartile")
 
 
 def _minhash_quality_sql() -> str:
@@ -899,7 +899,8 @@ def dd_semdedup(spark: SparkSession, sf: str) -> DataFrame:
             "n_kept",
             "survivor_digest",
         )
-        .orderBy("label")
+        .coalesce(1)
+        .sortWithinPartitions("label")
     )
 
 

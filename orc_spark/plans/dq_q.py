@@ -348,7 +348,8 @@ def dq_benford(spark: SparkSession, sf: str) -> DataFrame:
             F.round(exp, 6).alias("expected"),
             F.round(chi_term, 6).alias("chi_term"),
         )
-        .orderBy("d")
+        .coalesce(1)
+        .sortWithinPartitions("d")
     )
 
 
@@ -417,7 +418,7 @@ def dq_freshness(spark: SparkSession, sf: str) -> DataFrame:
         ratio.cast("bigint").alias("rate_ratio_pct"),
         (F.col("last_age_s") > 86400).alias("is_stale"),
         (ratio < 50).alias("is_quiet"),
-    ).orderBy("event_type")
+    ).coalesce(1).sortWithinPartitions("event_type")
 
 
 DQ_FRESHNESS_SQL = f"""

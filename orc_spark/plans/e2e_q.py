@@ -483,7 +483,8 @@ def io_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
             "n_users",
             "value_cents",
         )
-        .orderBy("day")
+        .coalesce(1)
+        .sortWithinPartitions("day")
     )
 
 
@@ -564,7 +565,8 @@ def io_compaction(spark: SparkSession, sf: str) -> DataFrame:
             F.max("fid").alias("last_fid"),
             xor_digest(F.col("fid").cast("string")).alias("file_digest"),
         )
-        .orderBy("part", "bin")
+        .coalesce(1)
+        .sortWithinPartitions("part", "bin")
     )
 
 

@@ -539,7 +539,9 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
         out = spark.createDataFrame(
             core or [], "s_suppkey bigint, core_degree bigint"
         ).withColumn("converged", F.lit(True))
-        return out.orderBy(F.col("core_degree").desc(), F.col("s_suppkey").asc())
+        return out.coalesce(1).sortWithinPartitions(
+            F.col("core_degree").desc(), F.col("s_suppkey").asc()
+        )
     final_deg = (
         edges.select(F.col("ea").alias("node"))
         .unionByName(edges.select(F.col("eb").alias("node")))
@@ -905,7 +907,8 @@ def gr_bfs(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nodes"),
             xor_digest(F.col("node").cast("string")).alias("node_digest"),
         )
-        .orderBy("hop")
+        .coalesce(1)
+        .sortWithinPartitions("hop")
     )
 
 

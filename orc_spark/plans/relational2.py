@@ -755,7 +755,8 @@ def r19_promo_share(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("promo_pct"),
         )
-        .orderBy("ship_year", "ship_month")
+        .coalesce(1)
+        .sortWithinPartitions("ship_year", "ship_month")
     )
 
 
@@ -872,7 +873,10 @@ def r21_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("n_orders"), 6).alias("avg_orders_skipnull"),
             F.min(F.expr("last_ms")).alias("min_last_ms_skipnull"),
         )
-        .orderBy(F.col("n_matched").asc_nulls_first(), F.col("c_mktsegment"))
+        .coalesce(1)
+        .sortWithinPartitions(
+            F.col("n_matched").asc_nulls_first(), F.col("c_mktsegment")
+        )
     )
 
 

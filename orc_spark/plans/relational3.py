@@ -1253,7 +1253,7 @@ def sk_theta_ops(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("na") + F.col("nb") - F.col("exact_inter")).alias("exact_union"),
         F.col("exact_inter"),
         (F.col("na") - F.col("exact_inter")).alias("exact_diff_ab"),
-    ).orderBy("ta", "tb")
+    ).coalesce(1).sortWithinPartitions("ta", "tb")
 
 
 def _theta_sql() -> str:

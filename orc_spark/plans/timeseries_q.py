@@ -719,7 +719,8 @@ def ts_seasonal(spark: SparkSession, sf: str) -> DataFrame:
             dev.cast("bigint").alias("dev_num"),
             (dev > 0).alias("above_type_avg"),
         )
-        .orderBy("event_type", "hour")
+        .coalesce(1)
+        .sortWithinPartitions("event_type", "hour")
     )
 
 
