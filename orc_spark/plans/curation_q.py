@@ -461,9 +461,14 @@ def cu_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         # cores-not-bytes (SCALING.md): repartition BEFORE the explode so the
         # downstream window+dedup stage keeps real parallelism — without it
         # AQE coalesces the few-MB shuffle and one task sorts/dedups every
-        # fingerprint (measured 5.3 s → 0.74 s at sf0.1)
+        # fingerprint (measured 5.3 s → 0.74 s at sf0.1). KEYED by doc_id
+        # (r15): hashpartitioning(doc_id) satisfies every downstream
+        # requirement — the window min, the (doc_id, fp) dedup, the n_fp
+        # window and the final groupBy(doc_id) — so the exploded gram
+        # stream (the fat one: ~28 B/position) never shuffles; round-robin
+        # forced a second full-stream exchange right after the explode.
         docs = docs.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
         )
         # BYTE-domain k-grams (operators/gramscan.py, r15): positional
         # STRING substring is O(doc_len) per call — a giant doc made this

@@ -86,8 +86,10 @@ def dd_minhash_sig(spark: SparkSession, sf: str) -> DataFrame:
     set, so the signature aggregation consumes the exploded rows directly —
     one shuffle (the groupBy), map-side partial mins, nothing else."""
     # pre-explode repartition: the documents file is one scan split, and the
-    # ~300× shingle fan-out + md5 would otherwise run in a single task
-    docs = spread_small_scan(load_table(spark, sf, "documents"))
+    # ~300× shingle fan-out + md5 would otherwise run in a single task.
+    # doc_id-keyed (r15): the spread exchange doubles as the groupBy(doc_id)
+    # distribution, so the signature aggregate needs no exchange of its own
+    docs = spread_small_scan(load_table(spark, sf, "documents"), key="doc_id")
     # byte-domain shingles (gramscan.py): O(k) per position — positional
     # STRING substring is O(doc_len) per call and a giant doc made this
     # scan a quadratic single-task straggler (r15)
@@ -378,7 +380,10 @@ _TOKENS_SQL = """
 def dd_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """60-bit SimHash: per bit b, sign of Σ_tokens (bit_b(h(token)) ? +1 : -1),
     weighted by token multiplicity."""
-    docs = spread_small_scan(load_table(spark, sf, "documents"))
+    # doc_id-keyed spread (r15): both downstream groupBys — (doc_id, b) and
+    # (doc_id) — are satisfied by hashpartitioning(doc_id), so the 60×
+    # bit-exploded stream never re-shuffles
+    docs = spread_small_scan(load_table(spark, sf, "documents"), key="doc_id")
     toks = _tokens(docs).select("doc_id", h60(F.col("tok")).alias("h"))
     # integer division, not `/`: h is up to 2^60 and float division would lose
     # low bits. 2^b is exact in double, so the cast is exact in both engines.
@@ -507,15 +512,17 @@ def dd_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import types as T
 
     nb = NGRAM_N_BLOCKS
-    docs = (
-        load_table(spark, sf, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "doc_id",
-            "text",
-            (F.floor(F.length("text") / LEN_BUCKET)).alias("bucket"),
-            F.pmod(F.col("doc_id"), F.lit(nb)).cast("int").alias("blk"),
-        )
+    # doc_id-keyed scale-aware spread (r15): hashpartitioning(doc_id)
+    # satisfies the collect_set groupBy's ClusteredDistribution(doc_id,
+    # bucket, blk), so the per-doc gram sets aggregate without their own
+    # exchange; previously an unconditional round-robin forced one
+    docs = spread_small_scan(
+        load_table(spark, sf, "documents"), key="doc_id"
+    ).select(
+        "doc_id",
+        "text",
+        (F.floor(F.length("text") / LEN_BUCKET)).alias("bucket"),
+        F.pmod(F.col("doc_id"), F.lit(nb)).cast("int").alias("blk"),
     )
     # byte-domain trigrams (gramscan.py, r15): positional STRING substring
     # is O(doc_len) per call — a giant doc made this scan quadratic.
@@ -1695,11 +1702,12 @@ def dd_substring(spark: SparkSession, sf: str) -> DataFrame:
     partition and one per-doc rollup; shuffle volume is the winnow-selected
     site stream, never positions x positions. W is the sampling knob: the
     guarantee bound K + W - 1 grows as the site stream shrinks."""
-    docs = (
-        load_table(spark, sf, "documents")
-        .select("doc_id", "text")
-        # cores-not-bytes: keep post-explode parallelism (cu_decontaminate)
-        .repartition(spark.sparkContext.defaultParallelism)
+    # cores-not-bytes spread, doc_id-keyed and scale-aware (r15): the
+    # window min, the (doc_id, fp) distinct and the final per-doc rollup
+    # are all doc_id-clustered, so the spread exchange serves them all
+    docs = spread_small_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text"),
+        key="doc_id",
     )
     # byte-domain grams on the RAW text (gramscan.py, r15): positional
     # STRING substring walks codepoints — O(doc_len²) per exploded doc
@@ -1812,14 +1820,13 @@ def dd_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     the digest windows, and the per-doc rollup never carry text (pinned by
     a plan test — a first cut carried `t` through the boundary union +
     lead window and measured 11 s at sf0.1 vs ~1.4 s warm for this shape).
-    Text rides (a) the cores-not-bytes RoundRobin repartition, same as the
-    whole winnow/substring gram family, and (b) the cuts join-back, whose
-    regime is size-dependent: while the folded cut lists fit the broadcast
-    threshold the join is broadcast and text stays stage-local; at
-    production volume cuts is |docs| rows, AQE falls back to a shuffle
-    join, and text rides exactly ONE doc_id-keyed exchange — linear, the
-    same cost class as the RoundRobin, not a scale hazard (both regimes
-    are pinned by tests/test_plan_quality.py, broadcast at tiny sf and
+    Text rides ONLY the doc_id-keyed cores-not-bytes spread (r15 — same
+    as the whole winnow/substring gram family): the cut-list fold reuses
+    that partitioning (no exchange of its own), and the cuts join-back —
+    broadcast while the folded cut lists fit the threshold, shuffle join
+    at production volume — is co-partitioned off the same spread on both
+    sides, so neither regime inserts a text exchange (both regimes pinned
+    by tests/test_plan_quality.py, broadcast at tiny sf and
     forced-shuffle). Chunk substrings + digests are computed stage-locally
     in that join's projection. Shared-chunk counting is the dd_substring
     pattern — digest-partition windows over the (doc_id, digest) int
@@ -1837,7 +1844,10 @@ def dd_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
         # builders share this contract)
         .where(F.col("text").isNotNull())
     )
-    docs = spread_small_scan(docs)
+    # doc_id-keyed spread (r15): the cuts groupBy(doc_id) and the SMJ-regime
+    # join-back are doc_id-clustered; the digest windows still need their
+    # own digest-keyed exchange (int stream, by design)
+    docs = spread_small_scan(docs, key="doc_id")
     # BYTE-domain boundaries/spans (operators/gramscan.py, r15): the
     # lowered UTF-8 bytes are prepared once per doc; boundary grams and
     # chunk digests are O(k)/O(chunk) binary slices — positional STRING

@@ -319,7 +319,12 @@ def tx_winnow(spark: SparkSession, sf: str) -> DataFrame:
     Output is the per-doc fingerprint-set summary (count + xor-fold), which
     hash-checks without exploding the set. One narrow explode + one window
     min + one groupBy; linear at any corpus size."""
-    docs = spread_small_scan(load_table(spark, sf, "documents"))
+    # doc_id-keyed spread (r15): window min, (doc_id, fp) distinct and the
+    # per-doc rollup all reuse the spread exchange — the exploded gram
+    # stream never re-shuffles
+    docs = spread_small_scan(
+        load_table(spark, sf, "documents"), key="doc_id"
+    )
     from pyspark.sql import Window
 
     from orc_spark.operators.gramscan import byte_pos_stream, gram
@@ -424,8 +429,12 @@ def tx_repetition(spark: SparkSession, sf: str) -> DataFrame:
     explode. Everything is linear in corpus characters."""
     from pyspark.sql import Window
 
+    # doc_id-keyed spread (r15): every segment/gram rollup groupBy and the
+    # final doc_id assembly joins are doc_id-clustered — one exchange
+    # serves the whole query
     docs = spread_small_scan(
-        load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+        load_table(spark, sf, "documents").where(F.col("text").isNotNull()),
+        key="doc_id",
     )
     base = docs.select(
         "doc_id", "source", F.col("text").alias("t"),

@@ -251,7 +251,7 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
         return None
 
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
+def spread_small_scan(df: DataFrame, key: str | None = None) -> DataFrame:
     """Cores-not-bytes pre-explode repartition, SCALE-AWARE (r14): a tiny
     corpus arrives as one or two scan splits, and a ~300× gram fan-out +
     md5 downstream would run in a single task — but at production volume
@@ -263,11 +263,26 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     no Spark job — ADVICE r14 replaced an rdd.getNumPartitions() call that
     would materialize AQE stages on an exchange-bearing frame); when the
     estimate is unavailable (remote filesystem) the scan is assumed big
-    and left alone."""
+    and left alone.
+
+    `key` (r15, guide §2.4 "share one exchange"): when the caller's
+    downstream aggregations/windows/joins are all clustered by `key`
+    (hashpartitioning(key) satisfies ClusteredDistribution of any superset
+    key list), hash-partition the spread by it so the SAME exchange that
+    buys parallelism also satisfies every downstream requirement — a
+    round-robin spread forced the exploded gram stream (the fat one) to
+    re-shuffle immediately after the fan-out. Per-doc fan-out skew is
+    IDENTICAL either way (a doc's positions stay with its row's
+    partition); keyed hashing also skips round-robin's
+    sortBeforeRepartition pass. Callers whose spread feeds an opaque
+    boundary (mapInPandas re-creates exprIds, so partitioning cannot
+    propagate) keep the default round-robin."""
     n = df.sparkSession.sparkContext.defaultParallelism
     est = _estimate_scan_splits(df)
     if est is None or est >= n:
         return df
+    if key is not None:
+        return df.repartition(n, key)
     return df.repartition(n)
 
 

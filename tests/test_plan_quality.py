@@ -710,21 +710,26 @@ def test_sk_countmin_probe_shape(spark, sf_small):
 
 
 def _cdc_text_exchanges(spark, sf_small):
-    """hashpartitioning exchange blocks of dd_cdc_chunks' plan, split into
-    (carrying text, ints only)."""
+    """Exchange blocks of dd_cdc_chunks' plan, split into (spread, analytic
+    carrying text, analytic ints only). The cores-not-bytes spread is the
+    caller's own REPARTITION_BY_NUM (doc_id-keyed since r15 so downstream
+    doc_id-clustered operators reuse it); every planner-inserted
+    ENSURE_REQUIREMENTS hashpartitioning exchange is analytic."""
     import re
 
     from orc_spark.plans.dedup_q import dd_cdc_chunks
     from orc_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(dd_cdc_chunks(spark, sf_small))
-    analytic = [
+    exchanges = [
         b
         for b in re.split(r"\n\n", plan)
         if re.match(r"\(\d+\) Exchange", b) and "hashpartitioning" in b
     ]
+    spread = [b for b in exchanges if "REPARTITION_BY_NUM" in b]
+    analytic = [b for b in exchanges if "ENSURE_REQUIREMENTS" in b]
     texty = [b for b in analytic if re.search(r"\b(text|tb|t)#\d+", b)]
-    return texty, [b for b in analytic if b not in texty]
+    return spread, texty, [b for b in analytic if b not in texty]
 
 
 def test_ev_rfm_has_no_global_sort(spark, sf_small):
@@ -746,33 +751,36 @@ def test_ev_rfm_has_no_global_sort(spark, sf_small):
 def test_dd_cdc_chunks_text_stays_out_of_analytic_shuffles(spark, sf_small):
     """dd_cdc_chunks' scale contract, BROADCAST regime (cuts fits the
     threshold — the tiny-sf / early-production shape): every
-    hashpartitioning exchange (the cut-list fold, the digest windows, the
+    planner-inserted hashpartitioning exchange (the digest windows, the
     per-doc rollup) carries ints only — a first cut shipped the full text
     column through the lead window's exchange and measured 8x slower at
-    sf0.1. Text may ride only the cores-not-bytes RoundRobin repartition
-    (the shared gram-family pattern)."""
-    texty, ints_only = _cdc_text_exchanges(spark, sf_small)
-    assert len(ints_only) >= 3  # cut fold + ≥1 digest window + doc rollup
+    sf0.1. Text may ride only the doc_id-keyed cores-not-bytes spread
+    (the shared gram-family pattern); since that spread satisfies the
+    cut-list fold's distribution, the fold needs no exchange at all."""
+    spread, texty, ints_only = _cdc_text_exchanges(spark, sf_small)
+    assert len(ints_only) >= 2  # ≥1 digest window + doc rollup
     assert not texty, texty[0] if texty else None
+    assert spread and all("doc_id" in b for b in spread), spread
 
 
 def test_dd_cdc_chunks_shuffle_regime_at_volume(spark, sf_small):
     """dd_cdc_chunks' scale contract, SHUFFLE regime (ADVICE r14): when the
     folded cut lists outgrow the broadcast threshold (production volume —
     forced here via autoBroadcastJoinThreshold=-1), the cuts join-back
-    falls to a shuffle join and text rides exactly ONE doc_id-keyed
-    exchange (linear, the same cost class as the RoundRobin). Every OTHER
-    analytic exchange must still be ints-only."""
+    falls to a shuffle join — and since r15's doc_id-keyed spread both
+    sides arrive co-partitioned, so the join inserts NO text exchange:
+    text rides only the spread itself in this regime too. Every
+    planner-inserted analytic exchange must still be ints-only."""
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        texty, ints_only = _cdc_text_exchanges(spark, sf_small)
+        spread, texty, ints_only = _cdc_text_exchanges(spark, sf_small)
     finally:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
-    assert len(texty) == 1, texty
-    assert "doc_id" in texty[0], texty[0]
-    assert len(ints_only) >= 3
+    assert not texty, texty[0] if texty else None
+    assert len(ints_only) >= 2
+    assert spread and all("doc_id" in b for b in spread), spread
 
 
 def test_spread_small_scan_is_scale_aware(spark, sf_small, tmp_path):
@@ -788,7 +796,8 @@ def test_spread_small_scan_is_scale_aware(spark, sf_small, tmp_path):
     from orc_spark.sources.tables import load_table, spread_small_scan
 
     # tiny: one scan split -> the repartition appears in the plan
-    assert "RoundRobinPartitioning" in formatted_plan(
+    # (doc_id-keyed since r15, so the signature groupBy reuses it)
+    assert "hashpartitioning(doc_id" in formatted_plan(
         dd_minhash_sig(spark, sf_small)
     )
     # many-split corpus: identity (no shuffle added)
