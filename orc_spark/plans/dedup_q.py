@@ -1114,8 +1114,14 @@ def _srp_pairs(
             .select("vec_a", "vec_b")
         )
     cand = cand.distinct()
-    norms = flat.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    # localCheckpoint (gr_triangles pattern): norms is a small |vecs|-row
+    # aggregate consumed by BOTH rerank join sides — without it each side
+    # re-runs the full embeddings explode + groupBy (per-branch column
+    # pruning defeats ReuseExchange)
+    norms = (
+        flat.groupBy("vec_id")
+        .agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+        .localCheckpoint(eager=False)
     )
     fa = flat.select(
         F.col("vec_id").alias("vec_a"), "i", F.col("v").alias("va")

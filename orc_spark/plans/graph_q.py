@@ -536,12 +536,19 @@ def gr_kcore(spark: SparkSession, sf: str) -> DataFrame:
             f"gr_kcore: no fixpoint within KCORE_MAX_ROUNDS={KCORE_MAX_ROUNDS}"
         )
     if local_edges is not None:
-        out = spark.createDataFrame(
-            core or [], "s_suppkey bigint, core_degree bigint"
+        # The rows are ALREADY on the driver — sort them in Python (exact
+        # integer keys, same (core_degree DESC, s_suppkey ASC) order) and
+        # ship ONE slice. The r15 first cut fused the presentation sort as
+        # .coalesce(1).sortWithinPartitions over createDataFrame(list),
+        # which pays ~32 SEQUENTIAL Python-worker partition reads in the
+        # single coalesced task (~5 s at sf0.1 — the CLAUDE.md
+        # tiny-literal-frame pathology); a Spark-side sort of driver-local
+        # rows was never needed at all.
+        rows = sorted(core, key=lambda t: (-t[1], t[0]))
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1) if rows else [],
+            "s_suppkey bigint, core_degree bigint",
         ).withColumn("converged", F.lit(True))
-        return out.coalesce(1).sortWithinPartitions(
-            F.col("core_degree").desc(), F.col("s_suppkey").asc()
-        )
     final_deg = (
         edges.select(F.col("ea").alias("node"))
         .unionByName(edges.select(F.col("eb").alias("node")))
