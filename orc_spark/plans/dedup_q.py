@@ -1261,28 +1261,41 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
     n = table_rowcount(sf, "embeddings")
     sampled = n > ANN_RECALL_EXACT_MAX
-    if sampled:
-        win = Window.partitionBy("label").orderBy(
-            h60(F.col("vec_id").cast("string")), F.col("vec_id")
-        )
-        probes = (
-            emb.withColumn("rn", F.row_number().over(win))
-            .where(F.col("rn") <= ANN_RECALL_Q)
-            .select("vec_id", "embedding")
-        )
-    else:
-        probes = emb.select("vec_id", "embedding")
-    probe_pdf = probes.toPandas()  # bounded: ≤ max(EXACT_MAX, Q·|labels|)
-    if probe_pdf.empty:
-        q_ids = np.array([], dtype=np.int64)
-        q_m = np.zeros((0, 0))
-        q_nrm = np.zeros((0,))
-    else:
+
+    def _collect_probes():
+        if sampled:
+            win = Window.partitionBy("label").orderBy(
+                h60(F.col("vec_id").cast("string")), F.col("vec_id")
+            )
+            probes = (
+                emb.withColumn("rn", F.row_number().over(win))
+                .where(F.col("rn") <= ANN_RECALL_Q)
+                .select("vec_id", "embedding")
+            )
+        else:
+            probes = emb.select("vec_id", "embedding")
+        # bounded: ≤ max(EXACT_MAX, Q·|labels|)
+        probe_pdf = probes.toPandas()
+        if probe_pdf.empty:
+            return (
+                np.array([], dtype=np.int64),
+                np.zeros((0, 0)),
+                np.zeros((0,)),
+            )
         q_ids = probe_pdf["vec_id"].to_numpy()
-        q_m = np.vstack(probe_pdf["embedding"].map(np.asarray).to_numpy()).astype(
-            np.float64
-        )
-        q_nrm = np.sqrt((q_m * q_m).sum(axis=1))
+        q_m = np.vstack(
+            probe_pdf["embedding"].map(np.asarray).to_numpy()
+        ).astype(np.float64)
+        return q_ids, q_m, np.sqrt((q_m * q_m).sum(axis=1))
+
+    # deterministic per (session, sf) — memo_value shares the bounded probe
+    # arrays exactly like mm_q's ANN probe set (9a1cbe5): without it every
+    # build re-ran the h60-rank window + toPandas collect as an extra job
+    from orc_spark.plan_memo import memo_value
+
+    q_ids, q_m, q_nrm = memo_value(
+        spark, sf, "ann_srp_recall_probes", _collect_probes
+    )
     bc = spark.sparkContext.broadcast((q_ids, q_m, q_nrm))
     schema = T.StructType(
         [
@@ -1322,17 +1335,29 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     # sampled mode: the probe restriction goes INTO the SRP pipeline so
-    # only probe-touching candidates reach the exact-cosine rerank
-    retr = _srp_pairs(
-        spark, sf, probes.select("vec_id") if sampled else None
+    # only probe-touching candidates reach the exact-cosine rerank; the id
+    # frame is rebuilt from the memoized arrays as ONE driver slice (it is
+    # only ever broadcast)
+    probe_id_df = (
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(int(v),) for v in q_ids], 1
+            )
+            if len(q_ids)
+            else [],
+            "vec_id bigint",
+        )
+        if sampled
+        else None
     )
+    retr = _srp_pairs(spark, sf, probe_id_df)
     tc = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     rc = retr.agg(F.count(F.lit(1)).alias("n_retrieved"))
     # n_truth == 0 guard (constant-value sweep, r11): an all-degenerate
     # corpus (e.g. zero embeddings) has no truth pairs and recall is
     # undefined — NULL, not an ANSI DIVIDE_BY_ZERO.
     return tc.crossJoin(rc).select(
-        F.lit(int(len(probe_pdf))).cast("bigint").alias("n_probes"),
+        F.lit(int(len(q_ids))).cast("bigint").alias("n_probes"),
         "n_truth",
         "n_retrieved",
         F.round(
