@@ -883,22 +883,43 @@ def dd_semdedup(spark: SparkSession, sf: str) -> DataFrame:
             }
         )
 
+    # single consumer (the left join below) — no checkpoint needed; AQE
+    # sees the distinct's true (tiny) size at runtime and broadcasts
     dropped = (
         tagged.groupBy("label", "ba", "bb")
         .applyInPandas(cell, schema)
-        .select("label", "vec_drop")
+        .select("vec_drop")
         .distinct()
     )
-    kept = emb.join(
-        dropped, emb.vec_id == dropped.vec_drop, "left_anti"
-    ).select("label", "vec_id")
-    per_kept = kept.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        xor_digest(F.col("vec_id").cast("string")).alias("survivor_digest"),
+    # ONE emb scan + ONE groupBy builds totals, kept counts and the
+    # survivor digest together (aggregates skip NULLs, so the when()
+    # projections restrict them to survivors): the previous
+    # anti-join + two separate aggregates + join re-scanned embeddings
+    # per branch (r15).
+    flagged = emb.select("label", "vec_id").join(
+        dropped.withColumn("dropped", F.lit(1)),
+        emb.vec_id == dropped.vec_drop,
+        "left",
     )
-    totals = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    keep_id = F.when(
+        F.col("dropped").isNull(), F.col("vec_id")
+    )
+    # the when() wraps the WHOLE digest term (not just the id inside
+    # xor_digest): concat_ws inside xor_digest maps NULL to "" rather than
+    # propagating it, which would xor h60("") in for every dropped row
+    from orc_spark.functions.hashing import h60
+
+    keep_h = F.when(
+        F.col("dropped").isNull(),
+        h60(F.col("vec_id").cast("string")),
+    )
     return (
-        totals.join(per_kept, "label")
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(keep_id).alias("n_kept"),
+            F.bit_xor(keep_h).cast("bigint").alias("survivor_digest"),
+        )
         .select(
             "label",
             "n_vecs",
