@@ -224,16 +224,40 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn, running_spend FROM (
 # --- R6: set ops + distinct -------------------------------------------------
 
 def r6_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION cardinalities in ONE pass (r15): the
+    literal three set-op pipelines re-scanned and re-distincted both
+    filtered streams per op (3 shuffles of each side, 9 job rounds).
+    Tagging each side and folding the distinct into one groupBy(pk) gives
+    identical set semantics — heavy is distinct, so exceptAll == set
+    EXCEPT — with a single exchange: n_intersect = Σ h·b,
+    n_except = Σ h·(1−b), n_union = |keys|."""
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part")
     heavy = li.where(F.col("l_quantity") >= 45).select(
-        F.col("l_partkey").alias("pk")
-    ).distinct()
-    big = part.where(F.col("p_size") >= 40).select(F.col("p_partkey").alias("pk")).distinct()
-    return (
-        heavy.intersect(big).agg(F.count(F.lit(1)).alias("n_intersect"))
-        .crossJoin(heavy.exceptAll(big).agg(F.count(F.lit(1)).alias("n_except")))
-        .crossJoin(heavy.union(big).distinct().agg(F.count(F.lit(1)).alias("n_union")))
+        F.col("l_partkey").alias("pk"),
+        F.lit(1).alias("h"),
+        F.lit(0).alias("b"),
+    )
+    big = part.where(F.col("p_size") >= 40).select(
+        F.col("p_partkey").alias("pk"),
+        F.lit(0).alias("h"),
+        F.lit(1).alias("b"),
+    )
+    tagged = (
+        heavy.unionByName(big)
+        .groupBy("pk")
+        .agg(F.max("h").alias("h"), F.max("b").alias("b"))
+    )
+    # coalesce: sum over an EMPTY key set is NULL where the old per-op
+    # count was 0 (hypothesis-found edge)
+    return tagged.agg(
+        F.coalesce(F.sum(F.col("h") * F.col("b")), F.lit(0))
+        .cast("bigint")
+        .alias("n_intersect"),
+        F.coalesce(F.sum(F.col("h") * (1 - F.col("b"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_except"),
+        F.count(F.lit(1)).alias("n_union"),
     )
 
 
