@@ -327,9 +327,14 @@ def main() -> None:
     # (VERDICT r14 directive 3: dd_cdc_chunks joins the anchor set — its
     # boundary scan is the per-position-md5 CPU shape whose slope decides
     # whether the Arrow/numpy kernel escape hatch is needed.)
+    # (VERDICT r15 directive 4: dd_minhash_quality joins the anchor set — its
+    # exact-jaccard rerank scans the shingle stream 3x, and the cross-sf
+    # slope plus the sc1_ sf1 anchor below decide whether the recorded
+    # Arrow/numpy packed-shingle kernel ever needs to land.)
     SCALE2 = [
         "dd_cdc_chunks",
         "dd_cluster",
+        "dd_minhash_quality",
         "ann_recall_eval",
         "dd_embcos",
         "gr_pagerank",
@@ -393,6 +398,93 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"# sf3 {name} failed: {e}", file=sys.stderr)
         print(f"# sf1-replica anchor: {sf3_secs}", file=sys.stderr)
+    # sf1-replica CPU-bound scaling anchors (VERDICT r15 directive 1): every
+    # sf0.1 registry timing is AQE-job-floor/driver-bound on this rig, so a
+    # low-core vs high-core wall-clock comparison reads ~1.0 on all of them
+    # and cannot distinguish "serial plan" from "tiny data". These anchors
+    # re-time the heaviest CPU-parallel kernels at the deterministic ~sf1
+    # replica (scripts/make_sf1.py — seeded permutations of sf0.1 only,
+    # auto-materialized in ~5 s with a row-count skip check; input-data
+    # generation, never result caching), where measured executor task-time
+    # is 6-21x wall-clock — a regime where core count actually matters
+    # (probed r16: at cpus=8 task/wall ≈ 6 of a possible 8, i.e. saturated).
+    # Reported in `queries` as ADDED sc1_<name> entries (driver contract:
+    # additions allowed) and deliberately EXCLUDED from `value`, which stays
+    # the sf0.1 registry total, comparable round-over-round. sc1_task_secs
+    # carries the executor task-time (sum of per-stage executorRunTime
+    # deltas) next to each wall-clock so the artifact itself demonstrates
+    # parallelism (task >> wall == CPU-bound and spread across cores).
+    SC1 = [
+        "dd_containment",
+        "dd_cluster",
+        "dd_ngram_jaccard",
+        "dd_minhash_quality",
+    ]
+    sc1_secs: dict[str, float] = {}
+    sc1_task: dict[str, float] = {}
+
+    def _stage_runtimes() -> dict:
+        # executorRunTime per (stageId, attempt) from the app status store;
+        # diffing snapshots isolates one query's task time (stages evicted
+        # by the retained-stage cap only ever REMOVE old entries, and the
+        # diff counts new stage ids only)
+        jvm = spark.sparkContext._jvm
+        store = spark.sparkContext._jsc.sc().statusStore()
+        empty = jvm.java.util.ArrayList()
+        arr = spark.sparkContext._gateway.new_array(jvm.double, 0)
+        out = {}
+        it = store.stageList(empty, False, False, arr, empty).iterator()
+        while it.hasNext():
+            s = it.next()
+            out[(s.stageId(), s.attemptId())] = s.executorRunTime()
+        return out
+
+    if os.path.abspath(sf_dir) == "/root/testdata/sf0.1":
+        try:
+            sys.path.insert(
+                0,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "scripts"
+                ),
+            )
+            import make_sf1
+
+            sc1_dir = "/tmp/orc_sf1"
+            make_sf1.main(sc1_dir)
+            for name in SC1:
+                if name not in reg:
+                    continue
+                try:
+                    best = None
+                    best_task = None
+                    for _ in range(reps):
+                        before = _stage_runtimes()
+                        t0 = time.perf_counter()
+                        reg[name].spark_fn(spark, sc1_dir).count()
+                        dt = time.perf_counter() - t0
+                        time.sleep(0.5)  # let the status listener drain
+                        after = _stage_runtimes()
+                        task_s = (
+                            sum(
+                                v - before.get(k, 0) for k, v in after.items()
+                            )
+                            / 1000.0
+                        )
+                        if best is None or dt < best:
+                            best, best_task = dt, task_s
+                        spark.catalog.clearCache()
+                        _drop_persisted()
+                    sc1_secs[name] = round(best, 3)
+                    sc1_task[name] = round(best_task, 1)
+                except Exception as e:  # noqa: BLE001
+                    print(f"# sc1 {name} failed: {e}", file=sys.stderr)
+            print(
+                f"# sf1-replica scaling anchors: {sc1_secs} "
+                f"task_secs {sc1_task}",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"# sc1 anchors skipped: {e}", file=sys.stderr)
     # DuckDB oracle timings at the same sf: makes BASELINE.md's "within 2x
     # of the single-node engine" gate evaluable per query (VERDICT r01 #6)
     oracle_secs: dict[str, float] = {}
@@ -457,6 +549,10 @@ def main() -> None:
         # set; {} otherwise, so slope readers know whether 3 points exist
         "sf3_dir": sf3_dir or None,
         "sf3_secs": sf3_secs,
+        # CPU-bound sf1-replica scaling anchors (excluded from `value` —
+        # different sf) + their executor task-times
+        "sc1_secs": sc1_secs,
+        "sc1_task_secs": sc1_task,
         # loadavg sampled at phase boundaries — the external-contention
         # audit trail (see CLAUDE.md: judge by Spark:oracle RATIO, and use
         # these samples to label a run contended)
@@ -482,6 +578,11 @@ def main() -> None:
             json.dump(detail, f, indent=1, sort_keys=True)
         print(f"# 3-anchor detail written to {scale3_path}", file=sys.stderr)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    # sf1-replica scaling anchors ride in `queries` (ADDED entries, distinct
+    # sc1_ prefix) so the driver's low-vs-high-core per-query comparison
+    # finally sees a CPU-bound regime; they are NOT in `value` (see above)
+    for k, v in sc1_secs.items():
+        slowest[f"sc1_{k}"] = v
     compact = {
         "metric": "headline_queries_total",
         "value": total,
@@ -499,9 +600,15 @@ def main() -> None:
         # second scale point (sf0.01) for the same headline shapes: the
         # cross-sf SLOPE is the scale-regression signal
         "sf2_queries": sf2_secs,
+        # executor task-time per sf1 anchor: task >> wall proves the anchor
+        # is CPU-parallel, not a serial plan (full map in BENCH_DETAIL.json)
+        "sc1_task_secs": sc1_task,
     }
     line = json.dumps(compact)
     if len(line) > 1900:  # hard guard: never outgrow the driver capture again
+        compact.pop("sc1_task_secs", None)
+        line = json.dumps(compact)
+    if len(line) > 1900:
         compact.pop("sf2_queries", None)
         line = json.dumps(compact)
     if len(line) > 1900:

@@ -44,24 +44,77 @@ class Query:
 #            queries deferred this round; rotate tiers 2/3 across rounds so
 #            every query accumulates a driver row.
 _PRIORITY_FIRST = [
-    # r15 head, per VERDICT r14 directive 1 (exactly 50 slots):
-    # (0) tx_repetition is NEW this round (no driver row ever) — tier-1
-    #     policy puts first-ever oracles at the front:
+    # r16 head, per VERDICT r15 directive 2 (exactly 50 slots). Composition:
+    # every query REWRITTEN in r15 whose newest green driver row predates the
+    # rewrite gets a driver-strength slot, staleness-ordered within tiers.
+    # (a) the 14 r12-floor queries (stalest rows; incl. the r15 rewrites
+    #     ev_rfm / ev_survival and the sort-fused dq_freshness /
+    #     ev_concurrency / ts_seasonal / r19_promo_share):
+    "ts_mannkendall",
+    "st_goertzel", "r16_big_orders", "r17_nation_volume",
+    "r18_returned_items", "r19_promo_share", "r20_bracket_revenue",
+    "st_holt", "ev_rfm", "dq_freshness", "ev_concurrency", "ts_seasonal",
+    "mb_rules", "ev_survival",
+    # (b) 32 r13 greens in r13 head order (all r15-rewritten members kept:
+    #     gr_kcore, dd_embcos, dd_cluster, dd_semdedup, dd_substring,
+    #     dd_minhash_sig/pairs, dd_simhash(+_pairs), sk_theta_ops,
+    #     dd_minhash_quality, io_partition_prune/io_compaction + the other
+    #     sort fuses; 7 untouched ts_/st_ members ceded their slots to the
+    #     r14 tier below — their families hold fresh r14/r15 rows):
+    "cdc_pit_lookup", "r21_null_semantics",
+    "io_partition_prune", "cu_repetition",
+    "gr_kcore", "dd_embcos", "dd_cluster",
+    "dd_keepbest", "tx_fingerprint", "dp_profile",
+    "tx_gopher_quality", "sk_theta_ops",
+    "dd_minhash_quality",
+    "cu_anneal_mixture",
+    "ev_bot_detect", "cu_chunk",
+    "gr_bfs", "gr_linkpred", "dd_semdedup", "io_compaction",
+    "tx_zipf", "tx_hashclf", "gr_label_prop", "ev_feature_snapshot",
+    "dd_substring", "dq_referential", "cu_corpus_report",
+    "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
+    "dd_simhash_pairs",
+    # (c) the 4 r14 greens whose r15 rewrites have no post-rewrite driver
+    #     row yet (keyed spread: dd_cdc_chunks, tx_winnow; keeper
+    #     checkpoint: cu_pipeline; tagged aggregation: r6_setops):
+    "dd_cdc_chunks", "cu_pipeline", "tx_winnow", "r6_setops",
+]
+_DEFERRED_LAST = [
+    # Tier 2 proper, staleness-ordered so the r17 head is again a prefix:
+    # the 7 r13 greens that ceded their r16 slots (untouched since r13;
+    # their st_/ts_ families are re-verified by fresh r14/r15 rows):
+    "st_throttle", "ts_twap", "st_token_bucket", "st_bursts", "ts_m4",
+    "ts_outlier_mad", "ts_theilsen",
+    # remaining r13 greens, r13 head order:
+    "ann_topk", "ann_ivf", "ann_bruteforce_fast", "approx_sketches",
+    "dp_sample", "dp_stratified", "mm_frame_sample", "r4b_cube",
+    "r5c_rank_battery", "rj_range_join", "sk_hll_merge",
+    # remaining r14 head greens, r14 head order:
+    "sk_salted_agg",
+    "aj_asof_join", "ts_medfilt", "ts_gradient", "ts_runstats",
+    "ts_groupmeans", "ts_deadband",
+    "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
+    "ts_resample", "r8_tumbling", "r8b_sliding",
+    "r8c_sessions", "tr_hier_rollup",
+    "ts_autocorr", "ev_funnel_windowed",
+    "sk_histq", "r11_stats_agg", "ts_welch", "ts_welch_p",
+    "ts_e2e_report", "tx_redact", "sk_countmin", "dq_expectations",
+    "io_orc_roundtrip",
+    "cu_budget", "mm_audio_windows",
+    "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
+    "r3_shipping_priority", "r4_rollup",
+    "r5_window_topk", "r5b_range_frame", "r7_scalar_battery",
+    "r7b_dates", "r7c_json_map", "r9_scalar_subquery", "r10_outer_hist",
+    "r12_unpivot", "r_pivot",
+    "tx_langid", "tx_quality", "tx_tokens",
+    # r15 head greens (the freshest rows in the registry), in r15 head
+    # order:
     "tx_repetition",
-    # (a) the 13 r11-floor queries (scripts/freshness.py --stale-only at
-    #     round start; the staged order from the r14 deferred list —
-    #     st_ahrs_replay leads, it ceded its r14 slot to dd_cdc_chunks).
-    #     After this round the freshness floor is r12:
     "st_ahrs_replay",
     "st_pid_replay", "st_imu_pipeline", "st_ewma",
     "st_kalman",
     "mm_image_features", "sk_bloom", "cu_decontaminate", "cu_pack",
     "ev_retention", "ev_funnel", "ann_ivf_index", "cu_mixture",
-    # (b) the 36 oldest r12-greens (prefix of the r14 deferred list's r12
-    #     section, r12 head order). ev_rfm sits in the later r12 slice but
-    #     was REWORKED this round (boundary-key quintile scoring) — its
-    #     hash-identity is pre-verified at sf0.001/sf0.01 and it keeps its
-    #     deferred slot for the r16 head:
     "dd_ngram_jaccard", "ann_recall_eval", "ann_srp_pairs", "dq_drift",
     "tx_tfidf", "tx_postings", "tx_collocations", "tx_bm25",
     "cdc_scd2", "cdc_merge", "ev_attribution", "ev_anomaly",
@@ -73,52 +126,6 @@ _PRIORITY_FIRST = [
     "r15_idle_customers", "dq_benford", "ev_ab_test", "st_hysteresis",
     "ts_crossings", "st_cusum", "gr_triangles", "sk_kmv", "ev_ltv",
     "ev_paths", "tx_ngram_lm", "dq_kanon",
-]
-_DEFERRED_LAST = [
-    # Tier 2 proper, staleness-ordered so the r16 head is again a prefix:
-    # the 14 remaining r12 greens (r12 head order):
-    "ts_mannkendall",
-    "st_goertzel", "r16_big_orders", "r17_nation_volume",
-    "r18_returned_items", "r19_promo_share", "r20_bracket_revenue",
-    "st_holt", "ev_rfm", "dq_freshness", "ev_concurrency", "ts_seasonal",
-    "mb_rules", "ev_survival",
-    # r13 head greens, in r13 head order:
-    "cdc_pit_lookup", "r21_null_semantics",
-    "io_partition_prune", "st_throttle", "ts_twap", "cu_repetition",
-    "gr_kcore", "st_token_bucket", "st_bursts", "dd_embcos", "dd_cluster",
-    "dd_keepbest", "tx_fingerprint", "dp_profile",
-    "tx_gopher_quality", "ts_m4", "sk_theta_ops",
-    "dd_minhash_quality",
-    "cu_anneal_mixture",
-    "ev_bot_detect", "cu_chunk", "ts_outlier_mad",
-    "gr_bfs", "gr_linkpred", "ts_theilsen", "dd_semdedup", "io_compaction",
-    "tx_zipf", "tx_hashclf", "gr_label_prop", "ev_feature_snapshot",
-    "dd_substring", "dq_referential", "cu_corpus_report",
-    "dd_exact", "dd_minhash_sig", "dd_minhash_pairs", "dd_simhash",
-    "dd_simhash_pairs",
-    "ann_topk", "ann_ivf", "ann_bruteforce_fast", "approx_sketches",
-    "dp_sample", "dp_stratified", "mm_frame_sample", "r4b_cube",
-    "r5c_rank_battery", "rj_range_join", "sk_hll_merge",
-    # r14 head greens (the freshest rows in the registry), in r14 head
-    # order:
-    "dd_cdc_chunks",
-    "sk_salted_agg",
-    "aj_asof_join", "ts_medfilt", "ts_gradient", "ts_runstats",
-    "ts_groupmeans", "ts_deadband",
-    "ts_peak_reject", "ts_locf", "ts_zero_cal", "ts_transform",
-    "ts_resample", "r8_tumbling", "r8b_sliding",
-    "r8c_sessions", "tr_hier_rollup",
-    "ts_autocorr", "ev_funnel_windowed",
-    "sk_histq", "r11_stats_agg", "ts_welch", "ts_welch_p",
-    "ts_e2e_report", "tx_redact", "sk_countmin", "dq_expectations",
-    "io_orc_roundtrip", "cu_pipeline",
-    "cu_budget", "mm_audio_windows", "tx_winnow",
-    "r1_pricing_summary", "r2_join_agg", "r2b_semi_anti",
-    "r3_shipping_priority", "r4_rollup",
-    "r5_window_topk", "r5b_range_frame", "r6_setops", "r7_scalar_battery",
-    "r7b_dates", "r7c_json_map", "r9_scalar_subquery", "r10_outer_hist",
-    "r12_unpivot", "r_pivot",
-    "tx_langid", "tx_quality", "tx_tokens",
 ]
 
 

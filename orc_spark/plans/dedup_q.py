@@ -913,6 +913,13 @@ def dd_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("dropped").isNull(),
         h60(F.col("vec_id").cast("string")),
     )
+    # Left-join-vs-oracle-inner-join equivalence (ADVICE r15): a label whose
+    # EVERY vector dropped would emit n_kept=0 / NULL survivor_digest here
+    # while the oracle's totals⋈per_kept inner join omits the label. That
+    # state is unreachable: the dominated-by-earlier drop rule can never
+    # drop a cluster's minimum comparable vec_id, so every non-empty label
+    # always keeps ≥1 survivor (asserted per label in
+    # tests/test_similarity_multimodal.py::test_semdedup_drops_planted_...).
     return (
         flagged.groupBy("label")
         .agg(

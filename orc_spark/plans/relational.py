@@ -227,10 +227,12 @@ def r6_setops(spark: SparkSession, sf: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION cardinalities in ONE pass (r15): the
     literal three set-op pipelines re-scanned and re-distincted both
     filtered streams per op (3 shuffles of each side, 9 job rounds).
-    Tagging each side and folding the distinct into one groupBy(pk) gives
-    identical set semantics — heavy is distinct, so exceptAll == set
-    EXCEPT — with a single exchange: n_intersect = Σ h·b,
-    n_except = Σ h·(1−b), n_union = |keys|."""
+    Tagging each side and folding everything into one groupBy(pk) gives
+    identical SET semantics directly: the groupBy deduplicates keys, and
+    max(h)/max(b) per key record side membership, so h·b counts keys in
+    both sides (INTERSECT), h·(1−b) keys only in heavy (EXCEPT), and the
+    group count is |heavy ∪ big| (UNION) — one exchange total:
+    n_intersect = Σ h·b, n_except = Σ h·(1−b), n_union = |keys|."""
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part")
     heavy = li.where(F.col("l_quantity") >= 45).select(

@@ -271,9 +271,12 @@ def spread_small_scan(df: DataFrame, key: str | None = None) -> DataFrame:
     key list), hash-partition the spread by it so the SAME exchange that
     buys parallelism also satisfies every downstream requirement — a
     round-robin spread forced the exploded gram stream (the fat one) to
-    re-shuffle immediately after the fan-out. Per-doc fan-out skew is
-    IDENTICAL either way (a doc's positions stay with its row's
-    partition); keyed hashing also skips round-robin's
+    re-shuffle immediately after the fan-out. Per-doc fan-out is placed
+    whole either way (a doc's positions stay with its row's partition);
+    hash bucketing can leave partitions empty/doubled when the doc count
+    is near defaultParallelism or doc ids collide, unlike round-robin's
+    exact balance — bounded to small scans, where the imbalance is noise
+    next to the saved exchange. Keyed hashing also skips round-robin's
     sortBeforeRepartition pass. Callers whose spread feeds an opaque
     boundary (mapInPandas re-creates exprIds, so partitioning cannot
     propagate) keep the default round-robin."""

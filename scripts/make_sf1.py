@@ -130,8 +130,11 @@ def _replicate(name: str, t: pa.Table, offs: dict[str, int], out_dir: str) -> No
     pq.write_table(big, os.path.join(out_dir, f"{name}.parquet"))
 
 
-def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/orc_sf1"
+def main(out_dir: str | None = None) -> None:
+    # callable with an explicit out_dir (bench.py's sc1 scaling anchors
+    # auto-materialize the replica); CLI argv is the fallback
+    if out_dir is None:
+        out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/orc_sf1"
     os.makedirs(out_dir, exist_ok=True)
     src = {
         name: pq.read_table(os.path.join(SRC, f"{name}.parquet"))
@@ -146,15 +149,15 @@ def main() -> None:
             done = False
             break
     if done:
-        print(f"{out_dir} already generated")
+        print(f"{out_dir} already generated", file=sys.stderr)
         return
     offs = _space_offsets(src)
     for name in FIXED_TABLES:
         pq.write_table(src[name], os.path.join(out_dir, f"{name}.parquet"))
     for name in SCALED_TABLES:
         _replicate(name, src[name], offs, out_dir)
-        print(f"{name}: {len(src[name])} -> {len(src[name]) * REPS}")
-    print(f"wrote {out_dir}")
+        print(f"{name}: {len(src[name])} -> {len(src[name]) * REPS}", file=sys.stderr)
+    print(f"wrote {out_dir}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -141,7 +141,10 @@ def test_text_stays_out_of_analytic_shuffles(spark, sf_small):
     analytic = [b for b in exchanges if "ENSURE_REQUIREMENTS" in b]
     assert spread and all("doc_id" in b for b in spread), plan
     # since the r15 keyed spread, the line/para/gram folds all REUSE the
-    # spread's doc_id partitioning — zero planner-inserted exchanges is
-    # the expected (best) case; any that do appear must be ints-only
-    for b in analytic:
-        assert not re.search(r"\b(text|t|w|seg)#\d+", b), b
+    # spread's doc_id partitioning — ZERO planner-inserted hash exchanges
+    # is the pinned plan shape (ADVICE r15: an explicit count, so a
+    # regression OR an explain-format drift that stops the regex matching
+    # ENSURE_REQUIREMENTS blocks fails loudly instead of passing
+    # vacuously). If a future Spark legitimately re-adds an ints-only
+    # exchange, update this pin alongside a plans/ dump.
+    assert len(analytic) == 0, [b.splitlines()[0] for b in analytic]

@@ -259,6 +259,11 @@ def test_semdedup_drops_planted_within_cluster_dups(spark, tmp_path):
         assert rows[lab]["n_vecs"] == total
         assert rows[lab]["n_dropped"] == len(dropped_by_label[lab])
         assert rows[lab]["n_kept"] == total - len(dropped_by_label[lab])
+        # dominated-by-earlier can never drop a cluster's minimum vec_id, so
+        # every non-empty label keeps >=1 survivor — the invariant that makes
+        # the engine's left-join groupBy equivalent to the oracle's inner
+        # join (ADVICE r15; comment at the aggregate in dedup_q.py)
+        assert rows[lab]["n_kept"] >= 1 and rows[lab]["survivor_digest"] is not None
 
 
 def test_ann_recall_eval_sampled_mode_matches_replay(spark, tmp_path):
