@@ -170,26 +170,30 @@ def _sig(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _banded_pairs(sig: DataFrame, with_est: bool) -> DataFrame:
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band_idx"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.element_at("sig", band * ROWS_PER_BAND + j + 1)
-                    for j in range(ROWS_PER_BAND)
-                ],
-            ).alias("band_key"),
+    # band structs + the 16-compare estimate are built as ONE F.expr string
+    # each (r16): the Column-by-Column construction cost ~90 py4j
+    # round-trips per build (~0.23 s of driver time, profiled — every
+    # banded consumer paid it: dd_minhash_pairs/quality, dd_cluster,
+    # dd_containment, cu_pipeline). expr() parses JVM-side into the
+    # IDENTICAL Catalyst tree (executed plans byte-equal modulo plan_id).
+    band_struct_sql = ", ".join(
+        "struct({b} AS band_idx, concat_ws(',', {els}) AS band_key)".format(
+            b=band,
+            els=", ".join(
+                f"element_at(sig, {band * ROWS_PER_BAND + j + 1})"
+                for j in range(ROWS_PER_BAND)
+            ),
         )
         for band in range(N_BANDS)
-    ]
+    )
     # carry the 16-int signature through the band explode (4× a small array)
     # so the candidate pairs never join back to the signature table — the
     # band self-join is the ONLY shuffle-join in the pipeline, and the
     # groupBy that dedupes multi-band matches is the only other shuffle
     sig_cols = ["doc_id", "sig"] if with_est else ["doc_id"]
     bands = sig.select(
-        *sig_cols, F.explode(F.array(*band_structs)).alias("bk")
+        *sig_cols,
+        F.expr(f"explode(array({band_struct_sql}))").alias("bk"),
     ).select(*sig_cols, "bk.band_idx", "bk.band_key")
     a_cols = [F.col("doc_id").alias("doc_a"), "band_idx", "band_key"]
     b_cols = [F.col("doc_id").alias("doc_b"), "band_idx", "band_key"]
@@ -205,16 +209,20 @@ def _banded_pairs(sig: DataFrame, with_est: bool) -> DataFrame:
         return matched.select("doc_a", "doc_b").distinct()
     # 16 static element-compares summed — whole-stage codegen, where the
     # equivalent aggregate(zip_with(...)) HOF is CodegenFallback (interpreted
-    # per candidate row; see CLAUDE.md)
-    est = sum(
-        F.when(
-            F.element_at("sa", i + 1) == F.element_at("sb", i + 1), 1
-        ).otherwise(0)
+    # per candidate row; see CLAUDE.md). Python sum()-of-Columns seeds a
+    # constant-folded `0 +`, so the CASE chain below is the same tree.
+    est_sql = " + ".join(
+        f"(CASE WHEN element_at(sa, {i + 1}) = element_at(sb, {i + 1}) "
+        "THEN 1 ELSE 0 END)"
         for i in range(N_PERM)
     )
     return (
         matched.select(
-            "doc_a", "doc_b", (est.cast("double") / N_PERM).alias("est_jaccard")
+            "doc_a",
+            "doc_b",
+            F.expr(f"CAST(({est_sql}) AS DOUBLE) / {N_PERM}").alias(
+                "est_jaccard"
+            ),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
