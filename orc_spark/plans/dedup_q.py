@@ -669,19 +669,27 @@ def _block_grid_tagged(emb: DataFrame, nb: int, keys: list[str]) -> DataFrame:
     """Tag each vector (must carry a `blk` column = vec_id % nb) with every
     (block_a, block_b) cell it participates in — the shared machinery of
     dd_embcos and dd_semdedup. `keys` are extra grouping columns carried
-    through (dd_semdedup's cluster label)."""
-    spark = emb.sparkSession
-    grid = spark.createDataFrame(
-        [(a, b) for a in range(nb) for b in range(a, nb)], "ba int, bb int"
+    through (dd_semdedup's cluster label).
+
+    One generate, no joins (r16): a vector in block `blk` participates in
+    exactly one cell per peer block j — (blk, j) as side 'a' when j ≥ blk
+    (diagonal included), (j, blk) as side 'b' when j < blk — so explode
+    j ∈ [0, nb) and derive (ba, bb, side) arithmetically. The previous
+    shape built a 36-row createDataFrame grid (a 32-slice parallelize
+    whose broadcast collect ran a 32-task job, CLAUDE.md tiny-literal
+    pathology) and TWO broadcast joins + a union over two scans; this is
+    one scan, one explode, zero exchanges before the single (ba, bb)
+    group shuffle. Row multiset verified identical."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("j")
+    tagged = emb.select(*keys, "vec_id", "embedding", "blk", j)
+    return tagged.select(
+        *keys,
+        F.least("blk", "j").alias("ba"),
+        F.greatest("blk", "j").alias("bb"),
+        F.when(F.col("j") >= F.col("blk"), "a").otherwise("b").alias("side"),
+        "vec_id",
+        "embedding",
     )
-    off_diag = grid.where(F.col("ba") != F.col("bb"))
-    a_side = emb.join(F.broadcast(grid), emb.blk == grid.ba).select(
-        *keys, "ba", "bb", F.lit("a").alias("side"), "vec_id", "embedding"
-    )
-    b_side = emb.join(F.broadcast(off_diag), emb.blk == off_diag.bb).select(
-        *keys, "ba", "bb", F.lit("b").alias("side"), "vec_id", "embedding"
-    )
-    return a_side.unionByName(b_side)
 
 
 def _cell_cos_pairs(pdf, tau: float):

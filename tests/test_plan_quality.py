@@ -113,14 +113,21 @@ def test_ann_query_filter_pushed_to_scan(spark, sf_small):
 
 
 def test_dd_embcos_block_grid_is_distributed(spark, sf_small):
-    """dd_embcos: block grid broadcast-joined, ONE wide shuffle (the (ba,bb)
-    groupBy feeding the matmul cells), no driver-side corpus collect."""
+    """dd_embcos: the block grid is derived ARITHMETICALLY in one Generate
+    (r16 — explode j in [0, nb), cell = (min(blk,j), max(blk,j))): one
+    embeddings scan, ZERO joins, and exactly one wide shuffle (the (ba,bb)
+    groupBy feeding the matmul cells); no driver-side corpus collect."""
+    import re
+
     from orc_spark.plans.dedup_q import dd_embcos
-    from orc_spark.plans.explain import count_broadcast_joins, formatted_plan
+    from orc_spark.plans.explain import formatted_plan
 
     df = dd_embcos(spark, sf_small)
     plan = formatted_plan(df)
-    assert count_broadcast_joins(df) >= 2, "grid joins must broadcast"
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert plan.count("+- Exchange") == 1, plan
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
 
 
