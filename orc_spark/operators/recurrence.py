@@ -83,8 +83,22 @@ def partitioned_group_scan(
             yield from emit(buf)
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # Deterministic HIGH-CARDINALITY spread key (guide §2.5), not the run
+    # key itself (r16): repartition(n, *pcols) under an upstream window
+    # already hash-partitioned by the same key collapsed into that window
+    # exchange — an ENSURE_REQUIREMENTS exchange that AQE coalesces by
+    # BYTES, which starved this CPU-bound Python stage down to 2 tasks on
+    # 32 cores at sf0.1 (st_pid_replay: 1.8 s of kernel time serialized
+    # onto 2 cores; 16/32 tasks at the sf1 replica). Hashing the run key
+    # into 100·n buckets keeps this exchange a REPARTITION_BY_NUM that
+    # neither collapses upstream nor is coalesced below the core count,
+    # and the 100x key space spreads evenly (the guide's synthetic-key
+    # collision warning). Runs stay whole: the key is a function of pcols.
+    from pyspark.sql import functions as F
+
+    spread = F.pmod(F.xxhash64(*pcols), F.lit(100 * n_parts))
     return (
-        df.repartition(n_parts, *pcols)
+        df.repartition(n_parts, spread)
         .sortWithinPartitions(*pcols, order_col)
         .mapInPandas(run, schema)
     )
